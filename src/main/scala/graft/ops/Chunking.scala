@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W1 + A1/A2/A4 (SURVEY.md §2.6, §2.5): fixed-size sequential chunking
+  * with order-preserving text concat — the reference's load-bearing
+  * windowed computation (summarize.py:110-156).
+  *
+  * Scale notes: the row_number window shuffles once on the partition
+  * key (file/meeting); the subsequent groupBy(key, chunk) reuses that
+  * partitioning modulo chunk, so AQE coalesces rather than reshuffles.
+  * Order is explicit (`orderCol`) — pandas' implicit row order does not
+  * survive a distributed scan (SURVEY.md §7.5.1).
+  */
+object Chunking {
+
+  /** W1 — assign `chunk_id` = consecutive windows of `size` rows per
+    * `partKey`, ordered by `orderCol` (ref summarize.py:110-118:
+    * `range(0, len(jsons), 100)`). */
+  def assignChunks(df: DataFrame, partKey: Seq[Column], orderCol: Column,
+      size: Int = 100, as: String = "chunk_id"): DataFrame = {
+    val w = Window.partitionBy(partKey: _*).orderBy(orderCol)
+    df.withColumn(as, floor((row_number().over(w) - lit(1)) / lit(size)))
+  }
+
+  /** A1 — order-preserving concat of `textCol` by `orderCol`, optionally
+    * restricted to rows passing `keep` while group bounds still cover
+    * ALL rows (the reference's quirk: chunk bounds come from unfiltered
+    * first/last segments while the text excludes low-confidence ones —
+    * summarize.py:20-25 vs 143-146; SURVEY.md §7.5.6).
+    *
+    * Built from codegen-friendly built-ins: collect_list skips nulls, so
+    * `when(keep, struct)` implements the filter; array_sort on
+    * (order, text) structs restores order inside each group.
+    */
+  def orderedConcat(orderCol: Column, textCol: Column, keep: Column = lit(true),
+      sep: String = " "): Column =
+    array_join(
+      transform(
+        array_sort(collect_list(when(keep, struct(orderCol.as("o"), textCol.as("t"))))),
+        s => s.getField("t")),
+      sep)
+
+  /** The full chunk-summarize shape (ref summarize.py:110-156): chunk,
+    * concat confident text, carry unfiltered bounds. */
+  def chunkAggregate(df: DataFrame, partKey: String, orderCol: String,
+      textCol: String, keep: Column, size: Int = 100): DataFrame =
+    assignChunks(df, Seq(col(partKey)), col(orderCol), size)
+      .groupBy(col(partKey), col("chunk_id"))
+      .agg(
+        orderedConcat(col(orderCol), col(textCol), keep).as("chunk_text"),
+        min(col(orderCol)).as("start_id"),
+        max(col(orderCol)).as("end_id"),
+        count(lit(1)).as("n"))
+
+  /** A2 — meeting-level rollup: concat chunk texts in chunk order with
+    * a newline (ref summarize.py:147). */
+  def rollup(chunks: DataFrame, partKey: String, chunkCol: String = "chunk_id",
+      textCol: String = "chunk_text"): DataFrame =
+    chunks.groupBy(col(partKey))
+      .agg(orderedConcat(col(chunkCol), col(textCol), sep = "\n").as("rollup_text"),
+        min(col("start_id")).as("start_id"),
+        max(col("end_id")).as("end_id"))
+}
