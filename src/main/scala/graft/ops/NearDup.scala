@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: exact hash,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine. The scale
+  * path is LSH banding — candidate pairs come from an equi-join on
+  * band keys (one shuffle, no O(n²)); the pairwise operators are for
+  * bounded candidate sets (post-LSH refinement or small samples).
+  *
+  * Hashing is sha256-slice based: one sha256 per shingle/word, with
+  * independent hash functions taken as disjoint 12-hex-char slices of
+  * the digest. That keeps minhash portable (bit-parity with any FIPS
+  * sha256, so oracle-checkable) and costs a single digest per token.
+  */
+object NearDup {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word n-gram shingles (default bigrams). Callers must filter rows
+    * with fewer than n tokens. */
+  def shingles(text: Column, n: Int = 2): Column = {
+    val w = tokens(text)
+    transform(sequence(lit(0), size(w) - lit(n)), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k + 1))): _*))
+  }
+
+  /** MinHash signatures: numHashes minima over sha256 slices of the
+    * shingle set. Explode → hash-agg min: partial aggregation makes
+    * this map-side-combining, so the shuffle carries one signature row
+    * per document, not one row per shingle. */
+  def minhashSignatures(df: DataFrame, id: String, text: Column,
+      numHashes: Int = 4, shingleSize: Int = 2): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 5, "sha256 hex yields 5 12-char slices")
+    val exploded = df
+      .filter(size(tokens(text)) >= shingleSize)
+      .select(col(id), explode(shingles(text, shingleSize)).as("__sh"))
+      .withColumn("__h", sha2(col("__sh"), 256))
+    val aggs = (0 until numHashes).map(j =>
+      min(substring(col("__h"), 1 + 12 * j, 12)).as(s"mh$j"))
+    exploded.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over minhash signatures: docs sharing any band of
+    * rowsPerBand consecutive hashes become candidate pairs. The band
+    * join is an equi-join on the band key — shuffle-partitioned,
+    * skew-safe (bands are near-unique for non-duplicates). */
+  def lshCandidatePairs(sigs: DataFrame, id: String,
+      numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
+      sigs.select(col(id).as("__id"),
+        concat_ws("|", lit(b.toString) +: cols: _*).as("__band"))
+    }.reduce(_.unionByName(_))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over the token multiset. Word hash = first 4
+    * sha256 nibbles; each bit votes ±1; bit set iff vote sum > 0.
+    * 16 bits keeps the per-bit vote columns cheap AND the whole
+    * computation integer-exact / oracle-portable; widen by slicing
+    * more nibbles if a deployment needs 64-bit fingerprints. */
+  def simhash(df: DataFrame, id: String, text: Column): DataFrame = {
+    val words = df.select(col(id), explode(tokens(text)).as("__w"))
+      .withColumn("__h", sha2(col("__w"), 256))
+      .withColumn("__hw", conv(substring(col("__h"), 1, 4), 16, 10).cast("int"))
+    val votes = (0 until 16).map(i =>
+      sum(shiftright(col("__hw"), i) % 2 * 2 - 1).as(s"__s$i"))
+    val sh = (0 until 16).map(i =>
+      when(col(s"__s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    words.groupBy(col(id))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(id), sh.cast("long").as("simhash"))
+  }
+
+  /** Pairwise token-set Jaccard over a bounded candidate set (use LSH
+    * upstream at scale). Exact-integer intersection/union counts; one
+    * double division at the end. */
+  def jaccardPairs(df: DataFrame, id: String, text: Column,
+      minJaccard: Double): DataFrame = {
+    val w = df.select(col(id).as("__id"), explode(tokens(text)).as("__word")).distinct()
+    val sz = w.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val inter = w.as("x")
+      .join(w.as("y"), col("x.__word") === col("y.__word") && col("x.__id") < col("y.__id"))
+      .groupBy(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"))
+      .agg(count(lit(1)).as("__i"))
+    val j = col("__i").cast("double") /
+      (col("sa.__sz") + col("sb.__sz") - col("__i"))
+    inter
+      .join(sz.as("sa"), col("doc_a") === col("sa.__id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.__id"))
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+  }
+
+  /** Cosine over two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Embedding near-dup pairs over a bounded candidate set: all pairs
+    * with cosine >= threshold. O(n²) — gate with LSH buckets
+    * (vector.Similarity) before calling this at scale. */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: Column,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(id).as("id_a"), vec.as("__va"))
+    val b = df.select(col(id).as("id_b"), vec.as("__vb"))
+    val cos = cosine(col("__va"), col("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cos_sim"))
+  }
+
+  /** Demo/test helper: append truncated copies of each row (guaranteed
+    * near-duplicates) with offset ids. */
+  def withMutatedCopies(df: DataFrame, id: String, text: String,
+      offset: Long = 1000000L, dropChars: Int = 20): DataFrame =
+    df.select(col(id), col(text)).unionByName(
+      df.select((col(id) + offset).as(id),
+        col(text).substr(lit(1), greatest(length(col(text)) - dropChars, lit(1))).as(text)))
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.NearDup
+import Q.t
+
+/** Near-duplicate detection queries (training-data pipeline surface):
+  * MinHash signatures, MinHash-LSH candidate pairs, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup. Hashing is sha256-slice based
+  * for exact DuckDB parity (see ops/NearDup.scala).
+  *
+  * LSH/Jaccard demos union the corpus with truncated copies of itself
+  * so the near-dup set is non-empty and deterministic.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTE: corpus ∪ truncated mutations (offset ids). */
+  private val mutatedBase =
+    """base AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id,
+      |        substr(text, 1, greatest(length(text) - 20, 1)) AS text
+      | FROM documents)""".stripMargin
+
+  private def minhashSql(src: String): String =
+    s"""w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       | FROM $src WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2),
+       |sh AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
+       | FROM w),
+       |hh AS (SELECT doc_id, sha256(s) AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |  min(substr(h,1,12)) AS mh0, min(substr(h,13,12)) AS mh1,
+       |  min(substr(h,25,12)) AS mh2, min(substr(h,37,12)) AS mh3
+       | FROM hh GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB 16-bit simhash: word hash = int value of first 4 sha256
+    * nibbles (strpos-decoded), per-bit ±1 votes, bit set iff sum>0. */
+  private val simhashSql: String = {
+    val nibs = (1 to 4).map(i => s"(strpos('0123456789abcdef', substr(h,$i,1)) - 1)")
+    val hw = nibs.zip(Seq(4096, 256, 16, 1))
+      .map { case (n, m) => s"$n * $m" }.mkString(" + ")
+    val votes = (0 until 16)
+      .map(i => s"SUM(((hw >> $i) & 1) * 2 - 1) AS s$i").mkString(", ")
+    val bits = (0 until 16)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       | FROM documents),
+       |hh AS (SELECT doc_id, sha256(word) AS h FROM w),
+       |hv AS (SELECT doc_id, $hw AS hw FROM hh),
+       |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- MinHash signatures over the raw corpus ----
+    Q("q13_minhash_sig",
+      s"""WITH ${minhashSql("documents")}
+         |SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+      NearDup.minhashSignatures(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- MinHash-LSH candidate pairs (shingle→minhash→band→bucket join) ----
+    Q("q14_lsh_neardup_pairs",
+      s"""WITH $mutatedBase,
+         |${minhashSql("base")},
+         |bands AS (
+         | SELECT doc_id, '0|' || mh0 || '|' || mh1 AS band FROM sig
+         | UNION ALL
+         | SELECT doc_id, '1|' || mh2 || '|' || mh3 AS band FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val base = NearDup.withMutatedCopies(t(s, d, "documents"), "doc_id", "text")
+      val sigs = NearDup.minhashSignatures(base, "doc_id", col("text"))
+      NearDup.lshCandidatePairs(sigs, "doc_id")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- SimHash fingerprints ----
+    Q("q15_simhash", simhashSql) { (s, d) =>
+      NearDup.simhash(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- n-gram (token-set) Jaccard pairs on a bounded candidate set ----
+    Q("q16_jaccard_pairs",
+      """WITH base AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id < 50
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id,
+        |        substr(text, 1, greatest(length(text) - 20, 1)) AS text
+        | FROM documents WHERE doc_id < 50),
+        |w AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM base),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
+        |inter AS (
+        | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        | FROM w x JOIN w y ON x.word = y.word AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val base = NearDup.withMutatedCopies(
+        t(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+      NearDup.jaccardPairs(base, "doc_id", col("text"), 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- embedding-cosine near-dup pairs on a bounded candidate set ----
+    Q("q17_embed_neardup",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x*b.x) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM u GROUP BY 1)
+        |SELECT id_a, id_b, round(dot/(na.nrm*nb.nrm), 6) AS cos_sim
+        |FROM p JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      NearDup.cosineNearDupPairs(
+          t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id",
+          col("embedding"), 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+  )
+}
