@@ -100,14 +100,10 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
 
-  /** Cosine over two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  /** Cosine over two float-array columns — the codegen'd Catalyst
+    * kernel (double accumulation in index order). */
+  def cosine(a: Column, b: Column): Column =
+    graft.vector.Similarity.cosineSim(a, b)
 
   /** Embedding near-dup pairs over a bounded candidate set: all pairs
     * with cosine >= threshold. O(n²) — gate with LSH buckets
