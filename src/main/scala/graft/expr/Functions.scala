@@ -69,9 +69,13 @@ object Functions {
     substring(rtrim(regexp_replace(c, "[^A-Za-z0-9 _-]", "")), 1, max)
 
   /** F12 — RFC-2822 → unix seconds, null on failure
-    * (ref article_vectorize.py:29-42). */
+    * (ref article_vectorize.py:29-42). Spark 3+'s parser rejects EEE
+    * as a *parse* pattern, so the redundant day-name prefix is
+    * stripped before parsing. */
   def rfc2822ToUnix(c: Column): Column =
-    unix_timestamp(try_to_timestamp(c, lit("EEE, dd MMM yyyy HH:mm:ss Z")))
+    unix_timestamp(try_to_timestamp(
+      regexp_replace(c, "^[A-Za-z]{3},\\s*", ""),
+      lit("dd MMM yyyy HH:mm:ss Z")))
 
   /** F13 — timestamp → unix seconds (ref vectorize.py:95). */
   def toUnix(c: Column): Column = unix_timestamp(c)

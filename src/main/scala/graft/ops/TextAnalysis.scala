@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.expr.{Functions, RollingHash}
+
+/** Text analysis for training-data pipelines: language ID (stopword
+  * n-gram heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure Column expressions — codegen'd, pushed
+  * into the scan stage, zero UDFs — so they run at parquet-scan speed
+  * on 100 TB and stay DuckDB-oracle checkable.
+  */
+object TextAnalysis {
+
+  import NearDup.tokens
+
+  /** Tiny per-language stopword profiles (heuristic language ID — the
+    * real-corpus analog ships bigger profiles through the same path). */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "zu"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: letter runs / digit runs / single symbols. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(words: _*))).cast("long")
+
+  /** Predicted language = argmax of profile hits (ties resolve in
+    * profile order; zero hits everywhere → "unknown"). */
+  def langId(text: Column): Column = {
+    val hits = stopwordProfiles.map { case (l, ws) => l -> stopwordHits(text, ws) }
+    val Seq(en, es, de) = hits.map(_._2)
+    when(en >= es && en >= de && en > 0, lit("en"))
+      .when(es >= de && es > 0, lit("es"))
+      .when(de > 0, lit("de"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Punctuation/symbol count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Non-whitespace character count. */
+  def charCountNoWs(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("long")
+
+  /** Quality bucket from token count + stopword evidence (the
+    * reference's min-length gate newscrawler.py:382 generalized). */
+  def qualityBucket(nTokens: Column, stopHits: Column): Column =
+    when(nTokens >= 30 && stopHits > 0, lit("good"))
+      .when(nTokens >= 10, lit("fair"))
+      .otherwise(lit("poor"))
+
+  /** Content fingerprint: sha16 of normalized text (batch id). */
+  def fingerprintSha(text: Column): Column =
+    Functions.sha16(Functions.normText(text))
+
+  /** Rolling-hash fingerprint (codegen Catalyst expression). */
+  def rollingHash(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(text)))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+import Q.t
+
+/** Text-analysis queries: language ID, quality scoring, token
+  * counting, fingerprinting (SURVEY north-star training-data ops).
+  * All pure-expression — the DuckDB oracles mirror the same formulas.
+  */
+object TextQueries {
+
+  private val enIn = "('the','a','of','and','to')"
+  private val esIn = "('el','la','de','y','que')"
+  private val deIn = "('der','die','das','und','zu')"
+  private def hits(set: String): String =
+    s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w IN $set))"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- language ID by stopword-profile argmax ----
+    Q("q21_langid",
+      s"""WITH h AS (SELECT doc_id,
+         |  len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         |  ${hits(enIn)} AS en_hits, ${hits(esIn)} AS es_hits, ${hits(deIn)} AS de_hits
+         | FROM documents)
+         |SELECT doc_id, n_tokens, en_hits, es_hits, de_hits,
+         | CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+         |      WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+         |      WHEN de_hits > 0 THEN 'de' ELSE 'unknown' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val text = col("text")
+      val hitCols = TextAnalysis.stopwordProfiles.map { case (l, ws) =>
+        TextAnalysis.stopwordHits(text, ws).as(s"${l}_hits")
+      }
+      t(s, d, "documents")
+        .select(Seq(col("doc_id"), TextAnalysis.tokenCount(text).as("n_tokens")) ++
+          hitCols :+ TextAnalysis.langId(text).as("lang_pred"): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- quality scoring: length/punct/stopword ratios ----
+    Q("q22_quality",
+      s"""WITH h AS (SELECT doc_id,
+         |  len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_n,
+         |  ${hits(enIn)} AS stop_hits,
+         |  length(regexp_replace(text, '\\s', '', 'g')) AS char_nws
+         | FROM documents)
+         |SELECT doc_id, n_tokens, punct_n, stop_hits, char_nws,
+         | round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         | round(CAST(char_nws AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+         | CASE WHEN n_tokens >= 30 AND stop_hits > 0 THEN 'good'
+         |      WHEN n_tokens >= 10 THEN 'fair' ELSE 'poor' END AS quality
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val text = col("text")
+      val nTokens = TextAnalysis.tokenCount(text)
+      val stopHits = TextAnalysis.stopwordHits(text, TextAnalysis.stopwordProfiles.head._2)
+      t(s, d, "documents").select(
+          col("doc_id"),
+          nTokens.as("n_tokens"),
+          TextAnalysis.punctCount(text).as("punct_n"),
+          stopHits.as("stop_hits"),
+          TextAnalysis.charCountNoWs(text).as("char_nws"),
+          round(stopHits.cast("double") / nTokens, 6).as("stop_ratio"),
+          round(TextAnalysis.charCountNoWs(text).cast("double") / nTokens, 6).as("avg_token_len"),
+          TextAnalysis.qualityBucket(nTokens, stopHits).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- token counting: whitespace + BPE-ish regex ----
+    Q("q23_tokens",
+      """SELECT doc_id,
+        | len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- fingerprints: sha16 of normalized text + rolling hash ----
+    Q("q24_fingerprint",
+      """WITH n AS (SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id, substr(sha256(norm),1,16) AS fp_sha,
+        | CASE WHEN length(norm) > 0 THEN
+        |  list_reduce(list_transform(string_split(norm, ''), c -> CAST(unicode(c) AS BIGINT)),
+        |              (a, b) -> (a * 257 + b) % 1000000007)
+        | END AS fp_roll
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.expr.Functions
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.fingerprintSha(col("text")).as("fp_sha"),
+          TextAnalysis.rollingHash(Functions.normText(col("text"))).as("fp_roll"))
+        .orderBy(col("doc_id"))
+    },
+  )
+}
