@@ -1,0 +1,93 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import graft.model.Schemas.Segment
+
+/** U1–U4 (SURVEY.md §2.11): the reference's four model-invoking
+  * enrichment functions as traits with deterministic stubs. Real model
+  * serving (Whisper, ollama, MiniLM, trafilatura — transcribe_council
+  * .py:86-90, summarize.py:27-108, vectorize.py:114-118,
+  * newscrawler.py:187-299) plugs in as deployment adapters; the engine
+  * core never depends on a service, so every pipeline is testable and
+  * the oracle stays meaningful.
+  *
+  * Execution model (SURVEY §4.1 O4): enrichment runs via
+  * `mapPartitions` with a per-partition instance from a serializable
+  * factory — model/connection init amortizes across a partition, the
+  * way the reference loads Whisper once per process. Errors are
+  * captured per row (dead-letter column), never task failures
+  * (mirrors the reference's try/except-continue, summarize.py:180-186).
+  */
+object Enricher {
+
+  /** U1 — ASR transcription: media bytes → ordered segments. */
+  trait Transcriber extends Serializable {
+    def transcribe(key: String, media: Array[Byte]): Seq[Segment]
+  }
+
+  /** U2 — chat/LLM completion (summaries, name extraction). */
+  trait ChatModel extends Serializable {
+    def complete(prompt: String): String
+  }
+
+  /** U4 — web text extraction: url → (title, text). */
+  trait TextExtractor extends Serializable {
+    def extract(url: String): (String, String)
+  }
+
+  /** Deterministic stub ASR: derives per-segment text/timing from a
+    * sha256 stream over the media bytes. Same input → same segments,
+    * across JVMs. */
+  final class StubTranscriber(segmentsPerDoc: Int = 5) extends Transcriber {
+    override def transcribe(key: String, media: Array[Byte]): Seq[Segment] = {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(if (media == null) Array.emptyByteArray else media)
+      (0 until segmentsPerDoc).map { i =>
+        val b = java.lang.Byte.toUnsignedInt(digest(i % digest.length))
+        Segment(
+          id = i.toLong,
+          start = i * 10.0,
+          end = i * 10.0 + 9.5,
+          text = s"seg $i word${b % 7} word${(b / 7) % 11}",
+          no_speech_prob = (b % 100) / 100.0,
+          file = key)
+      }
+    }
+  }
+
+  /** Deterministic stub LLM: "summarizes" by keeping the first
+    * `keep` tokens and appending a content hash — stable, content-
+    * sensitive, and obviously-not-a-real-model in outputs. */
+  final class StubChatModel(keep: Int = 8) extends ChatModel {
+    override def complete(prompt: String): String = {
+      val toks = Option(prompt).getOrElse("").trim.split("\\s+").take(keep)
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(Option(prompt).getOrElse("").getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (toks :+ s"#$h").mkString(" ")
+    }
+  }
+
+  /** Deterministic stub extractor: synthesizes title/text from the URL
+    * (3-tier fallback shape collapsed — the tiers are a deployment
+    * concern, newscrawler.py:191-299). */
+  final class StubTextExtractor extends TextExtractor {
+    override def extract(url: String): (String, String) = {
+      val base = Option(url).getOrElse("").split("/").lastOption.getOrElse("")
+      (s"title $base", s"content for $base " * 10)
+    }
+  }
+
+  /** Dead-letter row: result xor error, input key carried through. */
+  final case class Enriched[T](key: String, result: Option[T], error: Option[String])
+
+  /** Run an enrichment over a Dataset with a per-partition instance
+    * (factory invoked once per partition; heavy init amortized) and
+    * per-row error capture. */
+  def enrichPartitions[I, M, O: Encoder](ds: Dataset[I], factory: () => M)(
+      f: (M, I) => O): Dataset[O] =
+    ds.mapPartitions { it =>
+      val model = factory()
+      it.map(i => f(model, i))
+    }(implicitly[Encoder[O]])
+}

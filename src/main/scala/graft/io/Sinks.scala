@@ -1,0 +1,63 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.ops.Dedup
+
+/** K1–K7 (SURVEY.md §2.2): sinks, including the two patterns Spark
+  * cannot express directly — overwriting an input in place, and
+  * MERGE-by-id state updates over plain parquet (SURVEY §7.5.2).
+  */
+object Sinks {
+
+  /** K1/K4 — read-then-overwrite state file (ref data.jsonl rewrite,
+    * transcribe_council.py:96→106): write to a staging dir, then
+    * atomically swap. Spark refuses to overwrite a path it is reading;
+    * the staging swap also makes a crashed job leave the old state
+    * intact (the reference's crash-safety property). */
+  def overwriteInPlace(df: DataFrame, path: String,
+      format: String = "parquet"): Unit = {
+    val spark = df.sparkSession
+    val staging = path + ".staging"
+    val backup = path + ".old"
+    df.write.mode(SaveMode.Overwrite).format(format).save(staging)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    val b = new Path(backup)
+    if (fs.exists(b)) fs.delete(b, true)
+    if (fs.exists(p)) fs.rename(p, b)
+    fs.rename(new Path(staging), p)
+    fs.delete(b, true)
+  }
+
+  /** JSONL sink (ref orient='records' lines=True writes). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** K2/K3/K5 — per-entity files: partition the write by the entity
+    * key so each entity's rows land in its own directory (the
+    * distributed analog of one-file-per-video; a 100 TB write stays
+    * parallel, no driver-side file loop). */
+  def writePerEntity(df: DataFrame, keyCol: String, path: String,
+      format: String = "json"): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(keyCol).format(format).save(path)
+
+  /** K6/V2 — MERGE-by-id upsert into a parquet-backed state table
+    * (ref Chroma add-with-stable-ids semantics,
+    * article_vectorize.py:360-363): updates win, survivors carry over,
+    * swap in place. Reads the existing state if present. */
+  def mergeInto(spark: SparkSession, statePath: String, updates: DataFrame,
+      key: Seq[String]): DataFrame = {
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new Path(statePath))) {
+        val state = spark.read.parquet(statePath)
+        Dedup.mergeById(state, updates, key)
+      } else updates
+    // overwriteInPlace materializes into staging BEFORE swapping, so
+    // the plan still reads the old state files while executing
+    overwriteInPlace(merged, statePath)
+    spark.read.parquet(statePath)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.expr.Functions
+
+/** S2–S9 (SURVEY.md §2.1): the reference's file-shaped sources as
+  * schema-explicit Spark readers. Schemas are always declared (never
+  * inferred) — inference is an extra full pass and nondeterministic
+  * under drift (SURVEY §1.3).
+  */
+object Sources {
+
+  /** S2/S3/S4 — JSONL table (ref pd.read_json lines=True). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** S5 — whole-file JSON array (ref articles.json, newscrawler.py:86-123). */
+  def readJsonArray(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("multiLine", true).json(path)
+
+  /** S6 — markdown + frontmatter directory (ref article_vectorize
+    * .py:106-154): one row per file with parsed frontmatter keys and
+    * body. `wholetext` keeps file↔row atomicity; `input_file_name`
+    * carries the entity key (SURVEY §1.4). */
+  def readFrontmatterMd(spark: SparkSession, dir: String,
+      keys: Seq[String]): DataFrame = {
+    val raw = spark.read.option("wholetext", true).text(dir + "/*.md")
+      .withColumn("filename", Functions.basename(input_file_name()))
+    keys.foldLeft(raw) { (df, k) =>
+      df.withColumn(k, Functions.frontmatterValue(col("value"), k))
+    }.withColumn("content", Functions.frontmatterBody(col("value")))
+      .drop("value")
+  }
+
+  /** S9/J5 build side — output-file inventory via the binaryFile
+    * source with content pruned (only path/length read, so listing a
+    * huge output tree never touches file bytes). */
+  def fileInventory(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(Functions.basename(col("path")).as("name"),
+        col("path"), col("length"))
+
+  /** S1 — HTML listing-table parse (ref transcribe_council.py:28-73):
+    * rows = `tr.listingRow` blocks, cells = `td.listItem`. The fetch
+    * itself is a driver/ingest concern; this is the parse over a
+    * wholetext-read HTML blob column. */
+  def parseListingRows(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(html,
+      lit("(?s)<tr[^>]*class=\"[^\"]*listingRow[^\"]*\"[^>]*>(.*?)</tr>"), lit(1))
+
+  def parseListItems(rowHtml: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(rowHtml,
+      lit("(?s)<td[^>]*class=\"[^\"]*listItem[^\"]*\"[^>]*>(.*?)</td>"), lit(1))
+}

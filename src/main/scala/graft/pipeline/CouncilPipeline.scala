@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.enrich.Enricher
+import graft.expr.Functions
+import graft.model.Schemas
+import graft.ops.{Chunking, Dedup, Joins, Relevance}
+import graft.vector.{Embedder, Similarity}
+
+/** The reference's six-stage pipeline (SURVEY.md §0, §3) composed from
+  * the engine's operators. Each stage is a pure DataFrame→DataFrame
+  * function over explicit inputs — incremental semantics come from
+  * anti-joins against inventories/state (the reference's
+  * file-existence memoization, §4.1 O1), enrichment runs behind stub
+  * traits, and every boundary is a declarative plan Catalyst can
+  * optimize.
+  */
+object CouncilPipeline {
+
+  /** Stage 1a (transcribe_council.py:92-106): carry forward box_link
+    * from previous state onto the fresh scrape, keep rows with video. */
+  def refreshMeetings(fresh: DataFrame, previous: DataFrame): DataFrame =
+    Joins.carryForward(
+      fresh.filter(col("video").isNotNull), previous, "video", "box_link")
+
+  /** Stage 1b (transcribe_council.py:113-131): transcription work =
+    * meetings with no materialized transcript; enrich via per-partition
+    * ASR into exploded segments (U1 is a generator: 1 video → N rows). */
+  def transcribePending(meetings: DataFrame, transcriptInventory: DataFrame,
+      transcriber: () => Enricher.Transcriber): DataFrame = {
+    val spark = meetings.sparkSession
+    import spark.implicits._
+    val pending = Dedup.pendingWork(
+      meetings.withColumn("name", Functions.basename(col("video"))),
+      transcriptInventory, Seq("name"))
+    pending.select(col("name"), col("video")).as[(String, String)]
+      .mapPartitions { it =>
+        val asr = transcriber()
+        it.flatMap { case (name, video) =>
+          asr.transcribe(name, video.getBytes("UTF-8"))
+        }
+      }.toDF()
+  }
+
+  /** Stage 2 (summarize.py:110-156): chunk 100 segments, concat
+    * confident text, LLM-summarize each chunk, then reduce to a
+    * meeting-level rollup row (prepended, ref :148-155). */
+  def summarize(segments: DataFrame, chat: () => Enricher.ChatModel,
+      chunkSize: Int = 100, noSpeechThresh: Double = 0.2): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val chunks = Chunking.chunkAggregate(segments, "file", "id", "text",
+      col("no_speech_prob") < noSpeechThresh, chunkSize)
+      .filter(length(trim(col("chunk_text"))) >= 2)
+    val summarized = chunks
+      .select(col("file"), col("chunk_id"), col("chunk_text"),
+        col("start_id"), col("end_id")).as[(String, Long, String, Long, Long)]
+      .mapPartitions { it =>
+        val lm = chat()
+        it.map { case (file, chunkId, text, s, e) =>
+          (file, chunkId, lm.complete(s"summarize: $text"), s, e)
+        }
+      }.toDF("file", "chunk_id", "summary", "start_id", "end_id")
+    val rollup = Chunking.rollup(
+        summarized.withColumnRenamed("summary", "chunk_text"), "file")
+      .select(col("file"), lit(-1L).as("chunk_id"), col("rollup_text"),
+        col("start_id"), col("end_id")).as[(String, Long, String, Long, Long)]
+      .mapPartitions { it =>
+        val lm = chat()
+        it.map { case (file, cid, text, s, e) =>
+          (file, cid, lm.complete(s"reduce: $text"), s, e)
+        }
+      }.toDF("file", "chunk_id", "summary", "start_id", "end_id")
+    rollup.unionByName(summarized)
+  }
+
+  /** Stage 5 (newscrawler.py:327-460): dedup new articles against seen
+    * state, extract text, keep long+relevant, project the record. */
+  def crawl(rss: DataFrame, seenIds: DataFrame,
+      extractor: () => Enricher.TextExtractor,
+      keywords: Seq[String] = Relevance.defaultKeywords,
+      minLength: Int = 100): DataFrame = {
+    val spark = rss.sparkSession
+    import spark.implicits._
+    val withId = rss.filter(col("url").isNotNull)
+      .withColumn("id", Functions.sha16(col("url")))
+    val fresh = Dedup.antiJoinSeen(withId, seenIds, withId("id"), seenIds("id"))
+    val extracted = fresh.select(col("id"), col("url"), col("source"))
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val ex = extractor()
+        it.map { case (id, url, source) =>
+          val (title, text) = ex.extract(url)
+          (id, url, source, title, text)
+        }
+      }.toDF("id", "url", "source", "title", "text")
+    extracted
+      .filter(length(col("text")) >= minLength &&
+        Relevance.anyKeyword(concat_ws("\n", col("title"), col("text")), keywords))
+      .select(col("id"), col("source"), col("url"), col("title"),
+        Functions.preview(col("text")).as("content_preview"))
+  }
+
+  /** Stage 4/6 (vectorize.py:105-125, article_vectorize.py): drop the
+    * rollup row, join meeting dates via derived key, flatten arrays,
+    * build ids, embed → vector-collection rows. */
+  def vectorize(summaries: DataFrame, meetings: DataFrame,
+      embedder: Embedder): DataFrame = {
+    val spark = summaries.sparkSession
+    import spark.implicits._
+    val chunksOnly = summaries.filter(col("chunk_id") >= 0) // P11: drop rollup
+    val withDate = Joins.derivedKeyJoin(
+      meetings.select(col("video"), col("date")),
+      chunksOnly, "video", "file").drop("video")
+    val emb = udf((s: String) => embedder.embed(s))
+    withDate
+      .withColumn("id",
+        Functions.idConcat(col("file"), col("start_id"), col("end_id")))
+      .withColumn("embedding", emb(col("summary")))
+      .select(col("id"), col("summary").as("document"),
+        map(lit("file"), col("file"),
+          lit("date"), unix_timestamp(col("date")).cast("string")).as("metadata"),
+        col("embedding"))
+  }
+
+  /** Query side of the vector collection: top-k by cosine. */
+  def searchCollection(collection: DataFrame, embedder: Embedder,
+      queryText: String, k: Int): DataFrame =
+    Similarity.topK(collection, "id", "embedding", embedder.embed(queryText), k)
+}

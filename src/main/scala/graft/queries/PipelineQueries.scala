@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.enrich.Enricher
+import graft.expr.Functions
+import graft.multimodal.Multimodal
+import graft.pipeline.CouncilPipeline
+import Q.{events, t}
+
+/** Multimodal plumbing, frontmatter round-trip, and stub-enrichment
+  * pipeline queries. Binary/metadata arithmetic is oracled; stub
+  * UDF outputs (deterministic but JVM-hash based) get rows-only checks
+  * with golden coverage in ScalaTest.
+  */
+object PipelineQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- multimodal: opaque binary payload + typed size/magic ----
+    Q("q38_multimodal_meta",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | substr(sha256(text), 1, 8) AS magic,
+        | CAST(64 + (doc_id % 16) * 32 AS INTEGER) AS fake_width
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          substring(sha2(col("text"), 256), 1, 8).as("magic"),
+          (lit(64) + (col("doc_id") % 16) * 32).cast("int").as("fake_width"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- F17: frontmatter build + parse round-trip ----
+    Q("q39_frontmatter",
+      """WITH built AS (SELECT doc_id, text,
+        |  '---' || chr(10) || 'source: ' || source || chr(10) ||
+        |  'title: doc ' || CAST(doc_id AS VARCHAR) || chr(10) || '---' || chr(10) || text AS doc
+        | FROM documents),
+        |fm AS (SELECT doc_id, doc, regexp_extract(doc, '(?s)^---\n(.*?)\n---', 1) AS front FROM built)
+        |SELECT doc_id,
+        | CASE WHEN regexp_extract(front, '(?m)^source:\s*(.*)$', 1) = '' THEN NULL
+        |      ELSE regexp_extract(front, '(?m)^source:\s*(.*)$', 1) END AS parsed_source,
+        | CASE WHEN regexp_extract(front, '(?m)^title:\s*(.*)$', 1) = '' THEN NULL
+        |      ELSE regexp_extract(front, '(?m)^title:\s*(.*)$', 1) END AS parsed_title,
+        | ltrim(regexp_extract(doc, '(?s)^---\n.*?\n---\n?(.*)$', 1)) AS body
+        |FROM fm ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val built = t(s, d, "documents").withColumn("doc",
+        concat(
+          Functions.frontmatterBuild(
+            "source" -> col("source"),
+            "title" -> concat(lit("doc "), col("doc_id").cast("string"))),
+          lit("\n"), col("text")))
+      built.select(col("doc_id"),
+          Functions.frontmatterValue(col("doc"), "source").as("parsed_source"),
+          Functions.frontmatterValue(col("doc"), "title").as("parsed_title"),
+          Functions.frontmatterBody(col("doc")).as("body"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal decode stub: per-partition decoder, frame explode ----
+    Q.noOracle("q40_multimodal_decode") { (s, d) =>
+      val withPayload = t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      val decoded = Multimodal.withDecodedMeta(withPayload, "payload",
+        () => new Multimodal.StubDecoder)
+      Multimodal.sampleFrames(decoded, col("media_meta.duration_ms"), 1000L)
+        .groupBy(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"))
+        .agg(count(lit(1)).as("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- U2 stub-LLM chunk-summarize pipeline over synthesized segments ----
+    Q.noOracle("q41_enrich_summarize") { (s, d) =>
+      val segments = events(s, d).select(
+        concat(lit("u"), col("user_id").cast("string")).as("file"),
+        col("event_id").as("id"),
+        col("event_type").as("text"),
+        (col("value") / 1000.0).as("no_speech_prob"))
+      CouncilPipeline.summarize(segments, () => new Enricher.StubChatModel,
+          chunkSize = 100, noSpeechThresh = 0.12)
+        .orderBy(col("file"), col("chunk_id"))
+    },
+  )
+}

@@ -4,7 +4,8 @@ package graft.queries
 object Registry {
   val all: Seq[Q] =
     Relational.qs ++ DedupQueries.qs ++ VectorQueries.qs ++
-      TextQueries.qs ++ ScalarQueries.qs ++ MiscQueries.qs
+      TextQueries.qs ++ ScalarQueries.qs ++ MiscQueries.qs ++
+      PipelineQueries.qs
 
   private lazy val index: Map[String, Q] = all.map(q => q.name -> q).toMap
   def byName(name: String): Q = index(name)

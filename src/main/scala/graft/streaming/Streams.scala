@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** §2.9: the reference's cron micro-batch as Structured Streaming.
+  * The reference has no event-time semantics to preserve (time is just
+  * columns; incrementality is anti-join dedup) — so the engine exposes
+  * (a) the same batch transforms runnable under `readStream` with
+  * `foreachBatch` state merge, and (b) proper event-time
+  * generalizations (watermarked windows, bounded-state dedup,
+  * stateful session counts) for workloads that do stream.
+  */
+object Streams {
+
+  /** File-source stream over a directory (the incremental-ingest
+    * analog of re-globbing per cron tick). */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet", maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(format).load(dir)
+
+  /** Shared batch/stream transform: tumbling event-time counts. The
+    * SAME function serves q35 in batch and the streaming test — one
+    * logical plan, two execution modes. */
+  def hourlyTypeCounts(events: DataFrame, tsCol: String = "tstamp"): DataFrame =
+    events
+      .withWatermark(tsCol, "2 hours")
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Bounded-state streaming dedup: the reference keeps its seen-set
+    * forever (newscrawler.py:125-127); a stream bounds it with a
+    * watermark (SURVEY §7.5.7). */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq(idCol, tsCol))
+
+  /** Stateful per-key running counts via mapGroupsWithState — the
+    * custom-state primitive (per-user session counters). */
+  def runningCounts(spark: SparkSession, events: DataFrame,
+      keyCol: String): DataFrame = {
+    import spark.implicits._
+    events.selectExpr(s"CAST($keyCol AS LONG) AS k").as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          (k, n)
+      }.toDF("user_id", "n_events")
+  }
+
+  /** foreachBatch writer that MERGEs each micro-batch into a parquet
+    * state table by id — exactly-once-ish via idempotent key-based
+    * upsert (the reference's per-record checkpoint rewrite,
+    * newscrawler.py:421-427, relaxed to per-micro-batch). */
+  def mergeSink(df: DataFrame, statePath: String, key: Seq[String],
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.Sinks.mergeInto(batch.sparkSession, statePath, batch, key)
+        ()
+      }
+
+  /** Drain a streaming query synchronously (test/cron-tick helper). */
+  def runToCompletion(q: StreamingQuery): Unit = {
+    q.awaitTermination()
+  }
+}

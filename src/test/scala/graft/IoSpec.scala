@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{Sinks, Sources}
+
+class IoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("jsonl write/read round-trip with explicit schema") {
+    val dir = TestSpark.tempDir("jsonl")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.writeJsonl(df, s"$dir/t")
+    val back = Sources.readJsonl(spark, s"$dir/t", schema)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("json-array read (articles.json shape)") {
+    val dir = TestSpark.tempDir("jarr")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/articles.json"),
+      """[{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]""")
+    val back = Sources.readJsonArray(spark, s"$dir/articles.json", schema)
+    assert(back.count() == 2)
+    assert(back.orderBy("id").head.getString(1) == "x")
+  }
+
+  test("frontmatter md directory read parses keys, body, filename") {
+    val dir = TestSpark.tempDir("md")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a1.md"),
+      "---\nsource: feedX\ntitle: Hello\n---\nBody line 1\nBody line 2")
+    val back = Sources.readFrontmatterMd(spark, dir, Seq("source", "title"))
+    val r = back.head
+    assert(r.getAs[String]("source") == "feedX")
+    assert(r.getAs[String]("title") == "Hello")
+    assert(r.getAs[String]("content") == "Body line 1\nBody line 2")
+    assert(r.getAs[String]("filename") == "a1.md")
+  }
+
+  test("K1 overwriteInPlace supports read-then-rewrite of same path") {
+    val dir = TestSpark.tempDir("state")
+    val path = s"$dir/state"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(path)
+    // read → transform → overwrite the path being read
+    val cur = spark.read.parquet(path)
+    Sinks.overwriteInPlace(cur.withColumn("v", lit("b")), path)
+    assert(spark.read.parquet(path).head.getString(1) == "b")
+  }
+
+  test("mergeInto: creates, upserts, survives reruns (idempotent)") {
+    val dir = TestSpark.tempDir("merge")
+    val path = s"$dir/st"
+    Sinks.mergeInto(spark, path, Seq((1L, "a"), (2L, "a")).toDF("id", "v"), Seq("id"))
+    val after = Sinks.mergeInto(spark, path,
+      Seq((2L, "b"), (3L, "b")).toDF("id", "v"), Seq("id"))
+    assert(after.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "b")))
+    val again = Sinks.mergeInto(spark, path,
+      Seq((2L, "b"), (3L, "b")).toDF("id", "v"), Seq("id"))
+    assert(again.count() == 3)
+  }
+
+  test("fileInventory lists names without reading content") {
+    val dir = TestSpark.tempDir("inv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/x.summary"), "s1")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/y.summary"), "s2")
+    val inv = Sources.fileInventory(spark, s"$dir/*.summary")
+    assert(inv.select("name").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("x.summary", "y.summary"))
+  }
+
+  test("S1 HTML listing-table parse") {
+    val html =
+      """<table><tr class="listingRow"><td class="listItem">Meeting A</td>
+        |<td class="listItem"><a href="//x/v.mp4">video</a></td></tr>
+        |<tr class="other"><td class="listItem">skip</td></tr>
+        |<tr class="listingRow"><td class="listItem">Meeting B</td></tr></table>""".stripMargin
+    val rows = Seq(html).toDF("html")
+      .select(explode(Sources.parseListingRows(col("html"))).as("row"))
+    assert(rows.count() == 2)
+    val cells = rows.select(explode(Sources.parseListItems(col("row"))).as("c"))
+    assert(cells.count() == 3)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Chunking, Dedup, NearDup}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("W1 chunking assigns consecutive windows per key in order") {
+    val df = (1 to 10).map(i => ("f", i.toLong, s"w$i")).toDF("file", "id", "text")
+    val out = Chunking.chunkAggregate(df, "file", "id", "text", lit(true), size = 3)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.head.getAs[String]("chunk_text") == "w1 w2 w3")
+    assert(out.last.getAs[String]("chunk_text") == "w10")
+    assert(out.head.getAs[Long]("start_id") == 1L)
+    assert(out.head.getAs[Long]("end_id") == 3L)
+  }
+
+  test("A1 quirk: bounds cover filtered-out rows, text excludes them") {
+    val df = Seq(("f", 1L, "keep1", 0.1), ("f", 2L, "drop", 0.9),
+      ("f", 3L, "keep3", 0.0)).toDF("file", "id", "text", "p")
+    val out = Chunking.chunkAggregate(df, "file", "id", "text",
+      col("p") < 0.2, size = 10).head
+    assert(out.getAs[String]("chunk_text") == "keep1 keep3")
+    assert(out.getAs[Long]("start_id") == 1L && out.getAs[Long]("end_id") == 3L)
+    assert(out.getAs[Long]("n") == 3L)
+  }
+
+  test("A1 concat restores id order regardless of input order") {
+    val df = Seq(("f", 3L, "c"), ("f", 1L, "a"), ("f", 2L, "b"))
+      .toDF("file", "id", "text").repartition(4)
+    val out = Chunking.chunkAggregate(df, "file", "id", "text", lit(true), 10).head
+    assert(out.getAs[String]("chunk_text") == "a b c")
+  }
+
+  test("J5 pendingWork: second run over same inputs yields zero work") {
+    val work = Seq("a", "b", "c").toDF("name")
+    val done0 = Seq.empty[String].toDF("name")
+    assert(Dedup.pendingWork(work, done0, Seq("name")).count() == 3)
+    assert(Dedup.pendingWork(work, work, Seq("name")).count() == 0)
+  }
+
+  test("mergeById: updates win, survivors carry, idempotent") {
+    val state = Seq((1, "old"), (2, "old")).toDF("id", "v")
+    val upd = Seq((2, "new"), (3, "new")).toDF("id", "v")
+    val m = Dedup.mergeById(state, upd, Seq("id"))
+    assert(m.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((1, "old"), (2, "new"), (3, "new")))
+    val m2 = Dedup.mergeById(m, upd, Seq("id"))
+    assert(m2.count() == 3)
+  }
+
+  test("minhash: identical docs share signatures; disjoint docs do not") {
+    val df = Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "completely different words entirely here")).toDF("doc_id", "text")
+    val sigs = NearDup.minhashSignatures(df, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    assert(sigs(0).toSeq.drop(1) == sigs(1).toSeq.drop(1))
+    assert(sigs(0).toSeq.drop(1) != sigs(2).toSeq.drop(1))
+  }
+
+  test("LSH finds mutated near-duplicates") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 30)
+    val base = NearDup.withMutatedCopies(docs, "doc_id", "text")
+    val pairs = NearDup.lshCandidatePairs(
+      NearDup.minhashSignatures(base, "doc_id", col("text")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutPairs = (0L until 30L).map(i => (i, i + 1000000L)).toSet
+    // truncation keeps most shingles: expect the vast majority found
+    assert((mutPairs -- pairs).size <= 6, s"missed too many: ${mutPairs -- pairs}")
+  }
+
+  test("simhash is word-order invariant and content sensitive") {
+    val df = Seq((1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sh = NearDup.simhash(df, "doc_id", col("text")).orderBy("doc_id")
+      .collect().map(_.getLong(1))
+    assert(sh(0) == sh(1))
+    assert(sh(0) != sh(2))
+  }
+
+  test("jaccard exact value on crafted token sets") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val out = NearDup.jaccardPairs(df, "doc_id", col("text"), 0.0).head
+    // |{a,b,c}| / |{a,b,c,d,e}| = 3/5
+    assert(out.getAs[Double]("jaccard") == 0.6)
+  }
+
+  test("cosine near-dup pairs on crafted vectors") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(1f, 0.01f, 0f)), (3L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = NearDup.cosineNearDupPairs(df, "vec_id", col("embedding"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}
