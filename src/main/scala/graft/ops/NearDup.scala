@@ -43,6 +43,21 @@ object NearDup {
     exploded.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Production-fast minhash: xxhash64 per (seed, shingle) — ~an order
+    * of magnitude cheaper than sha256 and the right default at 100 TB.
+    * Not cross-engine reproducible (xxhash64 is Spark-internal), so the
+    * oracle-checked queries use the sha256 variant; band/LSH machinery
+    * is shared. */
+  def minhashSignaturesFast(df: DataFrame, id: String, text: Column,
+      numHashes: Int = 4, shingleSize: Int = 2): DataFrame = {
+    val exploded = df
+      .filter(size(tokens(text)) >= shingleSize)
+      .select(col(id), explode(shingles(text, shingleSize)).as("__sh"))
+    val aggs = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("__sh"))).as(s"mh$j"))
+    exploded.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** LSH banding over minhash signatures: docs sharing any band of
     * rowsPerBand consecutive hashes become candidate pairs. The band
     * join is an equi-join on the band key — shuffle-partitioned,
@@ -50,9 +65,13 @@ object NearDup {
   def lshCandidatePairs(sigs: DataFrame, id: String,
       numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val nBands = numHashes / rowsPerBand
+    // cache the signatures (one row per doc): the band union reads them
+    // once per band and the self-join once per side — without this the
+    // whole shingle→sha→min pipeline recomputes 4×
+    val s = sigs.cache()
     val bands = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
-      sigs.select(col(id).as("__id"),
+      s.select(col(id).as("__id"),
         concat_ws("|", lit(b.toString) +: cols: _*).as("__band"))
     }.reduce(_.unionByName(_))
     val a = bands.as("a")
@@ -85,7 +104,11 @@ object NearDup {
     * double division at the end. */
   def jaccardPairs(df: DataFrame, id: String, text: Column,
       minJaccard: Double): DataFrame = {
-    val w = df.select(col(id).as("__id"), explode(tokens(text)).as("__word")).distinct()
+    // cached: the candidate set is bounded by contract, and the plan
+    // below references w on both sides of the self-join plus twice for
+    // sizes — 5 recomputes without it
+    val w = df.select(col(id).as("__id"), explode(tokens(text)).as("__word"))
+      .distinct().cache()
     val sz = w.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val inter = w.as("x")
       .join(w.as("y"), col("x.__word") === col("y.__word") && col("x.__id") < col("y.__id"))

@@ -62,6 +62,10 @@ object CouncilPipeline {
           (file, chunkId, lm.complete(s"summarize: $text"), s, e)
         }
       }.toDF("file", "chunk_id", "summary", "start_id", "end_id")
+      // referenced by both the rollup reduce and the final union;
+      // caching runs the (expensive) chunk LLM pass exactly once —
+      // the reference's O4 amortization, SURVEY §4.1
+      .cache()
     val rollup = Chunking.rollup(
         summarized.withColumnRenamed("summary", "chunk_text"), "file")
       .select(col("file"), lit(-1L).as("chunk_id"), col("rollup_text"),

