@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q.{events, t}
+
+/** Classic OLAP aggregation surface beyond the reference (engine
+  * baseline per SURVEY §2.5 note): distinct aggregation, rollup
+  * grouping sets, pivot, full ranking-window family.
+  */
+object OlapQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- distinct aggregation ----
+    Q("q42_count_distinct",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- rollup grouping sets ----
+    Q("q43_rollup",
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- pivot (conditional aggregation) ----
+    Q("q44_pivot",
+      """SELECT user_id,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        | COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+
+    // ---- ranking-window family + running sum ----
+    Q("q45_window_family",
+      """SELECT event_id, user_id,
+        | rank() OVER w AS rnk, dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile,
+        | lag(event_id) OVER w AS prev_id, lead(event_id) OVER w AS next_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d).select(col("event_id"), col("user_id"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          sum(col("value").cast("decimal(18,2)")).over(run)
+            .cast("double").as("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+  )
+}

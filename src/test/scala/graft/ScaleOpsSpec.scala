@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Bucketing
+import graft.ops.Skew
+
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("SQL extensions expose cosine_sim and rolling_hash") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |                  array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c,
+        |       rolling_hash('abc') AS h""".stripMargin).head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) == ((97L * 257 + 98) % 1000000007L * 257 + 99) % 1000000007L)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "vb")
+    Bucketing.writeBucketed(a, "bkt_a", "id", 4)
+    Bucketing.writeBucketed(b, "bkt_b", "id", 4)
+    // force the sort-merge path: tiny test tables would otherwise take
+    // a broadcast join, which sidesteps (and disables) bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "bkt_a", "bkt_b", "id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n${plan.take(900)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE bkt_a"); spark.sql("DROP TABLE bkt_b")
+    }
+  }
+
+  test("salted join matches plain join on skewed data") {
+    // one hot key holding half the rows
+    val probe = ((1 to 5000).map(_ => 1L) ++ (1 to 5000).map(_.toLong))
+      .toDF("key")
+    val build = (1L to 100L).map(k => (k, s"v$k")).toDF("key", "v")
+    val plain = probe.join(build, Seq("key")).groupBy("key").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val salted = Skew.saltedJoin(probe, build, "key", salts = 8)
+      .groupBy("key").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted == plain)
+    assert(salted(1L) == 5001L)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val df = ((1 to 5000).map(_ => (1L, 2.0)) ++
+      (1 to 100).map(i => (i.toLong + 1, 1.0))).toDF("key", "v")
+    val direct = df.groupBy("key").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedTwoPhase(df, col("key"), salts = 8)(
+      partial = Seq(sum(col("v")).as("__ps"), count(lit(1)).as("__pn")),
+      finalAgg = Seq(sum(col("__ps")).as("s"), sum(col("__pn")).as("n")))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+  }
+}
