@@ -90,4 +90,24 @@ object Enricher {
       val model = factory()
       it.map(i => f(model, i))
     }(implicitly[Encoder[O]])
+
+  /** Per-partition token-bucket throttle (the reference's politeness
+    * sleeps, transcribe_council.py:83 / newscrawler.py:434, made
+    * partition-local): each partition independently caps its rate, so
+    * the global rate is partitions × maxPerSecond — size partitioning
+    * of side-effecting fetch stages accordingly. */
+  def throttled[I](maxPerSecond: Double): Iterator[I] => Iterator[I] = { it =>
+    require(maxPerSecond > 0)
+    val intervalNs = (1e9 / maxPerSecond).toLong
+    var next = 0L
+    it.map { i =>
+      val now = System.nanoTime()
+      if (next > now) {
+        val ms = (next - now) / 1000000
+        Thread.sleep(ms, ((next - now) % 1000000).toInt)
+      }
+      next = math.max(now, next) + intervalNs
+      i
+    }
+  }
 }

@@ -21,11 +21,14 @@ object NearDup {
 
   /** Word n-gram shingles (default bigrams). Callers must filter rows
     * with fewer than n tokens. */
-  def shingles(text: Column, n: Int = 2): Column = {
-    val w = tokens(text)
+  def shingles(text: Column, n: Int = 2): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles over an already-tokenized array column — lets pipelines
+    * tokenize once (regex split is the per-row hot spot) and reuse. */
+  def shinglesFromTokens(w: Column, n: Int): Column =
     transform(sequence(lit(0), size(w) - lit(n)), i =>
       concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k + 1))): _*))
-  }
 
   /** MinHash signatures: numHashes minima over sha256 slices of the
     * shingle set. Explode → hash-agg min: partial aggregation makes
@@ -35,8 +38,9 @@ object NearDup {
       numHashes: Int = 4, shingleSize: Int = 2): DataFrame = {
     require(numHashes >= 1 && numHashes <= 5, "sha256 hex yields 5 12-char slices")
     val exploded = df
-      .filter(size(tokens(text)) >= shingleSize)
-      .select(col(id), explode(shingles(text, shingleSize)).as("__sh"))
+      .select(col(id), tokens(text).as("__w"))
+      .filter(size(col("__w")) >= shingleSize)
+      .select(col(id), explode(shinglesFromTokens(col("__w"), shingleSize)).as("__sh"))
       .withColumn("__h", sha2(col("__sh"), 256))
     val aggs = (0 until numHashes).map(j =>
       min(substring(col("__h"), 1 + 12 * j, 12)).as(s"mh$j"))
@@ -51,8 +55,9 @@ object NearDup {
   def minhashSignaturesFast(df: DataFrame, id: String, text: Column,
       numHashes: Int = 4, shingleSize: Int = 2): DataFrame = {
     val exploded = df
-      .filter(size(tokens(text)) >= shingleSize)
-      .select(col(id), explode(shingles(text, shingleSize)).as("__sh"))
+      .select(col(id), tokens(text).as("__w"))
+      .filter(size(col("__w")) >= shingleSize)
+      .select(col(id), explode(shinglesFromTokens(col("__w"), shingleSize)).as("__sh"))
     val aggs = (0 until numHashes).map(j =>
       min(xxhash64(lit(j), col("__sh"))).as(s"mh$j"))
     exploded.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)

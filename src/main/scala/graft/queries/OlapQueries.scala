@@ -48,6 +48,21 @@ object OlapQueries {
         .orderBy(col("user_id"))
     },
 
+    // ---- exact percentiles (linear interpolation, both engines) ----
+    Q("q46_percentile",
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        | round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+        | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- ranking-window family + running sum ----
     Q("q45_window_family",
       """SELECT event_id, user_id,
