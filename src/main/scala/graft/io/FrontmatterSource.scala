@@ -1,0 +1,158 @@
+package graft.io
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 for the reference's frontmatter-markdown corpus
+  * (SURVEY §2.1 S6 "custom TableProvider in production"):
+  *
+  * {{{
+  * spark.read.format("frontmatter")
+  *   .option("keys", "source,title,url")   // frontmatter keys → columns
+  *   .load("/path/to/articles")
+  * }}}
+  *
+  * Columns: `filename`, one string column per requested key (null when
+  * absent — the reference's ragged metadata, §1.2), and `content`
+  * (body after the closing fence). One InputPartition per file: each
+  * document is atomic (file = row), reads happen on executors via the
+  * serialized Hadoop conf, and the driver only lists the directory —
+  * the same planning shape Spark's own file sources use, so a 100 TB
+  * corpus fans out across the cluster.
+  */
+class FrontmatterSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "frontmatter"
+
+  private def keysOf(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("keys")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("source", "title", "url", "published", "saved_at"))
+
+  private def schemaFor(keys: Seq[String]): StructType =
+    StructType(
+      StructField("filename", StringType) +:
+        keys.map(k => StructField(k, StringType)) :+
+        StructField("content", StringType))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    schemaFor(keysOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new FrontmatterTable(schema, keysOf(opts), Option(opts.get("path")).toSeq)
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[io] class FrontmatterTable(schema: StructType, keys: Seq[String],
+    paths: Seq[String]) extends Table with SupportsRead {
+
+  override def name(): String = s"frontmatter(${paths.mkString(",")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new FrontmatterScan(schema, keys,
+      paths ++ Option(options.get("path")).toSeq)
+}
+
+private[io] class FrontmatterScan(schema: StructType, keys: Seq[String],
+    paths: Seq[String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    paths.distinct.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val statuses: Seq[FileStatus] =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).toSeq.filter(s => s.getPath.getName.endsWith(".md"))
+        else Seq(fs.getFileStatus(path))
+      statuses.map(s => FrontmatterPartition(s.getPath.toString): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    new FrontmatterReaderFactory(keys, conf)
+  }
+}
+
+private[io] case class FrontmatterPartition(file: String) extends InputPartition
+
+private[io] class FrontmatterReaderFactory(keys: Seq[String],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[FrontmatterPartition].file
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        if (done) return false
+        val path = new Path(file)
+        val fs = path.getFileSystem(conf.value)
+        val in = fs.open(path)
+        val text = try {
+          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        } finally in.close()
+        val (fm, body) = FrontmatterParse.split(text)
+        val kv = FrontmatterParse.pairs(fm)
+        val vals: Seq[UTF8String] =
+          UTF8String.fromString(path.getName) +:
+            keys.map(k => kv.get(k).map(UTF8String.fromString).orNull) :+
+            UTF8String.fromString(body)
+        row = InternalRow.fromSeq(vals)
+        done = true
+        true
+      }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Plain-Scala frontmatter parser mirroring the reference's
+  * `split('---', 2)` + per-line `split(':', 1)` loop
+  * (article_vectorize.py:84-103). */
+private[graft] object FrontmatterParse {
+
+  /** → (frontmatter block, body). No fence → ("", whole text). */
+  def split(text: String): (String, String) = {
+    if (!text.startsWith("---\n")) return ("", text)
+    val rest = text.substring(4)
+    val end = rest.indexOf("\n---")
+    if (end < 0) return ("", text)
+    val fm = rest.substring(0, end)
+    val after = rest.substring(end + 4)
+    (fm, after.replaceFirst("^\\n", "").replaceFirst("^\\s+", ""))
+  }
+
+  def pairs(fm: String): Map[String, String] =
+    fm.split("\n").iterator.flatMap { line =>
+      val i = line.indexOf(':')
+      if (i <= 0) None
+      else Some(line.substring(0, i).trim -> line.substring(i + 1).trim)
+    }.toMap
+}

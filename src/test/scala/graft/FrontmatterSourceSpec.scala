@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.FrontmatterParse
+
+class FrontmatterSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeMd(dir: String, name: String, body: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name"), body)
+
+  test("DSv2 format(frontmatter) reads a directory, one row per file") {
+    val dir = TestSpark.tempDir("fmsrc")
+    writeMd(dir, "a.md", "---\nsource: feedA\ntitle: First\n---\nBody A")
+    writeMd(dir, "b.md", "---\nsource: feedB\nurl: http://x\n---\nBody B\nline 2")
+    writeMd(dir, "skip.txt", "not markdown")
+    val df = spark.read.format("frontmatter")
+      .option("keys", "source,title,url").load(dir)
+    assert(df.columns.toSeq == Seq("filename", "source", "title", "url", "content"))
+    val rows = df.orderBy("filename").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "feedA" && rows(0).getString(2) == "First")
+    assert(rows(0).getString(3) == null) // ragged metadata → null
+    assert(rows(1).getString(3) == "http://x")
+    assert(rows(1).getString(4) == "Body B\nline 2")
+  }
+
+  test("DSv2 source composes with relational ops (filter/agg)") {
+    val dir = TestSpark.tempDir("fmsrc2")
+    (1 to 20).foreach(i =>
+      writeMd(dir, s"d$i.md", s"---\nsource: feed${i % 3}\n---\ncontent $i"))
+    val df = spark.read.format("frontmatter").option("keys", "source").load(dir)
+    val counts = df.groupBy("source").count().orderBy("source").collect()
+    assert(counts.map(_.getLong(1)).sum == 20)
+    assert(counts.length == 3)
+  }
+
+  test("parser mirrors the reference split semantics") {
+    assert(FrontmatterParse.split("no fences here") == ("", "no fences here"))
+    val (fm, body) = FrontmatterParse.split("---\na: 1\nb: x:y\n---\nB")
+    assert(fm == "a: 1\nb: x:y")
+    assert(body == "B")
+    // value keeps colons past the first (split(':', 1) semantics)
+    assert(FrontmatterParse.pairs(fm) == Map("a" -> "1", "b" -> "x:y"))
+  }
+}

@@ -100,6 +100,20 @@ class OpsSpec extends AnyFunSuite {
     assert(sh(0) != sh(2))
   }
 
+  test("OrderedConcat Aggregator matches the sort_array composite") {
+    val df = Seq(("f", 3L, "c"), ("f", 1L, "a"), ("f", 2L, "b"),
+      ("g", 2L, "y"), ("g", 1L, "x")).toDF("file", "id", "text").repartition(4)
+    val oc = udaf(new graft.ops.OrderedConcat(" "))
+    val viaAgg = df.groupBy("file")
+      .agg(oc(col("id"), col("text")).as("t")).orderBy("file")
+      .collect().map(_.getString(1)).toSeq
+    assert(viaAgg == Seq("a b c", "x y"))
+    val viaComposite = df.groupBy("file")
+      .agg(Chunking.orderedConcat(col("id"), col("text")).as("t"))
+      .orderBy("file").collect().map(_.getString(1)).toSeq
+    assert(viaAgg == viaComposite)
+  }
+
   test("jaccard exact value on crafted token sets") {
     val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     val out = NearDup.jaccardPairs(df, "doc_id", col("text"), 0.0).head
