@@ -81,6 +81,27 @@ object Enricher {
   /** Dead-letter row: result xor error, input key carried through. */
   final case class Enriched[T](key: String, result: Option[T], error: Option[String])
 
+  /** Enrichment with per-row error capture (the reference's
+    * try/except-continue, summarize.py:180-186): a failing row becomes
+    * an `Enriched(key, None, Some(error))` — never a task failure, so
+    * one poison document can't kill a 100 TB job. Split downstream
+    * with `.filter(_.result.isDefined)` / route errors to a
+    * dead-letter sink. */
+  def enrichPartitionsSafe[I, M, O](ds: Dataset[I], factory: () => M,
+      keyOf: I => String)(f: (M, I) => O)(
+      implicit enc: Encoder[Enriched[O]]): Dataset[Enriched[O]] =
+    ds.mapPartitions { it =>
+      val model = factory()
+      it.map { i =>
+        try Enriched(keyOf(i), Some(f(model, i)), None)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Enriched[O](keyOf(i), None,
+              Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }
+    }(enc)
+
   /** Run an enrichment over a Dataset with a per-partition instance
     * (factory invoked once per partition; heavy init amortized) and
     * per-row error capture. */

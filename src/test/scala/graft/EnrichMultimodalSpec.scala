@@ -34,6 +34,20 @@ class EnrichMultimodalSpec extends AnyFunSuite {
     assert(out.distinct().count() == 100)
   }
 
+  test("enrichPartitionsSafe captures poison rows as dead letters") {
+    val ds = spark.range(10).as[Long]
+    val out = Enricher.enrichPartitionsSafe(ds, () => new Enricher.StubChatModel,
+      (i: Long) => s"k$i") { (m, i) =>
+      if (i == 7L) throw new IllegalStateException("poison doc")
+      m.complete(s"n$i")
+    }
+    val rows = out.collect()
+    assert(rows.count(_.result.isDefined) == 9)
+    val dead = rows.filter(_.error.isDefined)
+    assert(dead.map(_.key).toSeq == Seq("k7"))
+    assert(dead.head.error.get.contains("poison doc"))
+  }
+
   test("multimodal: stub decode is deterministic with typed meta schema") {
     val df = Seq((1L, "payload one"), (2L, "payload two"))
       .toDF("id", "text").withColumn("payload", col("text").cast("binary"))

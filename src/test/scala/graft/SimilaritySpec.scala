@@ -44,6 +44,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert((exact & ann).size >= 5, s"recall too low: ${(exact & ann).size}/10")
   }
 
+  test("filteredTopK applies the metadata predicate before scoring") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1).toArray
+    val top = Similarity.filteredTopK(emb, "vec_id", "embedding", q, 5,
+      col("label") === 3)
+    val labels = emb.filter(col("label") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(top.collect().forall(r => labels.contains(r.getLong(0))))
+  }
+
   test("hash embedder: deterministic, normalized, content-sensitive") {
     val e = new HashEmbedder(dim = 64)
     val a = e.embed("the quick brown fox")
