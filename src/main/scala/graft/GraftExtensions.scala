@@ -27,10 +27,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier(name),
       new ExpressionInfo(clazz.getCanonicalName, name), builder)
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): FunctionBuilder =
+    exprs => {
+      if (exprs.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> exprs.length.toString, "legacyNum" -> n.toString))
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("cosine_sim", classOf[CosineSimilarity],
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      arity("cosine_sim", 2)(e => CosineSimilarity(e(0), e(1)))))
     ext.injectFunction(fn("rolling_hash", classOf[RollingHash],
-      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+      arity("rolling_hash", 1)(e => RollingHash(e.head))))
   }
 }

@@ -69,13 +69,17 @@ object Functions {
     substring(rtrim(regexp_replace(c, "[^A-Za-z0-9 _-]", "")), 1, max)
 
   /** F12 — RFC-2822 → unix seconds, null on failure
-    * (ref article_vectorize.py:29-42). Spark 3+'s parser rejects EEE
-    * as a *parse* pattern, so the redundant day-name prefix is
-    * stripped before parsing. */
-  def rfc2822ToUnix(c: Column): Column =
-    unix_timestamp(try_to_timestamp(
-      regexp_replace(c, "^[A-Za-z]{3},\\s*", ""),
-      lit("dd MMM yyyy HH:mm:ss Z")))
+    * (ref article_vectorize.py:29-42). Matches python email.utils
+    * laxness for the forms real feeds emit: optional day-name prefix,
+    * single-digit days, and obsolete GMT/UTC/UT zone names. Spark 3+'s
+    * parser rejects EEE as a *parse* pattern, so the day name is
+    * stripped rather than matched. */
+  def rfc2822ToUnix(c: Column): Column = {
+    val noDow = regexp_replace(c, "^[A-Za-z]{3},\\s*", "")
+    val padDay = regexp_replace(noDow, "^(\\d)\\s", "0$1 ")
+    val zone = regexp_replace(padDay, "\\s(GMT|UTC|UT)\\s*$", " +0000")
+    unix_timestamp(try_to_timestamp(zone, lit("dd MMM yyyy HH:mm:ss Z")))
+  }
 
   /** F13 — timestamp → unix seconds (ref vectorize.py:95). */
   def toUnix(c: Column): Column = unix_timestamp(c)

@@ -83,9 +83,16 @@ private[io] class FrontmatterScan(schema: StructType, keys: Seq[String],
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val statuses: Seq[FileStatus] =
-        if (fs.getFileStatus(path).isDirectory)
-          fs.listStatus(path).toSeq.filter(s => s.getPath.getName.endsWith(".md"))
-        else Seq(fs.getFileStatus(path))
+        if (fs.getFileStatus(path).isDirectory) {
+          // recursive: corpora are commonly laid out date-partitioned
+          val it = fs.listFiles(path, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+          while (it.hasNext) {
+            val s = it.next()
+            if (s.getPath.getName.endsWith(".md")) buf += s
+          }
+          buf.toSeq
+        } else Seq(fs.getFileStatus(path))
       statuses.map(s => FrontmatterPartition(s.getPath.toString): InputPartition)
     }.toArray
   }

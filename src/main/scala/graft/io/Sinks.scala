@@ -25,9 +25,25 @@ object Sinks {
     val p = new Path(path)
     val b = new Path(backup)
     if (fs.exists(b)) fs.delete(b, true)
-    if (fs.exists(p)) fs.rename(p, b)
-    fs.rename(new Path(staging), p)
+    if (fs.exists(p) && !fs.rename(p, b))
+      throw new java.io.IOException(s"staging swap: could not move $p aside")
+    if (!fs.rename(new Path(staging), p)) {
+      // roll the backup straight back so state never dangles
+      if (fs.exists(b)) fs.rename(b, p)
+      throw new java.io.IOException(s"staging swap: could not promote $staging")
+    }
     fs.delete(b, true)
+  }
+
+  /** Read a swap-managed state path, recovering from a crash that died
+    * between the two renames (state missing, `.old` present). */
+  def readStateOrBackup(spark: SparkSession, statePath: String): Option[DataFrame] = {
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(statePath))) Some(spark.read.parquet(statePath))
+    else if (fs.exists(new Path(statePath + ".old")))
+      Some(spark.read.parquet(statePath + ".old"))
+    else None
   }
 
   /** JSONL sink (ref orient='records' lines=True writes). */
@@ -48,13 +64,10 @@ object Sinks {
     * swap in place. Reads the existing state if present. */
   def mergeInto(spark: SparkSession, statePath: String, updates: DataFrame,
       key: Seq[String]): DataFrame = {
-    val fs = new Path(statePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(new Path(statePath))) {
-        val state = spark.read.parquet(statePath)
-        Dedup.mergeById(state, updates, key)
-      } else updates
+    val merged = readStateOrBackup(spark, statePath) match {
+      case Some(state) => Dedup.mergeById(state, updates, key)
+      case None => updates
+    }
     // overwriteInPlace materializes into staging BEFORE swapping, so
     // the plan still reads the old state files while executing
     overwriteInPlace(merged, statePath)

@@ -34,6 +34,27 @@ object Sources {
       .drop("value")
   }
 
+  /** S3 typed — per-video transcript segments: the on-disk JSONL rows
+    * carry no file key (the filename IS the key, SURVEY §1.2), so the
+    * entity key is derived from `input_file_name` to satisfy the
+    * `Segment` case class. */
+  def readSegmentFiles(spark: SparkSession, glob: String)
+      : org.apache.spark.sql.Dataset[graft.model.Schemas.Segment] = {
+    import spark.implicits._
+    spark.read.schema(graft.model.Schemas.segmentSchema).json(glob)
+      .withColumn("file", Functions.basename(input_file_name()))
+      .as[graft.model.Schemas.Segment]
+  }
+
+  /** S4 typed — .summary chunk rows, file key from the filename. */
+  def readSummaryFiles(spark: SparkSession, glob: String)
+      : org.apache.spark.sql.Dataset[graft.model.Schemas.SummaryChunk] = {
+    import spark.implicits._
+    spark.read.schema(graft.model.Schemas.summarySchema).json(glob)
+      .withColumn("file", Functions.basename(input_file_name()))
+      .as[graft.model.Schemas.SummaryChunk]
+  }
+
   /** S9/J5 build side — output-file inventory via the binaryFile
     * source with content pruned (only path/length read, so listing a
     * huge output tree never touches file bytes). */

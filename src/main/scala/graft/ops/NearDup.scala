@@ -66,7 +66,14 @@ object NearDup {
   /** LSH banding over minhash signatures: docs sharing any band of
     * rowsPerBand consecutive hashes become candidate pairs. The band
     * join is an equi-join on the band key — shuffle-partitioned,
-    * skew-safe (bands are near-unique for non-duplicates). */
+    * skew-safe (bands are near-unique for non-duplicates).
+    *
+    * Cache ownership: the signature table is `cache()`d here (the
+    * self-join would otherwise recompute the shingle→hash→min pipeline
+    * per side). The entry stays pinned for the session — callers
+    * running LSH repeatedly over changing batches should
+    * `spark.catalog.clearCache()` (or unpersist) between batches, as
+    * graft.Bench does. */
   def lshCandidatePairs(sigs: DataFrame, id: String,
       numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val nBands = numHashes / rowsPerBand

@@ -114,9 +114,11 @@ object CouncilPipeline {
     val spark = summaries.sparkSession
     import spark.implicits._
     val chunksOnly = summaries.filter(col("chunk_id") >= 0) // P11: drop rollup
-    val withDate = Joins.derivedKeyJoin(
-      meetings.select(col("video"), col("date")),
-      chunksOnly, "video", "file").drop("video")
+    // broadcast the MEETINGS side (bounded dimension) and stream the
+    // chunk summaries — the summaries table is the one that grows
+    val meetingDates = meetings.select(
+      Functions.basename(col("video")).as("file"), col("date"))
+    val withDate = chunksOnly.join(broadcast(meetingDates), Seq("file"))
     val emb = udf((s: String) => embedder.embed(s))
     withDate
       .withColumn("id",

@@ -38,11 +38,13 @@ object Streams {
 
   /** Bounded-state streaming dedup: the reference keeps its seen-set
     * forever (newscrawler.py:125-127); a stream bounds it with a
-    * watermark (SURVEY §7.5.7). */
+    * watermark (SURVEY §7.5.7). Dedup is by ID ALONE — a re-crawled
+    * article with a fresh timestamp is still the same article — which
+    * is exactly `dropDuplicatesWithinWatermark`'s contract. */
   def dedupStream(events: DataFrame, idCol: String, tsCol: String,
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicates(Seq(idCol, tsCol))
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Stateful per-key running counts via mapGroupsWithState — the
     * custom-state primitive (per-user session counters). */

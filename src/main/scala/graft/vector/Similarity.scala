@@ -62,7 +62,9 @@ object Similarity {
     * so probes prune to one bucket's files. */
   def withLshBucket(df: DataFrame, vec: String, nPlanes: Int = 8,
       seed: Long = 42L, as: String = "lsh_bucket"): DataFrame = {
-    val f = udf((v: Seq[Float]) => bucketOf(v, nPlanes, seed))
+    // null vectors (dead-lettered embeds) bucket to null, never NPE
+    val f = udf((v: Seq[Float]) =>
+      if (v == null) None else Some(bucketOf(v, nPlanes, seed)))
     df.withColumn(as, f(col(vec)))
   }
 

@@ -36,6 +36,28 @@ class FrontmatterSourceSpec extends AnyFunSuite {
     assert(counts.length == 3)
   }
 
+  test("DSv2 source lists nested (date-partitioned) layouts recursively") {
+    val dir = TestSpark.tempDir("fmnest")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/2026/01"))
+    writeMd(dir, "top.md", "---\nsource: a\n---\nT")
+    writeMd(s"$dir/2026/01", "deep.md", "---\nsource: b\n---\nD")
+    val df = spark.read.format("frontmatter").option("keys", "source").load(dir)
+    assert(df.select("filename").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("deep.md", "top.md"))
+  }
+
+  test("typed segment/summary readers derive the file key from the path") {
+    val dir = TestSpark.tempDir("segs")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/v1.json"),
+      """{"id": 0, "start": 0.0, "end": 9.5, "text": "hello", "no_speech_prob": 0.1}
+        |{"id": 1, "start": 10.0, "end": 19.5, "text": "world", "no_speech_prob": 0.05}""".stripMargin)
+    val segs = graft.io.Sources.readSegmentFiles(spark, s"$dir/*.json")
+    val rows = segs.collect().sortBy(_.id)
+    assert(rows.length == 2)
+    assert(rows.forall(_.file == "v1.json"))
+    assert(rows(0).text == "hello")
+  }
+
   test("parser mirrors the reference split semantics") {
     assert(FrontmatterParse.split("no fences here") == ("", "no fences here"))
     val (fm, body) = FrontmatterParse.split("---\na: 1\nb: x:y\n---\nB")

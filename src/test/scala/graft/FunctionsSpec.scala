@@ -60,6 +60,10 @@ class FunctionsSpec extends AnyFunSuite {
     assert(onS("Tue, 06 Aug 2024 12:34:56 +0000", rfc2822ToUnix) == 1722947696L)
     // without day-name prefix too (RFC 2822 makes it optional)
     assert(onS("06 Aug 2024 12:34:56 +0000", rfc2822ToUnix) == 1722947696L)
+    // single-digit day and obsolete zone names (email.utils laxness)
+    assert(onS("Tue, 6 Aug 2024 12:34:56 +0000", rfc2822ToUnix) == 1722947696L)
+    assert(onS("Tue, 06 Aug 2024 12:34:56 GMT", rfc2822ToUnix) == 1722947696L)
+    assert(onS("6 Aug 2024 12:34:56 UT", rfc2822ToUnix) == 1722947696L)
     assert(onS("not a date", rfc2822ToUnix) == null)
   }
 

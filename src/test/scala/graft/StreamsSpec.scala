@@ -29,9 +29,13 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("dedupStream drops in-stream duplicates") {
+  test("dedupStream drops duplicate ids even with differing timestamps") {
     val dir = TestSpark.tempDir("dup")
-    val dup = eventsDf.union(eventsDf.limit(100))
+    // re-arrivals carry a LATER timestamp (re-crawled article) — id-only
+    // dedup must still drop them
+    val reArrivals = eventsDf.limit(100).withColumn("tstamp",
+      org.apache.spark.sql.functions.expr("tstamp + INTERVAL 1 MINUTE"))
+    val dup = eventsDf.union(reArrivals)
     dup.write.mode("overwrite").parquet(s"$dir/in")
     val stream = Streams.fileStream(spark, s"$dir/in", dup.schema)
     val q = Streams.dedupStream(stream, "event_id", "tstamp").writeStream
