@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — the event-time enrichment operator ("value
+  * of X as of this row's timestamp"). Spark has no native ASOF JOIN;
+  * the scalable formulation is union + last-ignoring-nulls over an
+  * ordered window: ONE shuffle on the key, no per-row range probe, no
+  * equality-range explosion. Beats both broadcast-UDF lookups (driver
+  * state) and inequality theta joins (BNLJ) at 100 TB.
+  */
+object AsOf {
+
+  /** For each left row, attach `payload` from the latest right row with
+    * `rightOrd <= leftOrd` in the same `key` group (inclusive, matching
+    * DuckDB/standard ASOF semantics). Right rows should be unique per
+    * (key, ord) — pre-aggregate if not, or ties resolve arbitrarily.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftOrd: String, rightOrd: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asof join needs at least one payload column")
+    val l2 = left
+      .withColumn("__ord", col(leftOrd))
+      .withColumn("__tag", lit(1))
+    val r2 = right.select(
+      key.map(col) ++ Seq(col(rightOrd).as("__ord"), lit(0).as("__tag")) ++
+        payload.map(p => col(p).as(s"__p_$p")): _*)
+    val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    // right rows (__tag 0) sort before left rows at equal ord → a right
+    // row AT the left timestamp is visible to it (inclusive bound)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__ord"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(s"__last_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
+    }
+    val result = filled.filter(col("__tag") === 1)
+    val cleaned = payload.foldLeft(result) { (df, p) =>
+      df.withColumn(p, col(s"__last_$p")).drop(s"__p_$p", s"__last_$p")
+    }
+    cleaned.drop("__ord", "__tag")
+  }
+}

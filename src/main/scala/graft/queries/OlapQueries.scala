@@ -48,6 +48,39 @@ object OlapQueries {
         .orderBy(col("user_id"))
     },
 
+    // ---- as-of join: latest purchase value as of each click ----
+    Q("q47_asof_join",
+      """WITH clicks AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms
+        |  FROM events WHERE event_type = 'click'),
+        |buys AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, MAX(value) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, b.value AS last_purchase
+        |FROM clicks c ASOF LEFT JOIN buys b
+        |  ON c.user_id = b.user_id AND c.ms >= b.ms
+        |ORDER BY c.user_id, c.event_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("value")).as("last_purchase"))
+      graft.ops.AsOf.asofBackward(clicks, buys, Seq("user_id"),
+          "ts_ms", "ts_ms", Seq("last_purchase"))
+        .select(col("user_id"), col("event_id"), col("last_purchase"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // ---- cube grouping sets ----
+    Q("q48_cube",
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
     // ---- exact percentiles (linear interpolation, both engines) ----
     Q("q46_percentile",
       """SELECT l_returnflag,

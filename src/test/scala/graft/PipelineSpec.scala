@@ -6,6 +6,12 @@ import graft.enrich.Enricher
 import graft.pipeline.CouncilPipeline
 import graft.vector.HashEmbedder
 
+object PipelineSpec {
+  /** Static so executor-side closures in local mode hit the same
+    * counter as the assertions. */
+  val asrCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Golden pipeline tests over miniature council fixtures
   * (FIXTURES.md §A) with deterministic stub enrichment. */
 class PipelineSpec extends AnyFunSuite {
@@ -36,6 +42,27 @@ class PipelineSpec extends AnyFunSuite {
     val again = CouncilPipeline.transcribePending(meetings, inventory,
       () => new Enricher.StubTranscriber(3))
     assert(segs.collect().toSet == again.collect().toSet)
+  }
+
+  test("incremental semantics: second run performs zero enrichment calls") {
+    PipelineSpec.asrCalls.set(0)
+    val counting = () => new Enricher.Transcriber {
+      override def transcribe(key: String, media: Array[Byte]) = {
+        PipelineSpec.asrCalls.incrementAndGet()
+        new Enricher.StubTranscriber(2).transcribe(key, media)
+      }
+    }
+    val empty = Seq.empty[String].toDF("name")
+    val segs1 = CouncilPipeline.transcribePending(meetings, empty, counting)
+    segs1.count()
+    val callsAfterFirst = PipelineSpec.asrCalls.get()
+    assert(callsAfterFirst >= 2) // both videos transcribed
+    // inventory now covers all outputs → rerun transcribes nothing
+    val inventory = meetings.select(
+      graft.expr.Functions.basename(col("video")).as("name"))
+    val segs2 = CouncilPipeline.transcribePending(meetings, inventory, counting)
+    assert(segs2.count() == 0)
+    assert(PipelineSpec.asrCalls.get() == callsAfterFirst)
   }
 
   test("stage2: summarize emits rollup row (-1) plus chunk rows in order") {

@@ -38,6 +38,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof backward join: crafted boundary cases") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 99L, 999.0))
+      .toDF("k", "t", "v")
+    val out = graft.ops.AsOf.asofBackward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getAs[String]("name"), Option(r.getAs[Any]("v")))).toSeq
+    assert(out == Seq(
+      ("c", None),          // t=5: no purchase yet
+      ("a", Some(100.0)),   // t=10: inclusive bound matches t=10
+      ("b", Some(150.0)),   // t=20: latest is t=15
+      ("d", None)))         // key 2: right row is in the future
+  }
+
+  test("approx_count_distinct within 5% of exact (HLL sanity)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = li.select(countDistinct(col("l_partkey"))).head.getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("salted join matches plain join on skewed data") {
     // one hot key holding half the rows
     val probe = ((1 to 5000).map(_ => 1L) ++ (1 to 5000).map(_.toLong))
