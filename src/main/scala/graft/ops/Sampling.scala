@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling/splitting for training
+  * data. Random `sample()` is irreproducible across runs/engines; a
+  * content-hash bucket is stable forever — the standard way to cut
+  * train/val/test splits that survive pipeline reruns, backfills, and
+  * engine migrations. Bucket = first 4 hex chars of sha256(key) as a
+  * uniform value in [0, 65536).
+  */
+object Sampling {
+
+  /** Uniform [0, 65536) bucket from the key's sha256. */
+  def hashBucket(key: Column): Column =
+    conv(substring(sha2(key.cast("string"), 256), 1, 4), 16, 10).cast("long")
+
+  /** Keep ~fraction of rows, deterministically by key. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(hashBucket(key) < (fraction * 65536).toLong)
+  }
+
+  /** Assign split labels by cumulative weight over the hash space:
+    * e.g. `weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`. */
+  def splitLabel(key: Column, weights: Seq[(String, Double)]): Column = {
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val b = hashBucket(key)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(c => (c * 65536).toLong)
+    weights.zip(cuts).foldLeft(lit(null).cast("string")) {
+      case (acc, ((label, _), cut)) =>
+        coalesce(acc, when(b < cut, lit(label)))
+    }
+  }
+}

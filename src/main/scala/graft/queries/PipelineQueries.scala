@@ -58,6 +58,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- F18/JSON: typed extraction from the props JSON column ----
+    Q("q49_json_props",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d).select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- deterministic train/val/test split by content hash ----
+    // cuts: 0.9*65536 = 58982 = 0xe666; 0.95*65536 = 62259 = 0xf333 —
+    // hex-string comparison in SQL ≡ numeric bucket comparison in Spark
+    Q("q50_hash_split",
+      """WITH h AS (SELECT doc_id, substr(sha256(CAST(doc_id AS VARCHAR)),1,4) AS h4 FROM documents)
+        |SELECT doc_id, CASE WHEN h4 < 'e666' THEN 'train'
+        |                    WHEN h4 < 'f333' THEN 'val'
+        |                    ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          graft.ops.Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- multimodal decode stub: per-partition decoder, frame explode ----
     Q.noOracle("q40_multimodal_decode") { (s, d) =>
       val withPayload = t(s, d, "documents")

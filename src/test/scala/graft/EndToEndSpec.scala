@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.enrich.Enricher
+import graft.io.{Sinks, Sources}
+import graft.model.Schemas
+import graft.pipeline.CouncilPipeline
+import graft.vector.HashEmbedder
+
+/** Full six-stage integration: every stage boundary goes through real
+  * file IO (JSONL state, per-entity partitioned writes, frontmatter
+  * blobs, parquet vector collection) — the distributed analog of the
+  * reference's cron pipeline, run end to end with stub enrichment.
+  */
+class EndToEndSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("scrape → transcribe → summarize → vectorize → crawl → search") {
+    val root = TestSpark.tempDir("e2e")
+    val embedder = new HashEmbedder(dim = 64)
+
+    // -- stage 1a: "scrape" lands meetings, carry box_link from prior state
+    val scraped = Seq(
+      ("Budget Meeting", "2026-03-11 00:00:00", "https://c/v/m1.mp4"),
+      ("Zoning Meeting", "2026-03-12 00:00:00", "https://c/v/m2.mp4"))
+      .toDF("title", "date_s", "video")
+      .withColumn("date", col("date_s").cast("timestamp")).drop("date_s")
+    val previous = Seq(("https://c/v/m1.mp4", "box-m1"))
+      .toDF("video", "box_link")
+    val meetings = CouncilPipeline.refreshMeetings(scraped, previous)
+    Sinks.writeJsonl(meetings.select("title", "date", "video", "box_link"),
+      s"$root/data.jsonl")
+    val meetingsBack = spark.read
+      .schema("title STRING, date TIMESTAMP, video STRING, box_link STRING")
+      .json(s"$root/data.jsonl")
+    assert(meetingsBack.filter(col("box_link") === "box-m1").count() == 1)
+
+    // -- stage 1b: transcribe pending (none inventoried yet)
+    val segs = CouncilPipeline.transcribePending(meetingsBack,
+      Seq.empty[String].toDF("name"), () => new Enricher.StubTranscriber(120))
+    Sinks.writePerEntity(segs, "file", s"$root/segments")
+    val segsBack = spark.read
+      .schema("id LONG, start DOUBLE, end DOUBLE, text STRING, no_speech_prob DOUBLE")
+      .json(s"$root/segments") // partition column `file` recovered from layout
+    assert(segsBack.select("file").distinct().count() == 2)
+
+    // -- stage 2: chunk-summarize with the stub LLM
+    val summaries = CouncilPipeline.summarize(
+      segsBack.select("file", "id", "text", "no_speech_prob"),
+      () => new Enricher.StubChatModel, chunkSize = 50)
+    Sinks.writePerEntity(summaries, "file", s"$root/summaries")
+    val sumBack = spark.read
+      .schema("chunk_id LONG, summary STRING, start_id LONG, end_id LONG")
+      .json(s"$root/summaries")
+    // 120 segs / 50 → 3 chunks + 1 rollup per meeting
+    assert(sumBack.groupBy("file").count().collect().forall(_.getLong(1) == 4))
+
+    // -- stage 4: vectorize into the parquet collection (MERGE by id)
+    val coll = CouncilPipeline.vectorize(
+      sumBack.select("file", "chunk_id", "summary", "start_id", "end_id"),
+      meetingsBack, embedder)
+    Sinks.mergeInto(spark, s"$root/collection", coll, Seq("id"))
+
+    // -- stage 5: crawl articles, write frontmatter blobs, re-read (S6)
+    val rss = Seq(("https://n/x-council-budget", "feed1"),
+      ("https://n/y-council-zoning", "feed2")).toDF("url", "source")
+    val articles = CouncilPipeline.crawl(rss,
+      Seq.empty[String].toDF("id").select(col("id").cast("string").as("id")),
+      () => new Enricher.StubTextExtractor, keywords = Seq("council"))
+    val mdDir = s"$root/articles"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mdDir))
+    articles.collect().foreach { r => // tiny fixture: driver-side blob write
+      val doc = s"---\nsource: ${r.getAs[String]("source")}\nurl: ${r.getAs[String]("url")}\n---\n" +
+        r.getAs[String]("content_preview")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$mdDir/${r.getAs[String]("id")}.md"), doc)
+    }
+    val mdBack = spark.read.format("frontmatter")
+      .option("keys", "source,url").load(mdDir)
+    assert(mdBack.count() == 2)
+
+    // -- stage 6: articles join the same collection via MERGE
+    val artDocs = mdBack.select(
+      col("url").as("id"), col("content").as("document"),
+      map(lit("source"), col("source")).as("metadata"))
+      .withColumn("embedding",
+        udf((s: String) => embedder.embed(s)).apply(col("document")))
+    val finalColl = Sinks.mergeInto(spark, s"$root/collection", artDocs, Seq("id"))
+    assert(finalColl.count() == 8) // 2 meetings × 3 chunks + 2 articles
+
+    // -- query side: self-search returns the exact chunk
+    val probe = sumBack.filter(col("chunk_id") === 1).head.getAs[String]("summary")
+    val hit = CouncilPipeline.searchCollection(
+      spark.read.parquet(s"$root/collection"), embedder, probe, 1).head
+    assert(hit.getDouble(1) == 1.0)
+
+    // -- incremental: re-running transcription now finds zero work
+    val inventory = spark.read.format("binaryFile").load(s"$root/segments/*/*")
+      .select(regexp_extract(col("path"), "segments/file=([^/]+)/", 1).as("name"))
+      .distinct()
+    assert(CouncilPipeline.transcribePending(meetingsBack, inventory,
+      () => new Enricher.StubTranscriber(1)).count() == 0)
+  }
+}

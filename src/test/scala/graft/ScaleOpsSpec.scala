@@ -53,6 +53,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       ("d", None)))         // key 2: right row is in the future
   }
 
+  test("deterministic sampling: stable, unbiased-ish, weights respected") {
+    val ids = spark.range(20000).toDF("id")
+    val s1 = graft.ops.Sampling.deterministicSample(ids, col("id"), 0.1)
+    val s2 = graft.ops.Sampling.deterministicSample(ids, col("id"), 0.1)
+    assert(s1.collect().toSeq == s2.collect().toSeq) // stable across runs
+    val frac = s1.count().toDouble / 20000
+    assert(frac > 0.08 && frac < 0.12, s"fraction $frac")
+    val splits = ids.select(graft.ops.Sampling.splitLabel(col("id"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > 17000 && splits("val") > 500 && splits("test") > 500)
+  }
+
   test("approx_count_distinct within 5% of exact (HLL sanity)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.select(countDistinct(col("l_partkey"))).head.getLong(0)
