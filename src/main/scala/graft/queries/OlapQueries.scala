@@ -48,6 +48,43 @@ object OlapQueries {
         .orderBy(col("user_id"))
     },
 
+    // ---- distributed global position == single-sort row_number ----
+    Q("q51_global_position",
+      """SELECT doc_id, n_chars,
+        | CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.GlobalOrder.withGlobalPosition(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars"), col("doc_id")))
+        .select(col("doc_id"), col("n_chars"), col("pos"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- int8 embedding quantization (scalar reductions for parity) ----
+    Q("q52_quantize",
+      """WITH v AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        | FROM embeddings),
+        |q AS (SELECT vec_id, m,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / m * 127) AS BIGINT)) AS qv
+        | FROM v WHERE m > 0)
+        |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        | CAST(list_min(qv) AS BIGINT) AS q_min, CAST(list_max(qv) AS BIGINT) AS q_max,
+        | round(m, 6) AS scale6
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import graft.vector.Quantize
+      val emb = t(s, d, "embeddings")
+        .withColumn("m", Quantize.scaleOf(col("embedding")))
+        .filter(col("m") > 0)
+        .withColumn("qv", Quantize.quantize(col("embedding")))
+      emb.select(col("vec_id"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("qv")).as("q_min"),
+          array_max(col("qv")).as("q_max"),
+          round(col("m"), 6).as("scale6"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- as-of join: latest purchase value as of each click ----
     Q("q47_asof_join",
       """WITH clicks AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms

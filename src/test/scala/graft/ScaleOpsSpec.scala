@@ -53,6 +53,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       ("d", None)))         // key 2: right row is in the future
   }
 
+  test("global position equals single-partition row_number semantics") {
+    val df = spark.range(10000).toDF("id")
+      .withColumn("k", pmod(col("id") * 37, lit(1000))).repartition(8)
+    val got = graft.ops.GlobalOrder.withGlobalPosition(df, Seq(col("k"), col("id")))
+      .orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // positions are 0..n-1, dense, and ordered by (k, id)
+    assert(got.map(_._2).toSeq == (0L until 10000L))
+    val expected = df.orderBy("k", "id").collect().map(_.getLong(0)).toSeq
+    assert(got.map(_._1).toSeq == expected)
+  }
+
+  test("int8 quantize/dequantize round-trip keeps cosine ≈ 1") {
+    import graft.vector.{Quantize, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+      .withColumn("scale", Quantize.scaleOf(col("embedding")))
+      .withColumn("qv", Quantize.quantize(col("embedding")))
+      .withColumn("back", Quantize.dequantize(col("qv"), col("scale")))
+    val cos = emb.select(Similarity.cosineSim(col("embedding"), col("back")))
+      .collect().map(_.getDouble(0))
+    assert(cos.forall(_ > 0.999), s"min cosine after round-trip: ${cos.min}")
+  }
+
   test("deterministic sampling: stable, unbiased-ish, weights respected") {
     val ids = spark.range(20000).toDF("id")
     val s1 = graft.ops.Sampling.deterministicSample(ids, col("id"), 0.1)
