@@ -84,7 +84,8 @@ object CouncilPipeline {
   def crawl(rss: DataFrame, seenIds: DataFrame,
       extractor: () => Enricher.TextExtractor,
       keywords: Seq[String] = Relevance.defaultKeywords,
-      minLength: Int = 100): DataFrame = {
+      minLength: Int = 100,
+      maxFetchPerSecond: Option[Double] = None): DataFrame = {
     val spark = rss.sparkSession
     import spark.implicits._
     val withId = rss.filter(col("url").isNotNull)
@@ -92,7 +93,11 @@ object CouncilPipeline {
     val fresh = Dedup.antiJoinSeen(withId, seenIds, withId("id"), seenIds("id"))
     val extracted = fresh.select(col("id"), col("url"), col("source"))
       .as[(String, String, String)]
-      .mapPartitions { it =>
+      .mapPartitions { it0 =>
+        // politeness cap per partition (ref sleep(10), newscrawler.py:434)
+        val it = maxFetchPerSecond
+          .map(r => Enricher.throttled[(String, String, String)](r)(it0))
+          .getOrElse(it0)
         val ex = extractor()
         it.map { case (id, url, source) =>
           val (title, text) = ex.extract(url)

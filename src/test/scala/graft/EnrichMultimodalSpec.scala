@@ -60,6 +60,34 @@ class EnrichMultimodalSpec extends AnyFunSuite {
     assert(out.collect().toSeq == again.collect().toSeq)
   }
 
+  test("resize stub preserves aspect, never upscales") {
+    val df = Seq((1L, "big"), (2L, "small")).toDF("id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val meta = Multimodal.withDecodedMeta(df, "payload",
+      () => new Multimodal.StubDecoder)
+    val resized = meta.select(col("media_meta"),
+      Multimodal.resizeMeta(col("media_meta"), 128).as("r")).collect()
+    resized.foreach { row =>
+      val (w0, h0) = (row.getStruct(0).getInt(1), row.getStruct(0).getInt(2))
+      val (w1, h1) = (row.getStruct(1).getInt(1), row.getStruct(1).getInt(2))
+      assert(math.max(w1, h1) <= 128 || (w1 == w0 && h1 == h0))
+      assert(w1 <= w0 && h1 <= h0) // never upscale
+    }
+  }
+
+  test("feature-extract stub yields normalized deterministic vectors") {
+    val df = Seq((1L, "payload one"), (2L, "payload two"))
+      .toDF("id", "text").withColumn("payload", col("text").cast("binary"))
+    val f1 = Multimodal.withFeatures(df, "payload").select("features")
+      .collect().map(_.getSeq[Float](0))
+    val f2 = Multimodal.withFeatures(df, "payload").select("features")
+      .collect().map(_.getSeq[Float](0))
+    assert(f1.toSeq.map(_.toSeq) == f2.toSeq.map(_.toSeq))
+    assert(f1(0).toSeq != f1(1).toSeq)
+    val norm = math.sqrt(f1(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
   test("frame sampling explodes one row per interval") {
     val df = Seq((1L, 3500L)).toDF("id", "dur")
     val frames = Multimodal.sampleFrames(df, col("dur"), 1000L)

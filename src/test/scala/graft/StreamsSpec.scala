@@ -44,6 +44,35 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.table("dedup").count() == 500)
   }
 
+  test("streaming chunk-summarize: per-meeting micro-batches merge into state") {
+    val dir = TestSpark.tempDir("ssum")
+    // one parquet file per meeting → maxFilesPerTrigger=1 gives one
+    // meeting per micro-batch (the cron-tick analog)
+    def segs(file: String) = (1 to 120).map(i =>
+      (file, i.toLong, s"w$i", 0.05)).toDF("file", "id", "text", "no_speech_prob")
+    segs("m1").coalesce(1).write.parquet(s"$dir/in/f=1")
+    segs("m2").coalesce(1).write.parquet(s"$dir/in/f=2")
+    val stream = Streams.fileStream(spark, s"$dir/in/*/", segs("x").schema,
+      maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val summarized = graft.pipeline.CouncilPipeline.summarize(
+            batch, () => new graft.enrich.Enricher.StubChatModel, chunkSize = 50)
+          graft.io.Sinks.mergeInto(batch.sparkSession, s"$dir/state",
+            summarized, Seq("file", "chunk_id"))
+          ()
+        }
+      }.start()
+    q.awaitTermination()
+    val state = spark.read.parquet(s"$dir/state")
+    // 120 segs / 50 → 3 chunks + rollup, per meeting
+    assert(state.count() == 8)
+    assert(state.filter(col("chunk_id") === -1).count() == 2)
+  }
+
   test("foreachBatch mergeSink upserts micro-batches into parquet state") {
     val dir = TestSpark.tempDir("msink")
     eventsDf.limit(50).write.mode("overwrite").parquet(s"$dir/in")
