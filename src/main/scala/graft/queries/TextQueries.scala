@@ -83,6 +83,39 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- civic-entity extraction (the reference's dormant dspy
+    //      signatures as deterministic pattern ops) ----
+    Q("q53_civic_extract",
+      """WITH c AS (SELECT doc_id,
+        |  'The council discussed Ordinance No. ' || CAST((doc_id * 7) % 10000 AS VARCHAR) ||
+        |  ' and Docket ' || CAST(doc_id % 100 AS VARCHAR) || '-' || CAST(doc_id % 10 AS VARCHAR) ||
+        |  ' at ' || CAST(doc_id % 900 + 100 AS VARCHAR) || ' Canal Street. The mayor said "' ||
+        |  substr(text, 1, 40) || '" today.' AS body
+        | FROM documents)
+        |SELECT doc_id,
+        | array_to_string(regexp_extract_all(body, '(?i)ordinance(?:\s+no\.?)?\s+([0-9][0-9,]*)', 1), '|||') AS ords,
+        | array_to_string(regexp_extract_all(body, '(?i)docket(?:\s+no\.?)?\s+([0-9][0-9-]*)', 1), '|||') AS dockets,
+        | array_to_string(regexp_extract_all(body, '\d+\s+[A-Z][A-Za-z]*(?:\s+[A-Z][A-Za-z]*)*\s+(?:St|Ave|Blvd|Dr|Rd|Street|Avenue|Boulevard|Drive|Road)\b'), '|||') AS addrs,
+        | array_to_string(regexp_extract_all(body, '"([^"]{2,200})"', 1), '|||') AS quotes
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.ops.CivicExtract
+      val body = concat(
+        lit("The council discussed Ordinance No. "),
+        ((col("doc_id") * 7) % 10000).cast("string"),
+        lit(" and Docket "), (col("doc_id") % 100).cast("string"),
+        lit("-"), (col("doc_id") % 10).cast("string"),
+        lit(" at "), (col("doc_id") % 900 + 100).cast("string"),
+        lit(" Canal Street. The mayor said \""),
+        substring(col("text"), 1, 40), lit("\" today."))
+      t(s, d, "documents").withColumn("body", body)
+        .select(col("doc_id"),
+          array_join(CivicExtract.ordinanceNumbers(col("body")), "|||").as("ords"),
+          array_join(CivicExtract.docketNumbers(col("body")), "|||").as("dockets"),
+          array_join(CivicExtract.streetAddresses(col("body")), "|||").as("addrs"),
+          array_join(CivicExtract.quotedSpans(col("body")), "|||").as("quotes"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- fingerprints: sha16 of normalized text + rolling hash ----
     Q("q24_fingerprint",
       """WITH n AS (SELECT doc_id,

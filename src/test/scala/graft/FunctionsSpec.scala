@@ -111,6 +111,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m == Map("a" -> "v"))
   }
 
+  test("civic extractors pull ordinances, dockets, addresses, quotes, names") {
+    import graft.ops.CivicExtract._
+    val body = """Council passed Ordinance No. 12,345 and ordinance 67 today.
+      |Docket no. 24-101 was continued. Mary Jones of 1200 Canal Street
+      |said "we need action now" about 45 Broad Ave repairs.""".stripMargin
+    val df = Seq(body).toDF("s")
+    val r = df.select(
+      ordinanceNumbers(col("s")), docketNumbers(col("s")),
+      streetAddresses(col("s")), quotedSpans(col("s")),
+      properNameCandidates(col("s"))).head
+    assert(r.getSeq[String](0) == Seq("12,345", "67"))
+    assert(r.getSeq[String](1) == Seq("24-101"))
+    assert(r.getSeq[String](2) == Seq("1200 Canal Street", "45 Broad Ave"))
+    assert(r.getSeq[String](3) == Seq("we need action now"))
+    assert(r.getSeq[String](4).contains("Mary Jones"))
+  }
+
   test("rolling hash matches the reduce recurrence; empty is null") {
     val m = 1000000007L
     val expected = ((97L * 257 + 98) % m * 257 + 99) % m
