@@ -74,4 +74,32 @@ object Sources {
   def parseListItems(rowHtml: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_extract_all(rowHtml,
       lit("(?s)<td[^>]*class=\"[^\"]*listItem[^\"]*\"[^>]*>(.*?)</td>"), lit(1))
+
+  /** S1 end-to-end (ref transcribe_council.py:28-73 `get_all_links`):
+    * listing HTML blob → meeting rows. Row = tr.listingRow; cell 0 =
+    * "Title - Date - Time" header (F1), remaining cells carry hrefs /
+    * onclick links classified by F4; rows without a video are dropped
+    * (P3). Pure-plan: regex explode + scalar functions, no UDFs. */
+  def parseMeetingListing(html: DataFrame, htmlCol: String = "html"): DataFrame = {
+    import graft.expr.Functions._
+    val rows = html.select(
+      explode(parseListingRows(col(htmlCol))).as("row"))
+    val cells = rows
+      .withColumn("cells", parseListItems(col("row")))
+      .withColumn("header", regexp_replace(
+        try_element_at(col("cells"), lit(1)), "<[^>]+>", ""))
+      .withColumn("links", flatten(array(
+        regexp_extract_all(col("row"), lit("href=\"([^\"]+)\""), lit(1)),
+        regexp_extract_all(col("row"), lit("window\\.open\\('([^']+)'"), lit(1)))))
+    val link = (kind: String) => fixProtocolRelative(
+      try_element_at(filter(col("links"), l => linkKind(l) === kind), lit(1)))
+    cells.select(
+        trim(normWs(regexp_extract(col("header"), "^(.*?)\\s*-\\s*\\w+,", 1))).as("title"),
+        extractMeetingDate(regexp_extract(col("header"), "-\\s*(.*)$", 1)).as("date_raw"),
+        extractMeetingTime(col("header")).as("time"),
+        link("video").as("video"),
+        link("agenda").as("agenda"),
+        link("minutes").as("minutes"))
+      .filter(col("video").isNotNull)
+  }
 }

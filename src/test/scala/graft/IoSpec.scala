@@ -76,6 +76,41 @@ class IoSpec extends AnyFunSuite {
       == Seq("x.summary", "y.summary"))
   }
 
+  test("S1 full scrape parse: listing HTML → meeting rows") {
+    val html =
+      """<table>
+        |<tr class="listingRow">
+        | <td class="listItem"><b>Regular Council</b> - Wednesday, March 11, 2026 - 10:30 AM</td>
+        | <td class="listItem"><a onclick="window.open('//media.example/v1.mp4','pop')">Video</a></td>
+        | <td class="listItem"><a href="//c.example/AgendaViewer.php?id=1">Agenda</a></td>
+        | <td class="listItem"><a href="//c.example/MinutesViewer.php?id=1">Minutes</a></td>
+        |</tr>
+        |<tr class="listingRow">
+        | <td class="listItem">Budget Hearing - TBD</td>
+        | <td class="listItem">No video yet</td>
+        |</tr>
+        |</table>""".stripMargin
+    val out = graft.io.Sources.parseMeetingListing(Seq(html).toDF("html"))
+    val rows = out.collect()
+    assert(rows.length == 1) // P3: the video-less row is dropped
+    val m = rows.head
+    assert(m.getAs[String]("title") == "Regular Council")
+    assert(m.getAs[String]("date_raw") == "Wednesday, March 11, 2026")
+    assert(m.getAs[String]("time") == "10:30 AM")
+    assert(m.getAs[String]("video") == "https://media.example/v1.mp4")
+    assert(m.getAs[String]("agenda") == "https://c.example/AgendaViewer.php?id=1")
+    assert(m.getAs[String]("minutes") == "https://c.example/MinutesViewer.php?id=1")
+  }
+
+  test("J3 literal contains-theta join (bounded build side)") {
+    val probe = Seq((1L, "https://cdn/x/v1.mp4"), (2L, "https://cdn/x/v2.mp4"))
+      .toDF("id", "video")
+    val build = Seq("v1.mp4").toDF("name")
+    val out = graft.ops.Joins.containsThetaJoin(probe, build,
+      col("video"), col("name"))
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("S1 HTML listing-table parse") {
     val html =
       """<table><tr class="listingRow"><td class="listItem">Meeting A</td>
