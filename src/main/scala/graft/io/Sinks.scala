@@ -58,6 +58,18 @@ object Sinks {
       format: String = "json"): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(keyCol).format(format).save(path)
 
+  /** Compaction: rewrite a parquet state/collection path into
+    * ~targetBytes files (incremental MERGE runs accumulate small
+    * files; scan throughput at scale is gated on file sizes). Uses
+    * the staging swap, so a crash never loses the input. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(new Path(path)).getLength
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    overwriteInPlace(spark.read.parquet(path).repartition(parts), path)
+  }
+
   /** K6/V2 — MERGE-by-id upsert into a parquet-backed state table
     * (ref Chroma add-with-stable-ids semantics,
     * article_vectorize.py:360-363): updates win, survivors carry over,

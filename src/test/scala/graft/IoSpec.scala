@@ -67,6 +67,18 @@ class IoSpec extends AnyFunSuite {
     assert(again.count() == 3)
   }
 
+  test("compact rewrites many small files into few, preserving rows") {
+    val dir = TestSpark.tempDir("compact")
+    val path = s"$dir/coll"
+    spark.range(10000).repartition(32).write.parquet(path)
+    val before = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 32)
+    Sinks.compact(spark, path, targetBytes = 512L * 1024)
+    val after = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before)
+    assert(spark.read.parquet(path).count() == 10000)
+  }
+
   test("fileInventory lists names without reading content") {
     val dir = TestSpark.tempDir("inv")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/x.summary"), "s1")
