@@ -93,10 +93,15 @@ object Enricher {
     ds.mapPartitions { it =>
       val model = factory()
       it.map { i =>
-        try Enriched(keyOf(i), Some(f(model, i)), None)
+        // key extraction itself may throw on a poison row — capture it
+        // once, outside the enrichment try, with its own fallback
+        val key =
+          try keyOf(i)
+          catch { case scala.util.control.NonFatal(e) => s"<keyOf failed: ${e.getClass.getSimpleName}>" }
+        try Enriched(key, Some(f(model, i)), None)
         catch {
           case scala.util.control.NonFatal(e) =>
-            Enriched[O](keyOf(i), None,
+            Enriched[O](key, None,
               Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
         }
       }

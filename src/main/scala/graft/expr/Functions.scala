@@ -111,9 +111,10 @@ object Functions {
     when(line === "", lit(null).cast("string")).otherwise(line)
   }
 
-  /** Body after the closing fence. */
+  /** Body after the closing fence, trimmed (ref `parts[2].strip()`,
+    * article_vectorize.py:89). */
   def frontmatterBody(doc: Column): Column =
-    ltrim(regexp_extract(doc, "(?s)^---\\n.*?\\n---\\n?(.*)$", 1))
+    trim(regexp_extract(doc, "(?s)^---\\n.*?\\n---\\n?(.*)$", 1))
 
   /** F18 — JSON line parse: from_json with explicit schema. */
   def jsonLine(c: Column, schema: org.apache.spark.sql.types.StructType): Column =

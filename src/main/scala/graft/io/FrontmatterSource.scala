@@ -51,10 +51,26 @@ class FrontmatterSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new FrontmatterTable(schema, keysOf(opts), Option(opts.get("path")).toSeq)
+    new FrontmatterTable(schema, keysOf(opts), FrontmatterSource.pathsOf(opts))
   }
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+object FrontmatterSource {
+  /** `load(p)` arrives as option "path"; `load(p1, p2, …)` arrives as
+    * option "paths" (a JSON array). Honor both. */
+  private[io] def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap { js =>
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(js) match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Seq.empty
+      }
+    }
+    single ++ multi
+  }
 }
 
 private[io] class FrontmatterTable(schema: StructType, keys: Seq[String],
@@ -67,7 +83,7 @@ private[io] class FrontmatterTable(schema: StructType, keys: Seq[String],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new FrontmatterScan(schema, keys,
-      paths ++ Option(options.get("path")).toSeq)
+      paths ++ FrontmatterSource.pathsOf(options))
 }
 
 private[io] class FrontmatterScan(schema: StructType, keys: Seq[String],
@@ -77,6 +93,8 @@ private[io] class FrontmatterScan(schema: StructType, keys: Seq[String],
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    require(paths.nonEmpty,
+      "frontmatter source needs a path: spark.read.format(\"frontmatter\").load(dir)")
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     paths.distinct.flatMap { p =>
@@ -145,15 +163,15 @@ private[io] class FrontmatterReaderFactory(keys: Seq[String],
   * (article_vectorize.py:84-103). */
 private[graft] object FrontmatterParse {
 
-  /** → (frontmatter block, body). No fence → ("", whole text). */
+  /** → (frontmatter block, body). No fence → ("", whole text). Body is
+    * trimmed like the reference's `parts[2].strip()`. */
   def split(text: String): (String, String) = {
     if (!text.startsWith("---\n")) return ("", text)
     val rest = text.substring(4)
     val end = rest.indexOf("\n---")
     if (end < 0) return ("", text)
     val fm = rest.substring(0, end)
-    val after = rest.substring(end + 4)
-    (fm, after.replaceFirst("^\\n", "").replaceFirst("^\\s+", ""))
+    (fm, rest.substring(end + 4).trim)
   }
 
   def pairs(fm: String): Map[String, String] =

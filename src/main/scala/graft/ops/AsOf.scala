@@ -24,22 +24,25 @@ object AsOf {
     val l2 = left
       .withColumn("__ord", col(leftOrd))
       .withColumn("__tag", lit(1))
+    // payloads travel as ONE struct per right row: last() then picks a
+    // whole row atomically (never mixes columns from different right
+    // rows) and a null payload VALUE inside the latest row is
+    // preserved — matching DuckDB/standard ASOF semantics
     val r2 = right.select(
-      key.map(col) ++ Seq(col(rightOrd).as("__ord"), lit(0).as("__tag")) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+      key.map(col) ++ Seq(col(rightOrd).as("__ord"), lit(0).as("__tag"),
+        struct(payload.map(col): _*).as("__p")): _*)
     val unioned = l2.unionByName(r2, allowMissingColumns = true)
     // right rows (__tag 0) sort before left rows at equal ord → a right
     // row AT the left timestamp is visible to it (inclusive bound)
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__ord"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"__last_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
     val result = filled.filter(col("__tag") === 1)
-    val cleaned = payload.foldLeft(result) { (df, p) =>
-      df.withColumn(p, col(s"__last_$p")).drop(s"__p_$p", s"__last_$p")
+    val expanded = payload.foldLeft(result) { (df, p) =>
+      df.withColumn(p, col("__last").getField(p))
     }
-    cleaned.drop("__ord", "__tag")
+    expanded.drop("__p", "__last", "__ord", "__tag")
   }
 }

@@ -14,15 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object CivicExtract {
 
-  /** "Ordinance No. 12,345" / "Ordinance 12345" style citations. */
+  /** "Ordinance No. 12,345" / "Ordinance 12345" style citations
+    * (comma groups anchored so sentence punctuation isn't captured). */
   def ordinanceNumbers(text: Column): Column =
     regexp_extract_all(text,
-      lit("(?i)ordinance(?:\\s+no\\.?)?\\s+([0-9][0-9,]*)"), lit(1))
+      lit("(?i)ordinance(?:\\s+no\\.?)?\\s+([0-9]+(?:,[0-9]{3})*)"), lit(1))
 
-  /** Docket citations: "Docket 24-123" / "docket no. 7". */
+  /** Docket citations: "Docket 24-123" / "docket no. 7" (trailing
+    * dashes excluded). */
   def docketNumbers(text: Column): Column =
     regexp_extract_all(text,
-      lit("(?i)docket(?:\\s+no\\.?)?\\s+([0-9][0-9-]*)"), lit(1))
+      lit("(?i)docket(?:\\s+no\\.?)?\\s+([0-9]+(?:-[0-9]+)*)"), lit(1))
 
   /** US-style street addresses: "123 Main St" etc. */
   def streetAddresses(text: Column): Column =

@@ -32,7 +32,10 @@ final class OrderedConcat(sep: String)
     b1 ++= b2
 
   override def finish(b: ArrayBuffer[(Long, String)]): String = {
-    val sorted = b.sortBy(_._1)
+    // tie-break by text: buffer order is partition-merge order (non-
+    // deterministic), and sort_array(struct(o,t)) — the composite this
+    // must equal — breaks order ties by the text field
+    val sorted = b.sortBy(x => (x._1, x._2))
     val sb = new StringBuilder
     var i = 0
     while (i < sorted.length) {

@@ -43,7 +43,7 @@ object PipelineQueries {
         |      ELSE regexp_extract(front, '(?m)^source:\s*(.*)$', 1) END AS parsed_source,
         | CASE WHEN regexp_extract(front, '(?m)^title:\s*(.*)$', 1) = '' THEN NULL
         |      ELSE regexp_extract(front, '(?m)^title:\s*(.*)$', 1) END AS parsed_title,
-        | ltrim(regexp_extract(doc, '(?s)^---\n.*?\n---\n?(.*)$', 1)) AS body
+        | trim(regexp_extract(doc, '(?s)^---\n.*?\n---\n?(.*)$', 1)) AS body
         |FROM fm ORDER BY doc_id""".stripMargin) { (s, d) =>
       val built = t(s, d, "documents").withColumn("doc",
         concat(

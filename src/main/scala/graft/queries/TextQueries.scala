@@ -93,8 +93,8 @@ object TextQueries {
         |  substr(text, 1, 40) || '" today.' AS body
         | FROM documents)
         |SELECT doc_id,
-        | array_to_string(regexp_extract_all(body, '(?i)ordinance(?:\s+no\.?)?\s+([0-9][0-9,]*)', 1), '|||') AS ords,
-        | array_to_string(regexp_extract_all(body, '(?i)docket(?:\s+no\.?)?\s+([0-9][0-9-]*)', 1), '|||') AS dockets,
+        | array_to_string(regexp_extract_all(body, '(?i)ordinance(?:\s+no\.?)?\s+([0-9]+(?:,[0-9]{3})*)', 1), '|||') AS ords,
+        | array_to_string(regexp_extract_all(body, '(?i)docket(?:\s+no\.?)?\s+([0-9]+(?:-[0-9]+)*)', 1), '|||') AS dockets,
         | array_to_string(regexp_extract_all(body, '\d+\s+[A-Z][A-Za-z]*(?:\s+[A-Z][A-Za-z]*)*\s+(?:St|Ave|Blvd|Dr|Rd|Street|Avenue|Boulevard|Drive|Road)\b'), '|||') AS addrs,
         | array_to_string(regexp_extract_all(body, '"([^"]{2,200})"', 1), '|||') AS quotes
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>

@@ -48,6 +48,17 @@ class EnrichMultimodalSpec extends AnyFunSuite {
     assert(dead.head.error.get.contains("poison doc"))
   }
 
+  test("enrichPartitionsSafe survives a throwing keyOf (poison key)") {
+    val ds = spark.range(5).as[Long]
+    val out = Enricher.enrichPartitionsSafe(ds, () => new Enricher.StubChatModel,
+      (i: Long) => if (i == 3L) throw new NullPointerException("bad key") else s"k$i") {
+      (m, i) => m.complete(s"n$i")
+    }
+    val rows = out.collect()
+    assert(rows.length == 5) // no task failure
+    assert(rows.count(_.key.startsWith("<keyOf failed")) == 1)
+  }
+
   test("multimodal: stub decode is deterministic with typed meta schema") {
     val df = Seq((1L, "payload one"), (2L, "payload two"))
       .toDF("id", "text").withColumn("payload", col("text").cast("binary"))

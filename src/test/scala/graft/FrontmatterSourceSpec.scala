@@ -65,5 +65,17 @@ class FrontmatterSourceSpec extends AnyFunSuite {
     assert(body == "B")
     // value keeps colons past the first (split(':', 1) semantics)
     assert(FrontmatterParse.pairs(fm) == Map("a" -> "1", "b" -> "x:y"))
+    // body is stripped like the reference's parts[2].strip()
+    assert(FrontmatterParse.split("---\na: 1\n---\n  B body \n")._2 == "B body")
+  }
+
+  test("DSv2 multi-path load reads all directories") {
+    val d1 = TestSpark.tempDir("fmp1")
+    val d2 = TestSpark.tempDir("fmp2")
+    writeMd(d1, "a.md", "---\nsource: x\n---\nA")
+    writeMd(d2, "b.md", "---\nsource: y\n---\nB")
+    val df = spark.read.format("frontmatter").option("keys", "source").load(d1, d2)
+    assert(df.select("filename").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a.md", "b.md"))
   }
 }

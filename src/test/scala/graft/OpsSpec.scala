@@ -112,6 +112,13 @@ class OpsSpec extends AnyFunSuite {
       .agg(Chunking.orderedConcat(col("id"), col("text")).as("t"))
       .orderBy("file").collect().map(_.getString(1)).toSeq
     assert(viaAgg == viaComposite)
+    // order-key ties resolve by text (same rule as sort_array on struct)
+    val tied = Seq(("t", 1L, "b"), ("t", 1L, "a"), ("t", 2L, "c"))
+      .toDF("file", "id", "text").repartition(3)
+    val aggTied = tied.groupBy("file").agg(oc(col("id"), col("text"))).head.getString(1)
+    val compTied = tied.groupBy("file")
+      .agg(Chunking.orderedConcat(col("id"), col("text"))).head.getString(1)
+    assert(aggTied == "a b c" && compTied == "a b c")
   }
 
   test("jaccard exact value on crafted token sets") {

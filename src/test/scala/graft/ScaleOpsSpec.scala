@@ -38,6 +38,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof: null payload in the latest row is preserved; rows stay atomic") {
+    val left = Seq((1L, 20L, "x")).toDF("k", "t", "name")
+    val right = Seq((1L, 5L, Some(3.0), Some("old")), (1L, 10L, None, Some("new")))
+      .toDF("k", "t", "v", "s")
+    val out = graft.ops.AsOf.asofBackward(left, right, Seq("k"), "t", "t",
+      Seq("v", "s")).head
+    // latest right row is t=10 with v=null — DuckDB ASOF attaches THAT
+    // row; v must be null and s must be "new" (no column mixing)
+    assert(out.getAs[Any]("v") == null)
+    assert(out.getAs[String]("s") == "new")
+  }
+
   test("asof backward join: crafted boundary cases") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
       .toDF("k", "t", "name")
@@ -54,14 +66,25 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("global position equals single-partition row_number semantics") {
-    val df = spark.range(10000).toDF("id")
-      .withColumn("k", pmod(col("id") * 37, lit(1000))).repartition(8)
-    val got = graft.ops.GlobalOrder.withGlobalPosition(df, Seq(col("k"), col("id")))
-      .orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(2)))
-    // positions are 0..n-1, dense, and ordered by (k, id)
-    assert(got.map(_._2).toSeq == (0L until 10000L))
-    val expected = df.orderBy("k", "id").collect().map(_.getLong(0)).toSeq
-    assert(got.map(_._1).toSeq == expected)
+    // disable AQE partition coalescing: with it on, small test data
+    // collapses to ONE partition and would hide multi-partition bugs
+    // (range-partitioner boundaries differing between the count pass
+    // and the final pass — the failure mode the persist() prevents)
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val df = spark.range(100000).toDF("id")
+        .withColumn("k", pmod(col("id") * 37, lit(1000))).repartition(8)
+      val got = graft.ops.GlobalOrder.withGlobalPosition(df, Seq(col("k"), col("id")))
+        .orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(2)))
+      // positions are 0..n-1, dense, and ordered by (k, id)
+      assert(got.map(_._2).toSeq == (0L until 100000L))
+      val expected = df.orderBy("k", "id").collect().map(_.getLong(0)).toSeq
+      assert(got.map(_._1).toSeq == expected)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+      spark.catalog.clearCache()
+    }
   }
 
   test("int8 quantize/dequantize round-trip keeps cosine ≈ 1") {
