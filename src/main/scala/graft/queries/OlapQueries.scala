@@ -133,6 +133,59 @@ object OlapQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- top-N per group (windowed limit) ----
+    Q("q54_topn_per_group",
+      """SELECT l_returnflag, l_orderkey, l_quantity FROM (
+        | SELECT l_returnflag, l_orderkey, l_quantity,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |                     ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn <= 5
+        |ORDER BY l_returnflag, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(desc("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy(col("l_returnflag"), col("rn"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+    },
+
+    // ---- statistical aggregates (rounded: Welford order-variance) ----
+    Q("q55_stats",
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(var_samp(l_quantity), 6) AS var_qty,
+        | round(corr(l_quantity, l_discount), 6) AS corr_qd,
+        | round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- date arithmetic (dow aligned: Spark 1=Sun → 0=Sun) ----
+    Q("q56_date_math",
+      """SELECT o_orderkey,
+        | CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+        | CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        | CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+        | CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS dow,
+        | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30),
+            "yyyy-MM-dd").as("due_day"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- ranking-window family + running sum ----
     Q("q45_window_family",
       """SELECT event_id, user_id,
