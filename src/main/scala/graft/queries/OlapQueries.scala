@@ -85,6 +85,30 @@ object OlapQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ---- tolerance range join (banded equi-join formulation) ----
+    Q("q57_range_join",
+      """WITH c AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+        | c.ms - b.ms AS dt_ms
+        |FROM c JOIN b ON c.user_id = b.user_id AND abs(c.ms - b.ms) <= 600000
+        |ORDER BY c.user_id, click_id, buy_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_ms").as("c_ms"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          col("ts_ms").as("b_ms"))
+      graft.ops.RangeJoin.withinTolerance(clicks, buys, Seq("user_id"),
+          "c_ms", "b_ms", 600000L)
+        .select(col("user_id"), col("click_id"), col("buy_id"),
+          (col("c_ms") - col("b_ms")).as("dt_ms"))
+        .orderBy(col("user_id"), col("click_id"), col("buy_id"))
+    },
+
     // ---- as-of join: latest purchase value as of each click ----
     Q("q47_asof_join",
       """WITH clicks AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms

@@ -38,6 +38,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("range join: band replication matches brute-force inequality join") {
+    val l = Seq((1L, 100L, 0L), (1L, 101L, 950L), (2L, 102L, 500L))
+      .toDF("k", "lid", "lts")
+    val r = Seq((1L, 200L, 900L), (1L, 201L, 2100L), (2L, 202L, 1600L))
+      .toDF("k", "rid", "rts")
+    val banded = graft.ops.RangeJoin.withinTolerance(l, r, Seq("k"),
+        "lts", "rts", 1000L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = l.join(r, Seq("k")).filter(abs(col("lts") - col("rts")) <= 1000)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(banded == brute)
+    // (102,202) is |500-1600| = 1100 > tolerance — correctly excluded
+    assert(banded == Set((100L, 200L), (101L, 200L)))
+  }
+
   test("asof: null payload in the latest row is preserved; rows stay atomic") {
     val left = Seq((1L, 20L, "x")).toDF("k", "t", "name")
     val right = Seq((1L, 5L, Some(3.0), Some("old")), (1L, 10L, None, Some("new")))
