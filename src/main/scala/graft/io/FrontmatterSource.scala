@@ -100,6 +100,14 @@ private[io] class FrontmatterScan(schema: StructType, keys: Seq[String],
     paths.distinct.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
+      // hidden/temporary paths ('_'/'.' prefixed, e.g. _temporary from
+      // a crashed writer) are excluded at every level, matching
+      // Spark's own file-source listing convention
+      def hidden(p: Path): Boolean = {
+        val rel = p.toString.stripPrefix(path.toString)
+        rel.split("/").exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+      }
       val statuses: Seq[FileStatus] =
         if (fs.getFileStatus(path).isDirectory) {
           // recursive: corpora are commonly laid out date-partitioned
@@ -107,7 +115,7 @@ private[io] class FrontmatterScan(schema: StructType, keys: Seq[String],
           val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
           while (it.hasNext) {
             val s = it.next()
-            if (s.getPath.getName.endsWith(".md")) buf += s
+            if (s.getPath.getName.endsWith(".md") && !hidden(s.getPath)) buf += s
           }
           buf.toSeq
         } else Seq(fs.getFileStatus(path))

@@ -24,15 +24,21 @@ object Sinks {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(path)
     val b = new Path(backup)
-    if (fs.exists(b)) fs.delete(b, true)
-    if (fs.exists(p) && !fs.rename(p, b))
-      throw new java.io.IOException(s"staging swap: could not move $p aside")
+    // A stale backup is deleted ONLY while the live path exists; when
+    // the live path is missing (recovering a crash between renames),
+    // the backup is the only durable copy and must survive until the
+    // new promote succeeds.
+    if (fs.exists(p)) {
+      if (fs.exists(b)) fs.delete(b, true)
+      if (!fs.rename(p, b))
+        throw new java.io.IOException(s"staging swap: could not move $p aside")
+    }
     if (!fs.rename(new Path(staging), p)) {
       // roll the backup straight back so state never dangles
       if (fs.exists(b)) fs.rename(b, p)
       throw new java.io.IOException(s"staging swap: could not promote $staging")
     }
-    fs.delete(b, true)
+    if (fs.exists(b)) fs.delete(b, true)
   }
 
   /** Read a swap-managed state path, recovering from a crash that died

@@ -21,16 +21,24 @@ object AsOf {
   def asofBackward(left: DataFrame, right: DataFrame, key: Seq[String],
       leftOrd: String, rightOrd: String, payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty, "asof join needs at least one payload column")
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"payload columns already exist on the left side: $collisions")
     val l2 = left
       .withColumn("__ord", col(leftOrd))
       .withColumn("__tag", lit(1))
     // payloads travel as ONE struct per right row: last() then picks a
     // whole row atomically (never mixes columns from different right
     // rows) and a null payload VALUE inside the latest row is
-    // preserved — matching DuckDB/standard ASOF semantics
-    val r2 = right.select(
-      key.map(col) ++ Seq(col(rightOrd).as("__ord"), lit(0).as("__tag"),
-        struct(payload.map(col): _*).as("__p")): _*)
+    // preserved — matching DuckDB/standard ASOF semantics.
+    // Null-key right rows are dropped: SQL join equality never matches
+    // NULL, but Window.partitionBy groups NULLs together — without the
+    // filter a null-key left row would wrongly pick them up.
+    val r2 = right
+      .filter(key.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        key.map(col) ++ Seq(col(rightOrd).as("__ord"), lit(0).as("__tag"),
+          struct(payload.map(col): _*).as("__p")): _*)
     val unioned = l2.unionByName(r2, allowMissingColumns = true)
     // right rows (__tag 0) sort before left rows at equal ord → a right
     // row AT the left timestamp is visible to it (inclusive bound)

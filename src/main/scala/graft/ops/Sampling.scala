@@ -27,7 +27,11 @@ object Sampling {
   def splitLabel(key: Column, weights: Seq[(String, Double)]): Column = {
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
     val b = hashBucket(key)
-    val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(c => (c * 65536).toLong)
+    // the last cut is pinned to the bucket-space top: fp summation can
+    // land at 0.999…, which would floor to 65535 and leave bucket
+    // 65535 (~1/65536 of rows) with a null label
+    val raw = weights.scanLeft(0.0)(_ + _._2).tail.map(c => (c * 65536).toLong)
+    val cuts = raw.init :+ 65536L
     weights.zip(cuts).foldLeft(lit(null).cast("string")) {
       case (acc, ((label, _), cut)) =>
         coalesce(acc, when(b < cut, lit(label)))

@@ -76,7 +76,7 @@ object OlapQueries {
       val emb = t(s, d, "embeddings")
         .withColumn("m", Quantize.scaleOf(col("embedding")))
         .filter(col("m") > 0)
-        .withColumn("qv", Quantize.quantize(col("embedding")))
+        .withColumn("qv", Quantize.quantize(col("embedding"), col("m")))
       emb.select(col("vec_id"),
           aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
           array_min(col("qv")).as("q_min"),

@@ -16,12 +16,16 @@ object Quantize {
   def scaleOf(vec: Column): Column =
     array_max(transform(vec, x => abs(x.cast("double"))))
 
-  /** float vector → int8-range longs in [-127, 127]. Callers filter
-    * zero vectors (scale 0) first. */
-  def quantize(vec: Column): Column = {
-    val s = scaleOf(vec)
-    transform(vec, x => round(x.cast("double") / s * 127).cast("long"))
-  }
+  /** float vector → int8-range longs in [-127, 127] against a
+    * precomputed scale column. Callers filter zero vectors (scale 0)
+    * first. */
+  def quantize(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") / scale * 127).cast("long"))
+
+  /** Convenience overload; prefer the two-arg form with a projected
+    * scale column — Catalyst does not hoist the array_max out of the
+    * per-element lambda, so this one is O(d²) per row. */
+  def quantize(vec: Column): Column = quantize(vec, scaleOf(vec))
 
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q => (q.cast("double") * scale / 127).cast("float"))

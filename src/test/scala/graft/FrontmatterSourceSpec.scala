@@ -69,6 +69,17 @@ class FrontmatterSourceSpec extends AnyFunSuite {
     assert(FrontmatterParse.split("---\na: 1\n---\n  B body \n")._2 == "B body")
   }
 
+  test("DSv2 listing skips hidden/temporary paths") {
+    val dir = TestSpark.tempDir("fmhid")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_temporary/0"))
+    writeMd(dir, "keep.md", "---\nsource: a\n---\nK")
+    writeMd(s"$dir/_temporary/0", "partial.md", "---\nsource: crash\n---\nP")
+    writeMd(dir, ".hidden.md", "---\nsource: h\n---\nH")
+    val df = spark.read.format("frontmatter").option("keys", "source").load(dir)
+    assert(df.select("filename").collect().map(_.getString(0)).toSeq == Seq("keep.md"))
+  }
+
   test("DSv2 multi-path load reads all directories") {
     val d1 = TestSpark.tempDir("fmp1")
     val d2 = TestSpark.tempDir("fmp2")

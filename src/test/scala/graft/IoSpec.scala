@@ -67,6 +67,20 @@ class IoSpec extends AnyFunSuite {
     assert(again.count() == 3)
   }
 
+  test("crash recovery: state missing + backup present loses nothing") {
+    val dir = TestSpark.tempDir("crash")
+    val path = s"$dir/st"
+    Sinks.mergeInto(spark, path, Seq((1L, "a"), (2L, "a")).toDF("id", "v"), Seq("id"))
+    // simulate a crash between the two renames: live state moved aside
+    new java.io.File(path).renameTo(new java.io.File(path + ".old"))
+    assert(!new java.io.File(path).exists())
+    val recovered = Sinks.mergeInto(spark, path,
+      Seq((3L, "b")).toDF("id", "v"), Seq("id"))
+    assert(recovered.orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 3L)) // old rows recovered from the backup, not dropped
+    assert(!new java.io.File(path + ".old").exists()) // backup cleaned post-promote
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     val dir = TestSpark.tempDir("compact")
     val path = s"$dir/coll"

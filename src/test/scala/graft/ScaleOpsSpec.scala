@@ -65,6 +65,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.getAs[String]("s") == "new")
   }
 
+  test("asof: null join keys never match (SQL equality semantics)") {
+    val left = Seq((Option.empty[Long], 100L, "x"), (Some(1L), 100L, "y"))
+      .toDF("k", "t", "name")
+    val right = Seq((Option.empty[Long], 50L, 5.0), (Some(1L), 50L, 7.0))
+      .toDF("k", "t", "v")
+    val out = graft.ops.AsOf.asofBackward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("name").collect()
+    assert(out(0).getAs[Any]("v") == null) // null-key left row: no match
+    assert(out(1).getAs[Double]("v") == 7.0)
+  }
+
   test("asof backward join: crafted boundary cases") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
       .toDF("k", "t", "name")
@@ -126,6 +137,11 @@ class ScaleOpsSpec extends AnyFunSuite {
       .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(splits.keySet == Set("train", "val", "test"))
     assert(splits("train") > 17000 && splits("val") > 500 && splits("test") > 500)
+    // fp-summing weights (0.7+0.2+0.1 = 0.999…) must still label every
+    // row — bucket 65535 falls in the pinned final cut
+    val lossy = ids.select(graft.ops.Sampling.splitLabel(col("id"),
+      Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1)).as("s"))
+    assert(lossy.filter(col("s").isNull).count() == 0)
   }
 
   test("approx_count_distinct within 5% of exact (HLL sanity)") {
