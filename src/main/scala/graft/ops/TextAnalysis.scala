@@ -67,4 +67,15 @@ object TextAnalysis {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.column(RollingHash(ColumnBridge.expression(text)))
   }
+
+  /** Fused fast path: all four text statistics in one string pass (a
+    * struct of n_tokens/char_nws/punct_n/stop_hits) — use instead of
+    * the individual combinators when computing several stats per row;
+    * equivalence with the composites is spec-asserted. */
+  def textStats(text: Column,
+      stopwords: Seq[String] = stopwordProfiles.head._2): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      graft.expr.TextStats(ColumnBridge.expression(text), stopwords))
+  }
 }

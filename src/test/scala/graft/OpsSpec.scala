@@ -36,6 +36,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out.getAs[String]("chunk_text") == "a b c")
   }
 
+  test("chunking properties hold for random segment sets") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 1 + rnd.nextInt(300)
+      val size = 1 + rnd.nextInt(60)
+      val rows = (0 until n).map(i => ("f", i.toLong, s"t$i"))
+      val out = Chunking.chunkAggregate(
+        rnd.shuffle(rows).toDF("file", "id", "text").repartition(5),
+        "file", "id", "text", lit(true), size).collect()
+      // chunk count, coverage, and per-chunk ordered text
+      assert(out.length == (n + size - 1) / size)
+      assert(out.map(_.getAs[Long]("n")).sum == n)
+      out.foreach { r =>
+        val c = r.getAs[Long]("chunk_id")
+        val lo = c * size
+        val hi = math.min(n - 1, lo + size - 1)
+        assert(r.getAs[Long]("start_id") == lo && r.getAs[Long]("end_id") == hi)
+        assert(r.getAs[String]("chunk_text") ==
+          (lo to hi).map(i => s"t$i").mkString(" "))
+      }
+    }
+  }
+
   test("J5 pendingWork: second run over same inputs yields zero work") {
     val work = Seq("a", "b", "c").toDF("name")
     val done0 = Seq.empty[String].toDF("name")

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TextAnalysis
+
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val stop = TextAnalysis.stopwordProfiles.head._2
+
+  test("fused TextStats == composite combinators on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs.select(
+      TextAnalysis.textStats(col("text"), stop).as("f"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.charCountNoWs(col("text")).as("char_nws"),
+      TextAnalysis.punctCount(col("text")).as("punct_n"),
+      TextAnalysis.stopwordHits(col("text"), stop).as("stop_hits"))
+    val mismatches = both.filter(
+      col("f.n_tokens") =!= col("n_tokens") ||
+        col("f.char_nws") =!= col("char_nws") ||
+        col("f.punct_n") =!= col("punct_n") ||
+        col("f.stop_hits") =!= col("stop_hits")).count()
+    assert(mismatches == 0)
+  }
+
+  test("fused TextStats == composites on crafted edge cases") {
+    val edge = Seq("", "   ", "a", " a ", "the", "THE the The",
+      "a,b;c!", "tab\tand\nnewline", "éàü non-ascii", "1 2 3 numbers",
+      "x" * 500, ("w " * 200).trim).toDF("text")
+    val rows = edge.select(col("text"),
+      TextAnalysis.textStats(col("text"), stop).as("f"),
+      TextAnalysis.tokenCount(col("text")).as("nt"),
+      TextAnalysis.charCountNoWs(col("text")).as("cn"),
+      TextAnalysis.punctCount(col("text")).as("pn"),
+      TextAnalysis.stopwordHits(col("text"), stop).as("sh")).collect()
+    rows.foreach { r =>
+      val f = r.getStruct(1)
+      assert(f.getLong(0) == r.getLong(2), s"n_tokens for '${r.getString(0)}'")
+      assert(f.getLong(1) == r.getLong(3), s"char_nws for '${r.getString(0)}'")
+      assert(f.getLong(2) == r.getLong(4), s"punct_n for '${r.getString(0)}'")
+      assert(f.getLong(3) == r.getLong(5), s"stop_hits for '${r.getString(0)}'")
+    }
+  }
+
+  test("TextStats runs inside whole-stage codegen") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(TextAnalysis.textStats(col("text"), stop).as("f"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("text_stats")),
+      plan.take(600))
+  }
+}
