@@ -7,14 +7,21 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused text statistics in ONE pass over the string:
-  * (n_tokens, char_nws, punct_n, stop_hits) — exactly the quantities
-  * TextAnalysis computes via 4-6 separate regex/higher-order
-  * evaluations per row. Token/char classes replicate the composite
-  * semantics bit-for-bit (`\s` = Java regex whitespace; `split` on an
-  * all-whitespace string yields one empty token; punct =
-  * `[^A-Za-z0-9\s]`), so the two paths are interchangeable — the
-  * equivalence is spec-asserted on real data.
+/** Fused text statistics: (n_tokens, char_nws, punct_n, stop_hits) in
+  * two tight passes over the string, replacing 4-6 regex/higher-order
+  * evaluations per row. Semantics replicate the composite combinators
+  * exactly:
+  *  - n_tokens = size(split(lower(trim(text)), "\\s+")): Spark trim
+  *    strips ONLY ASCII spaces, and split (limit -1) KEEPS the empty
+  *    leading/trailing tokens produced by other whitespace;
+  *  - char_nws / punct_n count CODE POINTS over the raw text (Spark
+  *    length()/regex are code-point based);
+  *  - stop_hits compares lowercased tokens against the stopwords
+  *    AS GIVEN (a mixed-case stopword matches nothing, same as
+  *    `isin`).
+  * Equivalence is spec-asserted on the corpus AND on the divergent
+  * classes (leading/trailing tabs/newlines, non-BMP chars,
+  * mixed-case profiles).
   */
 case class TextStats(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with ExpectsInputTypes {
@@ -31,7 +38,7 @@ case class TextStats(child: Expression, stopwords: Seq[String])
 
   @transient private lazy val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    stopwords.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
+    stopwords.foreach(s.add) // as given — isin semantics
     s
   }
 
@@ -50,39 +57,57 @@ case class TextStats(child: Expression, stopwords: Seq[String])
 
 object TextStatsKernel {
 
-  private def isWs(c: Char): Boolean = // Java regex \s
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  /** Java regex \s — six ASCII code points. */
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
 
   def compute(s: String, stop: java.util.HashSet[String]): InternalRow = {
-    var nTokens = 0L
+    // pass 1 — raw text, code points: non-ws chars + punctuation
     var charNws = 0L
     var punct = 0L
-    var stopHits = 0L
-    val sb = new java.lang.StringBuilder
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (isWs(c)) {
-        if (sb.length > 0) {
-          nTokens += 1
-          if (stop.contains(sb.toString.toLowerCase(java.util.Locale.ROOT))) stopHits += 1
-          sb.setLength(0)
-        }
-      } else {
+      val cp = s.codePointAt(i)
+      if (!isWs(cp)) {
         charNws += 1
-        val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-          (c >= '0' && c <= '9')
+        val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+          (cp >= '0' && cp <= '9')
         if (!alnum) punct += 1
-        sb.append(c)
       }
-      i += 1
+      i += Character.charCount(cp)
     }
-    if (sb.length > 0) {
-      nTokens += 1
-      if (stop.contains(sb.toString.toLowerCase(java.util.Locale.ROOT))) stopHits += 1
+
+    // pass 2 — tokens over the SPACE-trimmed text (Spark trim strips
+    // only 0x20); split keeps empty edge tokens from other whitespace
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    var nTokens = 0L
+    var stopHits = 0L
+    if (lo == hi) {
+      nTokens = 1 // split("") -> [""]
+    } else {
+      if (isWs(s.charAt(lo))) nTokens += 1  // leading empty token
+      if (isWs(s.charAt(hi - 1))) nTokens += 1 // trailing empty token
+      val sb = new java.lang.StringBuilder
+      var j = lo
+      while (j < hi) {
+        val c = s.charAt(j)
+        if (isWs(c)) {
+          if (sb.length > 0) {
+            nTokens += 1
+            if (stop.contains(sb.toString.toLowerCase)) stopHits += 1
+            sb.setLength(0)
+          }
+        } else sb.append(c)
+        j += 1
+      }
+      if (sb.length > 0) {
+        nTokens += 1
+        if (stop.contains(sb.toString.toLowerCase)) stopHits += 1
+      }
     }
-    // split of an empty/all-ws (trimmed) string yields one empty token
-    if (nTokens == 0) nTokens = 1
     new GenericInternalRow(Array[Any](nTokens, charNws, punct, stopHits))
   }
 }

@@ -14,10 +14,10 @@ class LayoutInvarianceSpec extends AnyFunSuite {
 
   private lazy val multiFileDir: String = {
     val dir = TestSpark.tempDir("layout")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // same data, shuffled into 8 files per table
     Seq("events", "documents", "embeddings", "lineitem", "orders",
       "customer", "nation", "region", "supplier", "part").foreach { t =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sf/$t.parquet")
         .repartition(8)
         .write.parquet(s"$dir/$t.parquet")

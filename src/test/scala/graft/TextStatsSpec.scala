@@ -29,7 +29,12 @@ class TextStatsSpec extends AnyFunSuite {
   test("fused TextStats == composites on crafted edge cases") {
     val edge = Seq("", "   ", "a", " a ", "the", "THE the The",
       "a,b;c!", "tab\tand\nnewline", "éàü non-ascii", "1 2 3 numbers",
-      "x" * 500, ("w " * 200).trim).toDF("text")
+      "x" * 500, ("w " * 200).trim,
+      // the divergent classes: non-space edge whitespace (Spark trim
+      // strips only 0x20; split keeps empty edge tokens) and non-BMP
+      // chars (code-point counting)
+      "a\n", "\ta", "\t\t", " \t a \n ", "x🙂y",
+      "🙂 🙂").toDF("text")
     val rows = edge.select(col("text"),
       TextAnalysis.textStats(col("text"), stop).as("f"),
       TextAnalysis.tokenCount(col("text")).as("nt"),
@@ -43,6 +48,16 @@ class TextStatsSpec extends AnyFunSuite {
       assert(f.getLong(2) == r.getLong(4), s"punct_n for '${r.getString(0)}'")
       assert(f.getLong(3) == r.getLong(5), s"stop_hits for '${r.getString(0)}'")
     }
+  }
+
+  test("mixed-case stopword profiles behave like isin (no match)") {
+    val df = Seq("the the THE").toDF("text")
+    val mixed = Seq("The")
+    val r = df.select(
+      TextAnalysis.textStats(col("text"), mixed).getField("stop_hits"),
+      TextAnalysis.stopwordHits(col("text"), mixed)).head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) == 0L) // lowercased tokens never equal "The"
   }
 
   test("TextStats runs inside whole-stage codegen") {
