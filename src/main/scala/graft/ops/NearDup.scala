@@ -153,6 +153,15 @@ object NearDup {
       .select(col("id_a"), col("id_b"), round(cos, 6).as("cos_sim"))
   }
 
+  /** Apply candidate pairs as a dedup: drop every row that appears as
+    * the LARGER id of any pair (keep-min-id policy). Greedy rather
+    * than connected-components: for chains a~b~c it keeps a and drops
+    * b,c — the standard corpus-dedup policy (transitive near-dup is
+    * treated as dup). One anti join on the id. */
+  def dropNearDuplicates(df: DataFrame, id: String,
+      pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("doc_b").as(id)).distinct(), Seq(id), "left_anti")
+
   /** Demo/test helper: append truncated copies of each row (guaranteed
     * near-duplicates) with offset ids. */
   def withMutatedCopies(df: DataFrame, id: String, text: String,

@@ -113,6 +113,25 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("dropNearDuplicates removes the mutated copies, keeps originals") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val base = NearDup.withMutatedCopies(docs, "doc_id", "text")
+    val pairs = NearDup.lshCandidatePairs(
+      NearDup.minhashSignatures(base, "doc_id", col("text")), "doc_id")
+    val kept = NearDup.dropNearDuplicates(base, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = pairs.select("doc_b").collect().map(_.getLong(0)).toSet
+    // keep-min-id policy: survivors = everything minus larger-id pair
+    // members (on this tiny-vocab corpus some ORIGINAL pairs collide
+    // too — that is correct greedy dedup, not just the mutations)
+    assert(kept == all -- dropped)
+    assert(kept.contains(0L)) // the smallest id always survives
+    assert(dropped.nonEmpty && kept.intersect(dropped).isEmpty)
+  }
+
   test("simhash is word-order invariant and content sensitive") {
     val df = Seq((1L, "alpha beta gamma delta"),
       (2L, "delta gamma beta alpha"),
