@@ -35,10 +35,17 @@ object VectorQueries {
     },
 
     // ---- feature-hash embedding of the documents table (V1 stub) ----
+    // Scalar digests only — the driver's pandas compare can't sort a raw
+    // float-array column, so the vector itself stays out of the frame;
+    // dim / L2-norm / nonzero-count / self-cosine pin the embedding.
     Q.noOracle("q19_embed_hash") { (s, d) =>
       val embedded = Embed.withEmbedding(
         t(s, d, "documents"), col("text"), new HashEmbedder(dim = 64))
-      embedded.select(col("doc_id"), col("embedding"),
+      embedded.select(col("doc_id"),
+          size(col("embedding")).as("dim"),
+          round(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("vec_sum"),
+          size(filter(col("embedding"), x => x =!= 0.0f)).as("nnz"),
           round(Similarity.cosineSim(col("embedding"), col("embedding")), 3).as("self_cos"))
         .orderBy(col("doc_id"))
     },
@@ -47,7 +54,34 @@ object VectorQueries {
     // 4 planes + hamming-1 multiprobe scans 5/16 of the corpus; plane
     // count is the recall/cost dial (more planes → finer pruning, needs
     // clustered embeddings to keep recall — testdata vectors are random).
-    Q.noOracle("q20_ann_lsh") { (s, d) =>
+    // Hyperplane signs are sha256("42:p:i")-derived (Similarity
+    // .hyperplaneSign), so DuckDB reproduces bucket assignment exactly.
+    Q("q20_ann_lsh",
+      """WITH dims AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |planes AS (SELECT p, i,
+        |       CASE WHEN substr(sha256('42:' || p || ':' || i), 2, 1)
+        |              IN ('0','2','4','6','8','a','c','e')
+        |            THEN 1.0 ELSE -1.0 END AS sgn
+        |       FROM range(4) tp(p), range(64) ti(i)),
+        |dots AS (SELECT vec_id, p, SUM(x * sgn) AS dot
+        |       FROM dims JOIN planes USING (i) GROUP BY vec_id, p),
+        |buckets AS (SELECT vec_id,
+        |       CAST(SUM(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+        |       FROM dots GROUP BY vec_id),
+        |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        |probes AS (SELECT bucket AS b FROM qb
+        |       UNION SELECT xor(qb.bucket, 1 << p) FROM qb, range(4) tp(p)),
+        |cand AS (SELECT vec_id FROM buckets WHERE bucket IN (SELECT b FROM probes)),
+        |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings
+        |       WHERE vec_id IN (SELECT vec_id FROM cand)),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        | round(SUM(x*qx) / (sqrt(SUM(x*x)) * sqrt(SUM(qx*qx))), 6) AS score
+        |FROM u JOIN q USING (i) GROUP BY vec_id
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         queryVec(s, d, 0), 10, nPlanes = 4)
     },

@@ -35,22 +35,35 @@ object Similarity {
       .orderBy(desc("score"), col(id))
       .limit(k)
 
-  /** Deterministic ±1 random hyperplanes (splitmix64 of plane⊕dim). */
+  /** Deterministic ±1 random hyperplanes: parity of the first byte of
+    * sha256("seed:plane:dim"). sha-derived (not JVM-hash) so any engine
+    * can reproduce bucket assignment — DuckDB:
+    * `substr(sha256('42:'||p||':'||i),2,1) IN ('0','2',...,'e')`. */
   private[vector] def hyperplaneSign(plane: Int, d: Int, seed: Long): Float = {
-    var x = (plane.toLong << 32 | d.toLong) + seed + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x = x ^ (x >>> 31)
-    if ((x & 1L) == 0L) 1f else -1f
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h = md.digest(s"$seed:$plane:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((h(0) & 1) == 0) 1f else -1f
   }
 
+  /** Per-executor memo of the (nPlanes × dim) sign matrix — sha256 runs
+    * once per (plane,dim), not once per row. */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Float]]]()
+
+  private[vector] def signMatrix(nPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] =
+    signCache.computeIfAbsent((nPlanes, dim, seed), { _ =>
+      Array.tabulate(nPlanes, dim)((p, d) => hyperplaneSign(p, d, seed))
+    })
+
   private[vector] def bucketOf(v: Seq[Float], nPlanes: Int, seed: Long): Int = {
+    val signs = signMatrix(nPlanes, v.length, seed)
     var bucket = 0
     var p = 0
     while (p < nPlanes) {
       var dot = 0.0
+      val row = signs(p)
       var d = 0
-      while (d < v.length) { dot += v(d) * hyperplaneSign(p, d, seed); d += 1 }
+      while (d < v.length) { dot += v(d) * row(d); d += 1 }
       if (dot > 0) bucket |= (1 << p)
       p += 1
     }
