@@ -101,10 +101,16 @@ private[io] class FrontmatterScan(schema: StructType, keys: Seq[String],
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       // hidden/temporary paths ('_'/'.' prefixed, e.g. _temporary from
-      // a crashed writer) are excluded at every level, matching
-      // Spark's own file-source listing convention
+      // a crashed writer) are excluded at every level BELOW the load
+      // root, matching Spark's own file-source listing convention.
+      // Both sides are fs-qualified before stripping: listFiles returns
+      // qualified URIs (file:/...) while the user path is often bare, so
+      // a raw stripPrefix would no-op and dot/underscore ANCESTORS of
+      // the root (e.g. /home/u/.cache/corpus) would hide everything.
+      val qualifiedRoot = fs.makeQualified(path)
       def hidden(p: Path): Boolean = {
-        val rel = p.toString.stripPrefix(path.toString)
+        val rel = fs.makeQualified(p).toString
+          .stripPrefix(qualifiedRoot.toString)
         rel.split("/").exists(seg =>
           seg.startsWith("_") || seg.startsWith("."))
       }

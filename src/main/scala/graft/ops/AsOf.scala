@@ -33,9 +33,12 @@ object AsOf {
     // preserved — matching DuckDB/standard ASOF semantics.
     // Null-key right rows are dropped: SQL join equality never matches
     // NULL, but Window.partitionBy groups NULLs together — without the
-    // filter a null-key left row would wrongly pick them up.
+    // filter a null-key left row would wrongly pick them up. Same for a
+    // null ORDER value: `rightOrd <= leftOrd` is NULL-never-true in
+    // standard ASOF, but asc nulls-first ordering would sort such rows
+    // to the window start where every left row could inherit them.
     val r2 = right
-      .filter(key.map(col(_).isNotNull).reduce(_ && _))
+      .filter((key.map(col(_).isNotNull) :+ col(rightOrd).isNotNull).reduce(_ && _))
       .select(
         key.map(col) ++ Seq(col(rightOrd).as("__ord"), lit(0).as("__tag"),
           struct(payload.map(col): _*).as("__p")): _*)

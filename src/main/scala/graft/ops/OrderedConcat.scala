@@ -34,8 +34,15 @@ final class OrderedConcat(sep: String)
   override def finish(b: ArrayBuffer[(Long, String)]): String = {
     // tie-break by text: buffer order is partition-merge order (non-
     // deterministic), and sort_array(struct(o,t)) — the composite this
-    // must equal — breaks order ties by the text field
-    val sorted = b.sortBy(x => (x._1, x._2))
+    // must equal — breaks order ties by the text field. Catalyst
+    // compares strings as UTF8String (UTF-8 binary order), which
+    // diverges from Java's UTF-16 code-unit order for supplementary
+    // characters — so ties compare UTF-8 bytes, not String.compareTo.
+    val sorted = b.sortWith { (x, y) =>
+      if (x._1 != y._1) x._1 < y._1
+      else org.apache.spark.unsafe.types.UTF8String.fromString(x._2)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y._2)) < 0
+    }
     val sb = new StringBuilder
     var i = 0
     while (i < sorted.length) {

@@ -80,6 +80,21 @@ class FrontmatterSourceSpec extends AnyFunSuite {
     assert(df.select("filename").collect().map(_.getString(0)).toSeq == Seq("keep.md"))
   }
 
+  test("DSv2 listing: dotted/underscore ANCESTOR dirs don't hide the corpus") {
+    // the hidden() check must only apply to segments below the load
+    // root — a corpus under e.g. ~/.cache/corpus must still read (the
+    // unqualified-path stripPrefix bug made this silently return 0 rows)
+    val base = TestSpark.tempDir("fmanc")
+    val root = s"$base/.cache/_staging/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    writeMd(root, "doc.md", "---\nsource: a\n---\nD")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/_temporary"))
+    writeMd(s"$root/_temporary", "junk.md", "---\nsource: t\n---\nJ")
+    val df = spark.read.format("frontmatter").option("keys", "source").load(root)
+    assert(df.select("filename").collect().map(_.getString(0)).toSeq == Seq("doc.md"))
+  }
+
   test("DSv2 multi-path load reads all directories") {
     val d1 = TestSpark.tempDir("fmp1")
     val d2 = TestSpark.tempDir("fmp2")

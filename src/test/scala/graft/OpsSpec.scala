@@ -161,6 +161,16 @@ class OpsSpec extends AnyFunSuite {
     val compTied = tied.groupBy("file")
       .agg(Chunking.orderedConcat(col("id"), col("text"))).head.getString(1)
     assert(aggTied == "a b c" && compTied == "a b c")
+    // non-BMP tie-break: sort_array compares UTF8String bytes, where
+    // "！" (U+FF01, EF BC 81) < "😀" (U+1F600, F0 9F 98 80); Java
+    // String order says the opposite (UTF-16 code units D83D < FF01).
+    // The Aggregator must follow the byte order to equal the composite.
+    val bmp = Seq(("u", 1L, "😀"), ("u", 1L, "！"))
+      .toDF("file", "id", "text").repartition(2)
+    val aggBmp = bmp.groupBy("file").agg(oc(col("id"), col("text"))).head.getString(1)
+    val compBmp = bmp.groupBy("file")
+      .agg(Chunking.orderedConcat(col("id"), col("text"))).head.getString(1)
+    assert(aggBmp == compBmp && aggBmp == "！ 😀")
   }
 
   test("jaccard exact value on crafted token sets") {

@@ -76,6 +76,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("v") == 7.0)
   }
 
+  test("asof: null right ORDER values never match (standard ASOF)") {
+    // a null rightOrd sorts to the window start under asc nulls-first;
+    // without the filter, left rows before the first real right row
+    // would inherit its payload — DuckDB ASOF never matches NULL ord
+    val left = Seq((1L, 10L, "early"), (1L, 60L, "late")).toDF("k", "t", "name")
+    val right = Seq((1L, Option.empty[Long], 111.0), (1L, Some(50L), 7.0))
+      .toDF("k", "t", "v")
+    val out = graft.ops.AsOf.asofBackward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("t").collect()
+    assert(out(0).getAs[Any]("v") == null) // t=10: only the null-ord row precedes
+    assert(out(1).getAs[Double]("v") == 7.0)
+  }
+
   test("asof backward join: crafted boundary cases") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
       .toDF("k", "t", "name")
