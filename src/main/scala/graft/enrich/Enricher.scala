@@ -25,9 +25,23 @@ object Enricher {
     def transcribe(key: String, media: Array[Byte]): Seq[Segment]
   }
 
-  /** U2 — chat/LLM completion (summaries, name extraction). */
+  /** U2 — chat/LLM completion (generic string→string adapter). */
   trait ChatModel extends Serializable {
     def complete(prompt: String): String
+  }
+
+  /** U2 typed — the reference's ACTIVE dspy signatures as one typed
+    * extraction surface (summarize.py:101-108 wires Summary,
+    * SummaryOfSummaries and ExtractProperNames; the ordinance/docket/
+    * address extractors are declared but commented out at :122-125).
+    * `digest` returns the typed multi-output row a chunk needs
+    * (summary + key_quotes from Summary, proper_names from
+    * ExtractProperNames — summarize.py:122,127-137); `reduce` is
+    * SummaryOfSummaries over newline-joined chunk summaries (:147). */
+  final case class ChunkDigest(summary: String, quotes: Seq[String], names: Seq[String])
+  trait Summarizer extends Serializable {
+    def digest(text: String): ChunkDigest
+    def reduce(text: String): String
   }
 
   /** U4 — web text extraction: url → (title, text). */
@@ -66,6 +80,26 @@ object Enricher {
         .take(4).map("%02x".format(_)).mkString
       (toks :+ s"#$h").mkString(" ")
     }
+  }
+
+  /** Deterministic typed-summarizer stub, built so every output is
+    * reproducible in plain SQL (sha256 + token slicing + a regex):
+    * - summary/reduce: StubChatModel's take-8-tokens + content hash,
+    *   with the signature encoded as a prompt prefix;
+    * - quotes: the first two 4-token windows of the text (nonempty);
+    * - names: tokens matching `[A-Z][a-z]+` (capitalized-word heuristic
+    *   standing in for ExtractProperNames). */
+  final class StubSummarizer(keep: Int = 8) extends Summarizer {
+    private val lm = new StubChatModel(keep)
+    override def digest(text: String): ChunkDigest = {
+      val toks = Option(text).getOrElse("").trim.split("\\s+").toSeq
+      ChunkDigest(
+        summary = lm.complete(s"summarize: $text"),
+        quotes = Seq(toks.take(4).mkString(" "), toks.slice(4, 8).mkString(" "))
+          .filter(_.nonEmpty),
+        names = toks.filter(_.matches("[A-Z][a-z]+")))
+    }
+    override def reduce(text: String): String = lm.complete(s"reduce: $text")
   }
 
   /** Deterministic stub extractor: synthesizes title/text from the URL

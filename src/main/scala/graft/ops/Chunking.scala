@@ -44,23 +44,42 @@ object Chunking {
       sep)
 
   /** The full chunk-summarize shape (ref summarize.py:110-156): chunk,
-    * concat confident text, carry unfiltered bounds. */
+    * concat confident text, carry unfiltered bounds. With `timeBounds =
+    * Some((startCol, endCol))` the chunk also carries `start_time` /
+    * `end_time` = the FIRST row's start and LAST row's end by order
+    * (A4, ref summarize.py:143-144: `start_js['start']`/`end_js['end']`)
+    * — min_by/max_by on the order key, exact even when times aren't
+    * monotonic in the order column. */
   def chunkAggregate(df: DataFrame, partKey: String, orderCol: String,
-      textCol: String, keep: Column, size: Int = 100): DataFrame =
+      textCol: String, keep: Column, size: Int = 100,
+      timeBounds: Option[(String, String)] = None): DataFrame = {
+    val aggs = Seq(
+      orderedConcat(col(orderCol), col(textCol), keep).as("chunk_text"),
+      min(col(orderCol)).as("start_id"),
+      max(col(orderCol)).as("end_id"),
+      count(lit(1)).as("n")) ++
+      timeBounds.toSeq.flatMap { case (s, e) => Seq(
+        min_by(col(s), col(orderCol)).as("start_time"),
+        max_by(col(e), col(orderCol)).as("end_time")) }
     assignChunks(df, Seq(col(partKey)), col(orderCol), size)
       .groupBy(col(partKey), col("chunk_id"))
-      .agg(
-        orderedConcat(col(orderCol), col(textCol), keep).as("chunk_text"),
-        min(col(orderCol)).as("start_id"),
-        max(col(orderCol)).as("end_id"),
-        count(lit(1)).as("n"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** A2 — meeting-level rollup: concat chunk texts in chunk order with
-    * a newline (ref summarize.py:147). */
+    * a newline (ref summarize.py:147). `carryTimes` additionally rolls
+    * up the meeting-level `start_time`/`end_time` (first chunk's start,
+    * last chunk's end — ref :151-152: `jsons[0]['start']`/
+    * `jsons[-1]['end']`). */
   def rollup(chunks: DataFrame, partKey: String, chunkCol: String = "chunk_id",
-      textCol: String = "chunk_text"): DataFrame =
-    chunks.groupBy(col(partKey))
-      .agg(orderedConcat(col(chunkCol), col(textCol), sep = "\n").as("rollup_text"),
-        min(col("start_id")).as("start_id"),
-        max(col("end_id")).as("end_id"))
+      textCol: String = "chunk_text", carryTimes: Boolean = false): DataFrame = {
+    val aggs = Seq(
+      orderedConcat(col(chunkCol), col(textCol), sep = "\n").as("rollup_text"),
+      min(col("start_id")).as("start_id"),
+      max(col("end_id")).as("end_id")) ++
+      (if (carryTimes) Seq(
+        min_by(col("start_time"), col(chunkCol)).as("start_time"),
+        max_by(col("end_time"), col(chunkCol)).as("end_time")) else Nil)
+    chunks.groupBy(col(partKey)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -44,38 +44,52 @@ object CouncilPipeline {
   }
 
   /** Stage 2 (summarize.py:110-156): chunk 100 segments, concat
-    * confident text, LLM-summarize each chunk, then reduce to a
-    * meeting-level rollup row (prepended, ref :148-155). */
-  def summarize(segments: DataFrame, chat: () => Enricher.ChatModel,
+    * confident text, typed-summarize each chunk (summary + key quotes +
+    * proper names — the active dspy signatures, ref :122-137), then
+    * reduce to a meeting-level rollup row (prepended, ref :148-155,
+    * with empty quotes/names and whole-meeting time/id bounds).
+    * Output is the reference's full `.summary` row: `file, chunk_id,
+    * summary, quotes, names, start_time, end_time, start_id, end_id`
+    * (ref :140-146). Segments must carry `start`/`end` (Whisper times,
+    * Schemas.Segment). */
+  def summarize(segments: DataFrame, summarizer: () => Enricher.Summarizer,
       chunkSize: Int = 100, noSpeechThresh: Double = 0.2): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val chunks = Chunking.chunkAggregate(segments, "file", "id", "text",
-      col("no_speech_prob") < noSpeechThresh, chunkSize)
+      col("no_speech_prob") < noSpeechThresh, chunkSize,
+      timeBounds = Some(("start", "end")))
       .filter(length(trim(col("chunk_text"))) >= 2)
     val summarized = chunks
       .select(col("file"), col("chunk_id"), col("chunk_text"),
-        col("start_id"), col("end_id")).as[(String, Long, String, Long, Long)]
+        col("start_time"), col("end_time"), col("start_id"), col("end_id"))
+      .as[(String, Long, String, Double, Double, Long, Long)]
       .mapPartitions { it =>
-        val lm = chat()
-        it.map { case (file, chunkId, text, s, e) =>
-          (file, chunkId, lm.complete(s"summarize: $text"), s, e)
+        val lm = summarizer()
+        it.map { case (file, chunkId, text, st, et, s, e) =>
+          val d = lm.digest(text)
+          (file, chunkId, d.summary, d.quotes, d.names, st, et, s, e)
         }
-      }.toDF("file", "chunk_id", "summary", "start_id", "end_id")
+      }.toDF("file", "chunk_id", "summary", "quotes", "names",
+        "start_time", "end_time", "start_id", "end_id")
       // referenced by both the rollup reduce and the final union;
       // caching runs the (expensive) chunk LLM pass exactly once —
       // the reference's O4 amortization, SURVEY §4.1
       .cache()
     val rollup = Chunking.rollup(
-        summarized.withColumnRenamed("summary", "chunk_text"), "file")
-      .select(col("file"), lit(-1L).as("chunk_id"), col("rollup_text"),
-        col("start_id"), col("end_id")).as[(String, Long, String, Long, Long)]
+        summarized.withColumnRenamed("summary", "chunk_text"), "file",
+        carryTimes = true)
+      .select(col("file"), col("rollup_text"),
+        col("start_time"), col("end_time"), col("start_id"), col("end_id"))
+      .as[(String, String, Double, Double, Long, Long)]
       .mapPartitions { it =>
-        val lm = chat()
-        it.map { case (file, cid, text, s, e) =>
-          (file, cid, lm.complete(s"reduce: $text"), s, e)
+        val lm = summarizer()
+        it.map { case (file, text, st, et, s, e) =>
+          (file, -1L, lm.reduce(text), Seq.empty[String], Seq.empty[String],
+            st, et, s, e)
         }
-      }.toDF("file", "chunk_id", "summary", "start_id", "end_id")
+      }.toDF("file", "chunk_id", "summary", "quotes", "names",
+        "start_time", "end_time", "start_id", "end_id")
     rollup.unionByName(summarized)
   }
 
@@ -111,14 +125,20 @@ object CouncilPipeline {
         Functions.preview(col("text")).as("content_preview"))
   }
 
-  /** Stage 4/6 (vectorize.py:105-125, article_vectorize.py): drop the
-    * rollup row, join meeting dates via derived key, flatten arrays,
-    * build ids, embed → vector-collection rows. */
+  /** Stage 4/6 (vectorize.py:75-99, article_vectorize.py): drop the
+    * rollup row and empty summaries, join meeting dates via derived
+    * key, flatten quotes/names into `'|||'`-joined strings (A3, ref
+    * :88-91 — the vector store's metadata values are flat scalars),
+    * build ids, embed → vector-collection rows with the full 8-key
+    * metadata (quotes, names, start/end times, start/end ids, file,
+    * date — ref :93-94). */
   def vectorize(summaries: DataFrame, meetings: DataFrame,
       embedder: Embedder): DataFrame = {
     val spark = summaries.sparkSession
     import spark.implicits._
-    val chunksOnly = summaries.filter(col("chunk_id") >= 0) // P11: drop rollup
+    val chunksOnly = summaries
+      .filter(col("chunk_id") >= 0)              // P11: drop rollup (ref :78)
+      .filter(length(trim(col("summary"))) > 0)  // drop empties (ref :79)
     // broadcast the MEETINGS side (bounded dimension) and stream the
     // chunk summaries — the summaries table is the one that grows
     val meetingDates = meetings.select(
@@ -130,8 +150,15 @@ object CouncilPipeline {
         Functions.idConcat(col("file"), col("start_id"), col("end_id")))
       .withColumn("embedding", emb(col("summary")))
       .select(col("id"), col("summary").as("document"),
-        map(lit("file"), col("file"),
-          lit("date"), unix_timestamp(col("date")).cast("string")).as("metadata"),
+        map(
+          lit("file"), col("file"),
+          lit("date"), unix_timestamp(col("date")).cast("string"),
+          lit("quotes"), array_join(col("quotes"), "|||"),
+          lit("names"), array_join(col("names"), "|||"),
+          lit("start_time"), col("start_time").cast("string"),
+          lit("end_time"), col("end_time").cast("string"),
+          lit("start_id"), col("start_id").cast("string"),
+          lit("end_id"), col("end_id").cast("string")).as("metadata"),
         col("embedding"))
   }
 

@@ -95,15 +95,66 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // ---- U2 stub-LLM chunk-summarize pipeline over synthesized segments ----
-    Q.noOracle("q41_enrich_summarize") { (s, d) =>
+    // ---- U2 typed-summarizer chunk pipeline over synthesized segments ----
+    // The stub summarizer's every output is SQL-reproducible (take-8
+    // tokens + sha256 digest, 4-token quote windows, capitalized-word
+    // names), so the WHOLE stage-2 shape — chunking, confidence-filtered
+    // concat, min_by/max_by time bounds, typed digest, rollup reduce,
+    // '|||' array flatten — hash-checks against DuckDB.
+    Q("q41_enrich_summarize",
+      """WITH seg AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS file,
+        |   event_id AS id, event_type AS text, value / 1000.0 AS nsp,
+        |   epoch_ms(ts) / 1000.0 AS st, epoch_ms(ts) / 1000.0 + 9.5 AS et
+        | FROM events),
+        |chunked AS (SELECT *, CAST(floor((row_number() OVER
+        |   (PARTITION BY file ORDER BY id) - 1) / 100) AS BIGINT) AS chunk_id
+        | FROM seg),
+        |chunks AS (SELECT file, chunk_id,
+        |   string_agg(CASE WHEN nsp < 0.12 THEN text END, ' ' ORDER BY id) AS chunk_text,
+        |   min(id) AS start_id, max(id) AS end_id,
+        |   min_by(st, id) AS start_time, max_by(et, id) AS end_time
+        | FROM chunked GROUP BY file, chunk_id),
+        |kept AS (SELECT * FROM chunks
+        | WHERE length(trim(coalesce(chunk_text, ''))) >= 2),
+        |digested AS (SELECT file, chunk_id,
+        |   array_to_string(list_append(
+        |     list_slice(regexp_split_to_array(trim('summarize: ' || chunk_text), '\s+'), 1, 8),
+        |     '#' || substr(sha256('summarize: ' || chunk_text), 1, 8)), ' ') AS summary,
+        |   coalesce(array_to_string(list_filter(
+        |     [array_to_string(list_slice(regexp_split_to_array(trim(chunk_text), '\s+'), 1, 4), ' '),
+        |      array_to_string(list_slice(regexp_split_to_array(trim(chunk_text), '\s+'), 5, 8), ' ')],
+        |     x -> x <> ''), '|||'), '') AS quotes,
+        |   coalesce(array_to_string(list_filter(
+        |     regexp_split_to_array(trim(chunk_text), '\s+'),
+        |     x -> regexp_full_match(x, '[A-Z][a-z]+')), '|||'), '') AS names,
+        |   start_time, end_time, start_id, end_id FROM kept),
+        |rolled AS (SELECT file,
+        |   'reduce: ' || string_agg(summary, chr(10) ORDER BY chunk_id) AS rtext,
+        |   min_by(start_time, chunk_id) AS start_time,
+        |   max_by(end_time, chunk_id) AS end_time,
+        |   min(start_id) AS start_id, max(end_id) AS end_id
+        | FROM digested GROUP BY file),
+        |rollup AS (SELECT file, CAST(-1 AS BIGINT) AS chunk_id,
+        |   array_to_string(list_append(
+        |     list_slice(regexp_split_to_array(trim(rtext), '\s+'), 1, 8),
+        |     '#' || substr(sha256(rtext), 1, 8)), ' ') AS summary,
+        |   '' AS quotes, '' AS names, start_time, end_time, start_id, end_id
+        | FROM rolled)
+        |SELECT * FROM rollup UNION ALL SELECT * FROM digested
+        |ORDER BY file, chunk_id""".stripMargin) { (s, d) =>
       val segments = events(s, d).select(
         concat(lit("u"), col("user_id").cast("string")).as("file"),
         col("event_id").as("id"),
         col("event_type").as("text"),
-        (col("value") / 1000.0).as("no_speech_prob"))
-      CouncilPipeline.summarize(segments, () => new Enricher.StubChatModel,
+        (col("value") / 1000.0).as("no_speech_prob"),
+        (col("ts_ms") / 1000.0).as("start"),
+        (col("ts_ms") / 1000.0 + 9.5).as("end"))
+      CouncilPipeline.summarize(segments, () => new Enricher.StubSummarizer,
           chunkSize = 100, noSpeechThresh = 0.12)
+        .select(col("file"), col("chunk_id"), col("summary"),
+          array_join(col("quotes"), "|||").as("quotes"),
+          array_join(col("names"), "|||").as("names"),
+          col("start_time"), col("end_time"), col("start_id"), col("end_id"))
         .orderBy(col("file"), col("chunk_id"))
     },
   )

@@ -46,21 +46,21 @@ class EndToEndSpec extends AnyFunSuite {
       .json(s"$root/segments") // partition column `file` recovered from layout
     assert(segsBack.select("file").distinct().count() == 2)
 
-    // -- stage 2: chunk-summarize with the stub LLM
+    // -- stage 2: chunk-summarize with the typed stub summarizer
     val summaries = CouncilPipeline.summarize(
-      segsBack.select("file", "id", "text", "no_speech_prob"),
-      () => new Enricher.StubChatModel, chunkSize = 50)
+      segsBack.select("file", "id", "text", "no_speech_prob", "start", "end"),
+      () => new Enricher.StubSummarizer, chunkSize = 50)
     Sinks.writePerEntity(summaries, "file", s"$root/summaries")
     val sumBack = spark.read
-      .schema("chunk_id LONG, summary STRING, start_id LONG, end_id LONG")
+      .schema("chunk_id LONG, summary STRING, quotes ARRAY<STRING>, " +
+        "names ARRAY<STRING>, start_time DOUBLE, end_time DOUBLE, " +
+        "start_id LONG, end_id LONG")
       .json(s"$root/summaries")
     // 120 segs / 50 → 3 chunks + 1 rollup per meeting
     assert(sumBack.groupBy("file").count().collect().forall(_.getLong(1) == 4))
 
     // -- stage 4: vectorize into the parquet collection (MERGE by id)
-    val coll = CouncilPipeline.vectorize(
-      sumBack.select("file", "chunk_id", "summary", "start_id", "end_id"),
-      meetingsBack, embedder)
+    val coll = CouncilPipeline.vectorize(sumBack, meetingsBack, embedder)
     Sinks.mergeInto(spark, s"$root/collection", coll, Seq("id"))
 
     // -- stage 5: crawl articles, write frontmatter blobs, re-read (S6)

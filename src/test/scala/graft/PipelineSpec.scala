@@ -65,17 +65,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(PipelineSpec.asrCalls.get() == callsAfterFirst)
   }
 
-  test("stage2: summarize emits rollup row (-1) plus chunk rows in order") {
-    val segs = (1 to 250).map(i =>
-      ("m2.mp4", i.toLong, s"word$i", 0.05)).toDF("file", "id", "text", "no_speech_prob")
-    val out = CouncilPipeline.summarize(segs, () => new Enricher.StubChatModel,
+  test("stage2: summarize emits the full .summary row — rollup (-1) + chunks") {
+    // Capitalized tokens ("Smith", "Jones") stand in for proper names;
+    // times are per-segment [10i, 10i+9.5] so chunk bounds are exact.
+    val segs = (1 to 250).map { i =>
+      val tok = if (i % 100 == 1) "Smith" else if (i % 100 == 2) "Jones" else s"word$i"
+      ("m2.mp4", i.toLong, tok, 0.05, i * 10.0, i * 10.0 + 9.5)
+    }.toDF("file", "id", "text", "no_speech_prob", "start", "end")
+    val out = CouncilPipeline.summarize(segs, () => new Enricher.StubSummarizer,
       chunkSize = 100).orderBy("chunk_id").collect()
-    assert(out.map(_.getLong(1)).toSeq == Seq(-1L, 0L, 1L, 2L))
-    assert(out.forall(_.getString(2).nonEmpty))
+    assert(out.map(_.getAs[Long]("chunk_id")).toSeq == Seq(-1L, 0L, 1L, 2L))
+    assert(out.forall(_.getAs[String]("summary").nonEmpty))
     val rollup = out.head
     assert(rollup.getAs[Long]("start_id") == 1L)
     assert(rollup.getAs[Long]("end_id") == 250L)
-    assert(rollup.getString(2).startsWith("reduce:"))
+    // ref summarize.py:151-152: rollup bounds span the whole meeting
+    assert(rollup.getAs[Double]("start_time") == 10.0)
+    assert(rollup.getAs[Double]("end_time") == 2509.5)
+    // ref :149-150: rollup carries empty quotes/names
+    assert(rollup.getAs[scala.collection.Seq[String]]("quotes").isEmpty)
+    assert(rollup.getAs[scala.collection.Seq[String]]("names").isEmpty)
+    assert(rollup.getAs[String]("summary").startsWith("reduce:"))
+    // chunk 0 covers segments 1..100 → times [10, 1009.5], names picked
+    // up by the capitalized-word extraction, quotes = leading windows
+    val c0 = out(1)
+    assert(c0.getAs[Double]("start_time") == 10.0)
+    assert(c0.getAs[Double]("end_time") == 1009.5)
+    assert(c0.getAs[scala.collection.Seq[String]]("names") == Seq("Smith", "Jones"))
+    val quotes = c0.getAs[scala.collection.Seq[String]]("quotes")
+    assert(quotes.length == 2 && quotes.head.startsWith("Smith Jones word"))
   }
 
   test("stage5: crawl dedups seen, filters short/irrelevant, projects record") {
@@ -94,19 +112,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(urls == Set("https://n.example/a2-council"))
   }
 
-  test("stage4+query: vectorize joins dates, builds ids, search finds self") {
+  test("stage4+query: vectorize flattens '|||' metadata, builds ids, search finds self") {
     val summaries = Seq(
-      ("m1.mp4", 0L, "budget discussion alpha", 1L, 100L),
-      ("m1.mp4", -1L, "ROLLUP", 1L, 100L),
-      ("m2.mp4", 0L, "zoning appeal beta", 1L, 90L))
-      .toDF("file", "chunk_id", "summary", "start_id", "end_id")
+      ("m1.mp4", 0L, "budget discussion alpha",
+        Seq("quote one", "quote two"), Seq("Smith"), 10.0, 99.5, 1L, 100L),
+      ("m1.mp4", -1L, "ROLLUP", Seq.empty[String], Seq.empty[String], 10.0, 99.5, 1L, 100L),
+      ("m1.mp4", 1L, "   ", Seq.empty[String], Seq.empty[String], 100.0, 120.0, 101L, 110L),
+      ("m2.mp4", 0L, "zoning appeal beta",
+        Seq.empty[String], Seq.empty[String], 0.0, 50.0, 1L, 90L))
+      .toDF("file", "chunk_id", "summary", "quotes", "names",
+        "start_time", "end_time", "start_id", "end_id")
     val embedder = new HashEmbedder(dim = 64)
     val coll = CouncilPipeline.vectorize(summaries, meetings, embedder)
     val rows = coll.orderBy("id").collect()
-    assert(rows.length == 2) // rollup dropped (P11)
+    assert(rows.length == 2) // rollup AND blank summary dropped (ref :78-79)
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("m1.mp4:1:100", "m2.mp4:1:90"))
-    assert(rows.head.getMap[String, String](2)("file") == "m1.mp4")
+    // full 8-key chroma-style metadata with '|||'-flattened arrays (A3)
+    val meta = rows.head.getMap[String, String](2)
+    assert(meta("file") == "m1.mp4")
+    assert(meta("quotes") == "quote one|||quote two")
+    assert(meta("names") == "Smith")
+    assert(meta("start_time") == "10.0" && meta("end_time") == "99.5")
+    assert(meta("start_id") == "1" && meta("end_id") == "100")
+    assert(meta.contains("date") && meta.size == 8)
     val hit = CouncilPipeline.searchCollection(coll, embedder,
       "budget discussion alpha", 1).head
     assert(hit.getString(0) == "m1.mp4:1:100" && hit.getDouble(1) == 1.0)

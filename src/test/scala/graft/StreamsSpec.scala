@@ -49,7 +49,8 @@ class StreamsSpec extends AnyFunSuite {
     // one parquet file per meeting → maxFilesPerTrigger=1 gives one
     // meeting per micro-batch (the cron-tick analog)
     def segs(file: String) = (1 to 120).map(i =>
-      (file, i.toLong, s"w$i", 0.05)).toDF("file", "id", "text", "no_speech_prob")
+      (file, i.toLong, s"w$i", 0.05, i * 10.0, i * 10.0 + 9.5))
+      .toDF("file", "id", "text", "no_speech_prob", "start", "end")
     segs("m1").coalesce(1).write.parquet(s"$dir/in/f=1")
     segs("m2").coalesce(1).write.parquet(s"$dir/in/f=2")
     val stream = Streams.fileStream(spark, s"$dir/in/*/", segs("x").schema,
@@ -60,7 +61,7 @@ class StreamsSpec extends AnyFunSuite {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val summarized = graft.pipeline.CouncilPipeline.summarize(
-            batch, () => new graft.enrich.Enricher.StubChatModel, chunkSize = 50)
+            batch, () => new graft.enrich.Enricher.StubSummarizer, chunkSize = 50)
           graft.io.Sinks.mergeInto(batch.sparkSession, s"$dir/state",
             summarized, Seq("file", "chunk_id"))
           ()
