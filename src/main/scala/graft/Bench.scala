@@ -16,7 +16,11 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink evaluates EVERY output column (a count() lets Catalyst
+      // prune unreferenced projections, under-measuring scan+project
+      // queries); it still runs fully distributed with no driver collect
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // caches are per-query intermediates (LSH signatures etc.);
       // clear so queries are timed in isolation
