@@ -68,22 +68,19 @@ object NearDup {
     * join is an equi-join on the band key — shuffle-partitioned,
     * skew-safe (bands are near-unique for non-duplicates).
     *
-    * Cache ownership: the signature table is `cache()`d here (the
-    * self-join would otherwise recompute the shingle→hash→min pipeline
-    * per side). The entry stays pinned for the session — callers
-    * running LSH repeatedly over changing batches should
-    * `spark.catalog.clearCache()` (or unpersist) between batches, as
-    * graft.Bench does. */
+    * No cache: the signature subtree ends in the groupBy exchange, and
+    * every reference (each band arm, both join sides) shares that
+    * identical subplan — Spark's ReusedExchange materializes the
+    * shuffle files once and re-reads them per consumer, so the
+    * shingle→sha→min pipeline runs once WITHOUT pinning executor
+    * memory. At 100 TB that beats cache(): shuffle files spill to disk
+    * by design and nothing leaks into a long-lived session. */
   def lshCandidatePairs(sigs: DataFrame, id: String,
       numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    // cache the signatures (one row per doc): the band union reads them
-    // once per band and the self-join once per side — without this the
-    // whole shingle→sha→min pipeline recomputes 4×
-    val s = sigs.cache()
     val bands = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
-      s.select(col(id).as("__id"),
+      sigs.select(col(id).as("__id"),
         concat_ws("|", lit(b.toString) +: cols: _*).as("__band"))
     }.reduce(_.unionByName(_))
     val a = bands.as("a")
@@ -111,16 +108,34 @@ object NearDup {
       .select(col(id), sh.cast("long").as("simhash"))
   }
 
+  /** Enforce the bounded-candidate-set contract of the O(n²) pairwise
+    * operators: a mis-wired call on a raw corpus must fail fast with
+    * guidance, not launch a cartesian-scale job. The count is one cheap
+    * job over the (bounded) input — negligible next to the n² work it
+    * gates. */
+  private def requireBounded(df: DataFrame, op: String, maxCandidates: Long): Unit = {
+    require(maxCandidates > 0, s"$op: maxCandidates must be positive")
+    val n = df.count()
+    require(n <= maxCandidates,
+      s"$op: candidate set has $n rows > maxCandidates=$maxCandidates. " +
+        "These pairwise operators are post-LSH refiners — bucket with " +
+        "lshCandidatePairs / Similarity.withLshBucket first, or raise " +
+        "maxCandidates explicitly if the O(n^2) cost is intended.")
+  }
+
   /** Pairwise token-set Jaccard over a bounded candidate set (use LSH
-    * upstream at scale). Exact-integer intersection/union counts; one
-    * double division at the end. */
+    * upstream at scale; inputs larger than `maxCandidates` are
+    * rejected). Exact-integer intersection/union counts; one double
+    * division at the end. */
   def jaccardPairs(df: DataFrame, id: String, text: Column,
-      minJaccard: Double): DataFrame = {
-    // cached: the candidate set is bounded by contract, and the plan
-    // below references w on both sides of the self-join plus twice for
-    // sizes — 5 recomputes without it
+      minJaccard: Double, maxCandidates: Long = 10000L): DataFrame = {
+    requireBounded(df, "jaccardPairs", maxCandidates)
+    // no cache: the distinct's exchange is the subtree every reference
+    // below shares (both self-join sides, both size lookups) — Spark's
+    // ReusedExchange replays the shuffle files instead of recomputing,
+    // with nothing pinned after the query completes
     val w = df.select(col(id).as("__id"), explode(tokens(text)).as("__word"))
-      .distinct().cache()
+      .distinct()
     val sz = w.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val inter = w.as("x")
       .join(w.as("y"), col("x.__word") === col("y.__word") && col("x.__id") < col("y.__id"))
@@ -142,9 +157,11 @@ object NearDup {
 
   /** Embedding near-dup pairs over a bounded candidate set: all pairs
     * with cosine >= threshold. O(n²) — gate with LSH buckets
-    * (vector.Similarity) before calling this at scale. */
+    * (vector.Similarity) before calling this at scale; inputs larger
+    * than `maxCandidates` are rejected. */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxCandidates: Long = 10000L): DataFrame = {
+    requireBounded(df, "cosineNearDupPairs", maxCandidates)
     val a = df.select(col(id).as("id_a"), vec.as("__va"))
     val b = df.select(col(id).as("id_b"), vec.as("__vb"))
     val cos = cosine(col("__va"), col("__vb"))

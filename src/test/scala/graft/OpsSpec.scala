@@ -173,6 +173,25 @@ class OpsSpec extends AnyFunSuite {
     assert(aggBmp == compBmp && aggBmp == "！ 😀")
   }
 
+  test("pairwise ops reject unbounded candidate sets (maxCandidates guard)") {
+    val big = spark.range(0, 50).select(col("id").as("doc_id"),
+      concat(lit("text "), col("id")).as("text"))
+    val eJ = intercept[IllegalArgumentException] {
+      NearDup.jaccardPairs(big, "doc_id", col("text"), 0.5, maxCandidates = 10)
+    }
+    assert(eJ.getMessage.contains("lshCandidatePairs"))
+    val vecs = spark.range(0, 50).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(2.0f)).as("embedding"))
+    val eC = intercept[IllegalArgumentException] {
+      NearDup.cosineNearDupPairs(vecs, "vec_id", col("embedding"), 0.9,
+        maxCandidates = 10)
+    }
+    assert(eC.getMessage.contains("O(n^2)"))
+    // at-the-bound passes
+    assert(NearDup.jaccardPairs(big.limit(10), "doc_id", col("text"), 0.0,
+      maxCandidates = 10).columns.contains("jaccard"))
+  }
+
   test("jaccard exact value on crafted token sets") {
     val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     val out = NearDup.jaccardPairs(df, "doc_id", col("text"), 0.0).head

@@ -70,4 +70,24 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 2, s"unexpected shuffle count $exchanges:\n${p.take(1200)}")
   }
+
+  test("LSH pairs reuse the signature exchange; no cache pinned after run") {
+    spark.catalog.clearCache()
+    val p = plan("q14_lsh_neardup_pairs")
+    // the shingle→sha→min signature pipeline must run ONCE: every band
+    // arm / join side replays the groupBy shuffle via ReusedExchange
+    assert(p.contains("ReusedExchange"), p.take(1500))
+    assert(!p.contains("InMemoryTableScan"), "no cache in the LSH plan")
+    // and nothing stays pinned in the session after the query completes
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "LSH left a cached relation pinned after materialization")
+  }
+
+  test("pairwise jaccard leaves no cache pinned; exchange reused across self-join") {
+    spark.catalog.clearCache()
+    val p = plan("q16_jaccard_pairs")
+    assert(p.contains("ReusedExchange"), p.take(1500))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "jaccardPairs left a cached relation pinned after materialization")
+  }
 }
