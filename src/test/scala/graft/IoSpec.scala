@@ -44,6 +44,30 @@ class IoSpec extends AnyFunSuite {
     assert(r.getAs[String]("filename") == "a1.md")
   }
 
+  test("K2/K3 writePerEntity: one directory per entity, key recovered on read") {
+    // ref transcribe_council.py:88-89 — one transcript file per video;
+    // the distributed analog is a partitioned write: file=<entity>/ dirs
+    val dir = TestSpark.tempDir("perent")
+    val segs = Seq(
+      ("m1.mp4", 0L, "alpha"), ("m1.mp4", 1L, "beta"), ("m2.mp4", 0L, "gamma"))
+      .toDF("file", "id", "text")
+    Sinks.writePerEntity(segs, "file", s"$dir/segments")
+    // layout: each entity has its own directory, nothing else at top level
+    val dirs = new java.io.File(s"$dir/segments").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("file=m1.mp4", "file=m2.mp4"))
+    // round-trip: partition column comes back from the layout, rows intact
+    val back = spark.read
+      .schema("id LONG, text STRING").json(s"$dir/segments")
+    assert(back.columns.contains("file"))
+    assert(back.orderBy("file", "id").collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("id"), r.getAs[String]("text"))).toSeq
+      == Seq(("m1.mp4", 0L, "alpha"), ("m1.mp4", 1L, "beta"), ("m2.mp4", 0L, "gamma")))
+    // overwrite mode: a rewrite replaces, not appends
+    Sinks.writePerEntity(segs.filter(col("file") === "m1.mp4"), "file", s"$dir/segments")
+    assert(spark.read.schema("id LONG, text STRING").json(s"$dir/segments").count() == 2)
+  }
+
   test("K1 overwriteInPlace supports read-then-rewrite of same path") {
     val dir = TestSpark.tempDir("state")
     val path = s"$dir/state"
