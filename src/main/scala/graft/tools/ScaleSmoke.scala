@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{NearDup, Chunking}
+
+/** Scale-cliff smoke: replicates sf0.1 tables in-memory (id-offset
+  * unions — no writes outside the repo) and times the cliff-risk
+  * pipelines at 1× and 10×. A healthy operator scales ≈ linearly in
+  * rows; a super-linear jump flags a join/candidate-set blowup the
+  * small-SF bench can't see (q14 distinct volume, q36 window state,
+  * q34 join fan-in). Run: `sbt "runMain graft.tools.ScaleSmoke"`. */
+object ScaleSmoke {
+
+  private def replicate(df: DataFrame, idCol: String, copies: Int,
+      offset: Long): DataFrame =
+    (0 until copies).map(k =>
+      df.withColumn(idCol, col(idCol) + lit(k * offset)))
+      .reduce(_.unionByName(_))
+
+  def main(a: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    def T(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SMOKE $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      spark.catalog.clearCache()
+    }
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val events = spark.read.parquet(s"$d/events.parquet")
+    val lineitem = spark.read.parquet(s"$d/lineitem.parquet")
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    spark.read.parquet(s"$d/lineitem.parquet").count() // warmup
+
+    for (scale <- Seq(1, 10)) {
+      val doc = replicate(docs.select("doc_id", "text"), "doc_id", scale, 10000000L)
+      // minhash signature volume (shingle explode → partial agg)
+      T(s"minhash_sig x$scale") {
+        NearDup.minhashSignaturesFast(doc, "doc_id", col("text"))
+          .write.format("noop").mode("overwrite").save(); doc.count()
+      }
+      // LSH candidate pairs: the distinct-pairs volume grows with dup
+      // density — replicated copies are mutual near-dups, the worst case
+      val base = NearDup.withMutatedCopies(doc, "doc_id", "text")
+      T(s"lsh_pairs x$scale") {
+        val sigs = NearDup.minhashSignaturesFast(base, "doc_id", col("text"))
+        val p = NearDup.lshCandidatePairs(sigs, "doc_id")
+        p.write.format("noop").mode("overwrite").save(); 0L
+      }
+      // windowed sessionize shape (q36): window state per user
+      val ev = replicate(events.withColumn("ts_ms", expr("ts div 1000000")),
+        "user_id", scale, 1000000L)
+      T(s"window_family x$scale") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts_ms")
+        ev.withColumn("prev", lag("ts_ms", 1).over(w))
+          .withColumn("gap", col("ts_ms") - col("prev"))
+          .withColumn("sess", sum(when(col("gap") > 1800000 || col("gap").isNull, 1)
+            .otherwise(0)).over(w))
+          .groupBy("user_id", "sess").agg(count(lit(1)).as("n"),
+            min("ts_ms").as("t0"), max("ts_ms").as("t1"))
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
+      // join+agg shape (q34): lineitem⋈orders shuffle join + top-k
+      val li = replicate(lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey", scale, 100000000L)
+      val or = replicate(orders.select("o_orderkey", "o_orderdate"), "o_orderkey",
+        scale, 100000000L)
+      T(s"join_topk x$scale") {
+        li.join(or, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderdate")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .orderBy(desc("rev")).limit(10)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
+      // chunk-summarize shape (q09): window + ordered concat agg
+      val seg = replicate(events.select(col("user_id"), col("event_id").as("id"),
+        col("event_type").as("text"), (col("value") / 1000.0).as("nsp")),
+        "user_id", scale, 1000000L)
+      T(s"chunk_agg x$scale") {
+        Chunking.chunkAggregate(seg.withColumn("file", col("user_id").cast("string")),
+          "file", "id", "text", col("nsp") < 0.12, 100)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
+    }
+    spark.stop()
+  }
+}
