@@ -83,7 +83,20 @@ object PipelineQueries {
     },
 
     // ---- multimodal decode stub: per-partition decoder, frame explode ----
-    Q.noOracle("q40_multimodal_decode") { (s, d) =>
+    // The stub decoder is sha256-derived (format sniff + digest-based
+    // dimensions + length-based duration), so the decode → frame-sample
+    // → aggregate pipeline reproduces exactly in DuckDB.
+    Q("q40_multimodal_decode",
+      """WITH dec AS (SELECT doc_id,
+        |   CASE WHEN substr(text, 1, 1) = 'P' THEN 'ppm' ELSE 'raw' END AS format,
+        |   CAST(64 + ((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)) * 4
+        |     AS INTEGER) AS width,
+        |   octet_length(encode(text)) * 10 AS duration_ms
+        | FROM documents)
+        |SELECT doc_id, format, width,
+        | CAST(greatest(duration_ms - 1, 0) // 1000 + 1 AS BIGINT) AS n_frames
+        |FROM dec ORDER BY doc_id""".stripMargin) { (s, d) =>
       val withPayload = t(s, d, "documents")
         .withColumn("payload", col("text").cast("binary"))
       val decoded = Multimodal.withDecodedMeta(withPayload, "payload",

@@ -37,8 +37,39 @@ object VectorQueries {
     // ---- feature-hash embedding of the documents table (V1 stub) ----
     // Scalar digests only — the driver's pandas compare can't sort a raw
     // float-array column, so the vector itself stays out of the frame;
-    // dim / L2-norm / nonzero-count / self-cosine pin the embedding.
-    Q.noOracle("q19_embed_hash") { (s, d) =>
+    // dim / element-sum / nonzero-count / self-cosine pin the embedding.
+    // The sha256 token hashing makes the vectors engine-reproducible:
+    // the oracle rebuilds index/sign slices, float-rounds the normalize
+    // step (CAST AS FLOAT = IEEE single, same as the JVM), and matches
+    // the digests exactly.
+    Q("q19_embed_hash",
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        | FROM documents),
+        |h AS (SELECT doc_id, sha256('42:' || tk) AS hh FROM tok WHERE tk <> ''),
+        |c AS (SELECT doc_id,
+        |   ((strpos('0123456789abcdef', substr(hh,1,1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(hh,2,1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(hh,3,1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(hh,4,1)) - 1)) % 64 AS idx,
+        |   CASE WHEN (strpos('0123456789abcdef', substr(hh,5,1)) - 1) % 2 = 0
+        |        THEN 1 ELSE -1 END AS sgn
+        | FROM h),
+        |v AS (SELECT doc_id, idx, CAST(SUM(sgn) AS DOUBLE) AS vv
+        | FROM c GROUP BY doc_id, idx),
+        |n AS (SELECT doc_id, sqrt(SUM(vv*vv)) AS nrm FROM v GROUP BY doc_id),
+        |x AS (SELECT v.doc_id,
+        |   CAST(CAST(vv AS FLOAT) * CAST(1.0 / nrm AS FLOAT) AS FLOAT) AS xv
+        | FROM v JOIN n USING (doc_id) WHERE nrm > 0),
+        |a AS (SELECT doc_id, round(SUM(CAST(xv AS DOUBLE)), 4) AS vec_sum,
+        |   CAST(COUNT(*) FILTER (xv <> 0) AS INTEGER) AS nnz
+        | FROM x GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(64 AS INTEGER) AS dim,
+        | coalesce(a.vec_sum, 0.0) AS vec_sum,
+        | coalesce(a.nnz, 0) AS nnz,
+        | CASE WHEN a.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS self_cos
+        |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val embedded = Embed.withEmbedding(
         t(s, d, "documents"), col("text"), new HashEmbedder(dim = 64))
       embedded.select(col("doc_id"),

@@ -15,28 +15,26 @@ trait Embedder extends Serializable {
   def embed(text: String): Array[Float]
 }
 
-/** Feature-hashing embedder: token → (index, sign) from a splitmix64
-  * of the token hash; L2-normalized. Deterministic across JVMs
-  * (String.hashCode is spec-fixed). */
+/** Feature-hashing embedder: token → (index, sign) from sha256 of
+  * "seed:token"; L2-normalized. sha-derived (not JVM-hash), so any
+  * engine reproduces the vectors bit-for-bit — index = first 16 bits
+  * of the digest mod dim, sign = parity of the fifth hex nibble
+  * (both slices plain-SQL decodable, see q19's oracle). */
 final class HashEmbedder(val dim: Int = 384, seed: Long = 42L) extends Embedder {
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
   override def embed(text: String): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
     val v = new Array[Float](dim)
     val toks = if (text == null) Array.empty[String]
       else text.toLowerCase.trim.split("\\s+")
     var i = 0
     while (i < toks.length) {
       if (toks(i).nonEmpty) {
-        val h = splitmix64(toks(i).hashCode.toLong ^ seed)
-        val idx = java.lang.Math.floorMod(h, dim.toLong).toInt
-        val sign = if (((h >>> 32) & 1L) == 0L) 1f else -1f
+        val d = md.digest(s"$seed:${toks(i)}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val u16 = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+        val idx = u16 % dim
+        val sign = if (((d(2) >> 4) & 1) == 0) 1f else -1f
         v(idx) += sign
       }
       i += 1
