@@ -68,6 +68,43 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.schema("id LONG, text STRING").json(s"$dir/segments").count() == 2)
   }
 
+  test("S10 fetchBlobs: deterministic payloads, dead-letter rows, feeds multimodal") {
+    val urls = Seq("https://c/v/m1.mp4", "https://c/v/m2.mp4",
+      "https://c/v/unreachable.mp4").toDF("video")
+    val out = graft.io.Fetch.fetchBlobs(urls, col("video"),
+      () => new graft.io.Fetch.StubBlobFetcher(64))
+    val rows = out.orderBy("url").collect()
+    assert(rows.length == 3)
+    // exactly one of payload/fetch_error set per row
+    assert(rows.forall(r =>
+      (r.getAs[Array[Byte]]("payload") == null) != (r.getAs[String]("fetch_error") == null)))
+    val dead = rows.filter(_.getAs[String]("fetch_error") != null)
+    assert(dead.map(_.getAs[String]("url")).toSeq == Seq("https://c/v/unreachable.mp4"))
+    // deterministic: same url → same bytes on a re-run
+    val again = graft.io.Fetch.fetchBlobs(urls, col("video"),
+      () => new graft.io.Fetch.StubBlobFetcher(64)).orderBy("url").collect()
+    assert(rows.head.getAs[Array[Byte]]("payload").toSeq
+      == again.head.getAs[Array[Byte]]("payload").toSeq)
+    // the payload column plugs straight into the multimodal decode path
+    val decoded = graft.multimodal.Multimodal.withDecodedMeta(
+      out.filter(col("fetch_error").isNull), "payload",
+      () => new graft.multimodal.Multimodal.StubDecoder)
+    assert(decoded.select("media_meta.duration_ms").collect()
+      .forall(_.getLong(0) == 640L)) // 64 bytes × 10
+  }
+
+  test("S10 throttle: partition-local rate cap bounds fetch throughput") {
+    // 6 urls, 1 partition, 20/s cap → ≥ 5 inter-fetch gaps of 50 ms
+    val urls = (1 to 6).map(i => s"https://c/v/m$i.mp4").toDF("video")
+      .coalesce(1)
+    val t0 = System.nanoTime()
+    graft.io.Fetch.fetchBlobs(urls, col("video"),
+      () => new graft.io.Fetch.StubBlobFetcher(16),
+      maxPerSecond = Some(20.0)).count()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 250, s"throttle not applied: ${elapsedMs}ms for 6 fetches")
+  }
+
   test("K1 overwriteInPlace supports read-then-rewrite of same path") {
     val dir = TestSpark.tempDir("state")
     val path = s"$dir/state"
