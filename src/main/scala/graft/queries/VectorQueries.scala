@@ -1,13 +1,13 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.vector.{Embed, HashEmbedder, Similarity}
+import graft.vector.{Embed, HashEmbedder, Ivf, Similarity}
 import Q.t
 
-/** Similarity-search / embedding queries (SURVEY.md §2.10).
-  * q18 is oracle-checked (double-precision unnest reduction in DuckDB);
-  * the hash-embedder and LSH-ANN paths are JVM-hash based → rows-only
-  * driver check, with recall/parity covered in ScalaTest instead.
+/** Similarity-search / embedding queries (SURVEY.md §2.10) — all four
+  * paths fully oracle-checked: every hash in the stack (feature-hash
+  * embedder tokens, LSH hyperplane signs) is sha256-derived, so DuckDB
+  * reproduces embeddings, buckets, cells, and scores bit-for-bit.
   */
 object VectorQueries {
 
@@ -115,6 +115,43 @@ object VectorQueries {
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         queryVec(s, d, 0), 10, nPlanes = 4)
+    },
+
+    // ---- IVF-ANN: nearest-centroid cells, probe-pruned top-k ----
+    // Fixed centroids (the k=8 smallest vec_ids) keep the cell
+    // assignment SQL-reproducible; the TRAINED path (Ivf
+    // .trainCentroids k-means) is covered by IvfSpec instead. Double
+    // (not float) distance arithmetic on both sides → exact parity.
+    Q("q58_ivf_ann",
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+        |       FROM embeddings WHERE vec_id < 8),
+        |vu AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |cu AS (SELECT cid, CAST(unnest(cemb) AS DOUBLE) AS cx,
+        |       generate_subscripts(cemb, 1) AS i FROM cent),
+        |dist AS (SELECT vec_id, cid, SUM((x - cx) * (x - cx)) AS d2
+        |       FROM vu JOIN cu USING (i) GROUP BY vec_id, cid),
+        |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |       FROM dist) WHERE rn = 1),
+        |qprobe AS (SELECT cid FROM (SELECT cid,
+        |         row_number() OVER (ORDER BY d2, cid) AS rn
+        |       FROM dist WHERE vec_id = 0) WHERE rn <= 2),
+        |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings
+        |       WHERE vec_id IN (SELECT vec_id FROM cell
+        |                        WHERE cid IN (SELECT cid FROM qprobe))),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        | round(SUM(x*qx) / (sqrt(SUM(x*x)) * sqrt(SUM(qx*qx))), 6) AS score
+        |FROM u JOIN q USING (i) GROUP BY vec_id
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+      Ivf.ivfTopK(emb, "vec_id", "embedding", queryVec(s, d, 0), 10,
+        cents, nProbe = 2)
     },
   )
 }

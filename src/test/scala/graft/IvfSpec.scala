@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.vector.{Ivf, Similarity}
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 3 well-separated planted clusters + the query near cluster 0. */
+  private def clustered = {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(3)(Array.fill(dim)(rnd.nextFloat() * 10 - 5))
+    val rows = for {
+      c <- 0 until 3
+      j <- 0 until 40
+    } yield ((c * 100 + j).toLong,
+      centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    (rows.toDF("vec_id", "embedding"), centers)
+  }
+
+  test("trainCentroids recovers planted clusters; assignment is pure") {
+    val (df, centers) = clustered
+    val cents = Ivf.trainCentroids(df, "vec_id", "embedding", k = 3, iters = 4)
+    // each trained centroid sits near exactly one planted center
+    val matched = centers.map { c =>
+      cents.map { t =>
+        math.sqrt(t.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.min
+    }
+    assert(matched.forall(_ < 0.5), s"centroid drift: ${matched.toSeq}")
+    // every member lands in its own cluster's cell (pure partition)
+    val assigned = Ivf.assignCells(df, col("embedding"), cents)
+      .select(col("vec_id"), col("ivf_cell")).collect()
+      .map(r => (r.getLong(0) / 100, r.getInt(1)))
+    val cellsPerCluster = assigned.groupBy(_._1).map { case (_, xs) =>
+      xs.map(_._2).distinct.size }
+    assert(cellsPerCluster.forall(_ == 1))
+  }
+
+  test("ivfTopK: full recall on clustered data with 1 probe of 3 cells") {
+    val (df, centers) = clustered
+    val cents = Ivf.trainCentroids(df, "vec_id", "embedding", k = 3, iters = 4)
+    val query = centers(0).map(_ + 0.01f)
+    val exact = Similarity.topK(df, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Ivf.ivfTopK(df, "vec_id", "embedding", query, 10, cents, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == exact, "1-probe IVF must equal exact on separated clusters")
+  }
+
+  test("ivfTopK with nProbe = k degenerates to exact brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 3).head.getSeq[Float](1).toArray
+    val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val exact = Similarity.topK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val all = Ivf.ivfTopK(emb, "vec_id", "embedding", q, 10, cents, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all == exact)
+  }
+
+  test("empty-cell fallback: k larger than distinct points keeps previous centroid") {
+    val tiny = Seq((0L, Array(0f, 0f)), (1L, Array(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val cents = Ivf.trainCentroids(tiny, "vec_id", "embedding", k = 2, iters = 3)
+    assert(cents.length == 2)
+    assert(cents.forall(_.forall(x => !x.isNaN)))
+  }
+}
