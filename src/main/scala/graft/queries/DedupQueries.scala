@@ -111,6 +111,29 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ---- benchmark decontamination: train/eval word-trigram overlap ----
+    // Deterministic split: doc_id % 97 == 0 plays the benchmark set;
+    // report = corpus docs sharing >=1 distinct trigram, with counts.
+    Q("q59_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        | FROM documents
+        | WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        | FROM w),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM sh JOIN bench USING (s)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.ops.Decontaminate.contaminationReport(
+          docs.filter(col("doc_id") % 97 =!= 0), "doc_id", col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), n = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- embedding-cosine near-dup pairs on a bounded candidate set ----
     Q("q17_embed_neardup",
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

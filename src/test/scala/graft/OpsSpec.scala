@@ -173,6 +173,26 @@ class OpsSpec extends AnyFunSuite {
     assert(aggBmp == compBmp && aggBmp == "！ 😀")
   }
 
+  test("decontaminate: flags exact n-gram leaks, keeps clean docs, drops by threshold") {
+    val bench = Seq((100L, "the capital of france is paris"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we visited the capital of france last year"), // shares 2 trigrams
+      (2L, "is paris burning tonight"),                    // bigram overlap only
+      (3L, "completely unrelated text about zoning"),
+      (4L, "capital of france is paris obviously"))        // shares 3 trigrams
+      .toDF("doc_id", "text")
+    val report = graft.ops.Decontaminate.contaminationReport(
+        corpus, "doc_id", col("text"), bench, col("text"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(report == Map(1L -> 2L, 4L -> 3L),
+      s"unexpected report: $report")
+    val kept = graft.ops.Decontaminate.decontaminate(
+        corpus, "doc_id", col("text"), bench, col("text"), n = 3, minShared = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L)) // only doc 4 crosses the 3-shingle bar
+  }
+
   test("pairwise ops reject unbounded candidate sets (maxCandidates guard)") {
     val big = spark.range(0, 50).select(col("id").as("doc_id"),
       concat(lit("text "), col("id")).as("text"))
