@@ -108,6 +108,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- sequence packing: fixed token-budget packs by global order ----
+    // Spark side is the distributed prefix sum (no single-task window);
+    // the oracle is the equivalent global window cumsum in DuckDB.
+    Q("q60_pack_sequences",
+      """WITH d AS (SELECT doc_id,
+        |   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+        | FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |   coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM d)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(prefix AS BIGINT) AS prefix_tokens,
+        | CAST(prefix // 2048 AS BIGINT) AS pack_id
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packByTokenBudget(docs, Seq(col("doc_id")),
+          col("n_tokens"), budget = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- U2 typed-summarizer chunk pipeline over synthesized segments ----
     // The stub summarizer's every output is SQL-reproducible (take-8
     // tokens + sha256 digest, 4-token quote windows, capitalized-word

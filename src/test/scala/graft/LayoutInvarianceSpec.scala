@@ -27,7 +27,7 @@ class LayoutInvarianceSpec extends AnyFunSuite {
 
   Seq("q09_chunk_summarize", "q10_rollup_concat", "q11_dedup_first",
     "q29_first_per_group", "q36_sessionize", "q45_window_family",
-    "q51_global_position", "q47_asof_join").foreach { name =>
+    "q51_global_position", "q47_asof_join", "q60_pack_sequences").foreach { name =>
     test(s"$name is invariant to input file layout") {
       val single = Registry.byName(name).fn(spark, sf).collect().toSeq
       val multi = Registry.byName(name).fn(spark, multiFileDir).collect().toSeq

@@ -104,6 +104,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       ("d", None)))         // key 2: right row is in the future
   }
 
+  test("packByTokenBudget equals the single-partition window cumsum") {
+    val df = (1L to 500L).map(i => (i, 1L + (i * 7) % 40))
+      .toDF("id", "n_tokens").repartition(16)
+    val packed = graft.ops.Packing.packByTokenBudget(
+        df, Seq(col("id")), col("n_tokens"), budget = 100L)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("prefix_tokens"),
+        r.getAs[Long]("pack_id")))
+    // reference: sequential prefix sum on the driver
+    var cum = 0L
+    val expected = (1L to 500L).map { i =>
+      val tok = 1L + (i * 7) % 40
+      val pre = cum
+      cum += tok
+      (i, pre, pre / 100L)
+    }
+    assert(packed.toSeq == expected)
+    // packs are contiguous and non-decreasing
+    assert(packed.map(_._3).sliding(2).forall(p => p(1) - p(0) >= 0))
+  }
+
   test("global position equals single-partition row_number semantics") {
     // disable AQE partition coalescing: with it on, small test data
     // collapses to ONE partition and would hide multi-partition bugs
