@@ -83,6 +83,14 @@ class PlanSpec extends AnyFunSuite {
       "LSH left a cached relation pinned after materialization")
   }
 
+  test("decontamination broadcasts the benchmark shingle side") {
+    // the bench set is tiny next to the corpus: AQE must pick a
+    // broadcast join for the shingle equi-join, keeping the corpus
+    // side shuffle-free at that boundary
+    val p = plan("q59_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("pairwise jaccard leaves no cache pinned; exchange reused across self-join") {
     spark.catalog.clearCache()
     val p = plan("q16_jaccard_pairs")
