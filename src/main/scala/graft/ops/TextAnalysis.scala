@@ -68,6 +68,48 @@ object TextAnalysis {
     ColumnBridge.column(RollingHash(ColumnBridge.expression(text)))
   }
 
+  /** PII patterns, ordered so more-specific shapes fire first (SSN
+    * before phone). RE2-safe (no lookaround) so the same patterns run
+    * in Java regex, DuckDB, and any RE2-based engine identically. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b" -> "<IP>")
+
+  /** PII scrub: replace emails / SSNs / phones / IPv4s with typed
+    * placeholder tokens — the standard pre-training redaction pass.
+    * A chain of codegen'd regexp_replace calls, scan-stage speed. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Count of PII matches per class (triage/reporting side). */
+  def piiCounts(text: Column): Column =
+    struct(
+      size(regexp_extract_all(text, lit(piiPatterns(0)._1), lit(0))).cast("long").as("emails"),
+      size(regexp_extract_all(text, lit(piiPatterns(1)._1), lit(0))).cast("long").as("ssns"),
+      size(regexp_extract_all(text, lit(piiPatterns(2)._1), lit(0))).cast("long").as("phones"),
+      size(regexp_extract_all(text, lit(piiPatterns(3)._1), lit(0))).cast("long").as("ips"))
+
+  /** Gopher-style repetition metrics: duplicate-token fraction and
+    * duplicate-bigram fraction (1 − distinct/total; 0 for degenerate
+    * inputs). High values flag boilerplate/spam for quality filters. */
+  def dupTokenFrac(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(w)) / size(w).cast("double"))
+  }
+
+  def dupBigramFrac(text: Column): Column = {
+    val w = tokens(text)
+    val g = NearDup.shinglesFromTokens(w, 2)
+    // guard on the TOKEN count (CaseWhen is lazy per row): under 2
+    // tokens the shingle sequence(0, size-2) would be degenerate —
+    // never evaluate it
+    when(size(w) < 2, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g)) / size(g).cast("double"))
+  }
+
   /** Fused fast path: all four text statistics in one string pass (a
     * struct of n_tokens/char_nws/punct_n/stop_hits) — use instead of
     * the individual combinators when computing several stats per row;

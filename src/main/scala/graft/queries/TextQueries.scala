@@ -116,6 +116,54 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- PII scrub: typed placeholder redaction (emails/SSN/phone/IP) ----
+    // Synthetic PII is appended per row so the scrub provably fires on
+    // every document; patterns are RE2-safe → identical in Java regex
+    // and DuckDB. The 'g' flag is required DuckDB-side (Spark
+    // regexp_replace is global by default).
+    Q("q61_pii_scrub",
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com or 555-123-4567 ssn 123-45-6789 host 10.0.0.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) AS body
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(body,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS clean
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val body = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or 555-123-4567 ssn 123-45-6789 host 10.0.0."),
+        (col("doc_id") % 256).cast("string"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.scrubPii(body).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- repetition metrics: duplicate token/bigram fractions ----
+    Q("q62_repetition",
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws,
+        |  CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS gs FROM w)
+        |SELECT doc_id,
+        | CASE WHEN len(ws) <= 0 THEN 0.0
+        |      ELSE round(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6)
+        | END AS dup_tok_frac,
+        | CASE WHEN len(gs) <= 0 THEN 0.0
+        |      ELSE round(1 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE), 6)
+        | END AS dup_bigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          round(TextAnalysis.dupTokenFrac(col("text")), 6).as("dup_tok_frac"),
+          round(TextAnalysis.dupBigramFrac(col("text")), 6).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- fingerprints: sha16 of normalized text + rolling hash ----
     Q("q24_fingerprint",
       """WITH n AS (SELECT doc_id,

@@ -50,6 +50,31 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubPii replaces every class; repetition fractions exact on crafted docs") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "mail a.b+c@ex-1.org call 555-123-4567 ssn 123-45-6789 via 192.168.0.1 end"),
+      (2L, "clean text with no identifiers at all"),
+      (3L, "spam spam spam spam"),   // 4 tokens, 1 distinct; 3 bigrams, 1 distinct
+      (4L, "single"))                 // degenerate: no bigrams
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.scrubPii(col("text")).as("clean"),
+      TextAnalysis.piiCounts(col("text")).as("pii"),
+      TextAnalysis.dupTokenFrac(col("text")).as("dtf"),
+      TextAnalysis.dupBigramFrac(col("text")).as("dbf"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("clean")
+      == "mail <EMAIL> call <PHONE> ssn <SSN> via <IP> end")
+    val pii = out(0).getStruct(2)
+    assert((pii.getLong(0), pii.getLong(1), pii.getLong(2), pii.getLong(3))
+      == ((1L, 1L, 1L, 1L)))
+    assert(out(1).getAs[String]("clean") == "clean text with no identifiers at all")
+    assert(out(2).getAs[Double]("dtf") == 0.75)       // 1 - 1/4
+    assert(out(2).getAs[Double]("dbf") == 1.0 - 1.0 / 3.0)
+    assert(out(3).getAs[Double]("dbf") == 0.0)        // guard, not an error
+  }
+
   test("mixed-case stopword profiles behave like isin (no match)") {
     val df = Seq("the the THE").toDF("text")
     val mixed = Seq("The")
