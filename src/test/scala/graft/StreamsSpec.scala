@@ -29,6 +29,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static decontamination: arriving docs drop on benchmark overlap") {
+    // decontaminate as a streaming stage: the benchmark shingle set is
+    // a STATIC broadcastable side; each micro-batch of arriving corpus
+    // docs anti-joins it — same operator, stream-static join execution
+    val dir = TestSpark.tempDir("sdecon")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "totally clean document about zoning"),
+      (3L, "quick brown fox sightings continue"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val bench = Seq("a quick brown fox appears").toDF("text")
+    val stream = Streams.fileStream(spark, s"$dir/in", docs.schema,
+      maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val clean = graft.ops.Decontaminate.decontaminate(
+          batch, "doc_id", col("text"), bench, col("text"), n = 3)
+        graft.io.Sinks.mergeInto(batch.sparkSession, s"$dir/state",
+          clean, Seq("doc_id"))
+        ()
+      }.start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(s"$dir/state")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L)) // docs 1 and 3 share "quick brown fox"
+  }
+
   test("dedupStream drops duplicate ids even with differing timestamps") {
     val dir = TestSpark.tempDir("dup")
     // re-arrivals carry a LATER timestamp (re-crawled article) — id-only
