@@ -47,6 +47,22 @@ object NearDup {
     exploded.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Fused per-row minhash (custom codegen Expression): signature
+    * extraction as a pure projection — no explode, no aggregation, no
+    * exchange. Same output as `minhashSignatures` (oracle-checked);
+    * prefer this at scale, fall back to the explode+agg composition
+    * when custom expressions are off the table. */
+  def minhashSignaturesFused(df: DataFrame, id: String, text: Column,
+      numHashes: Int = 4, shingleSize: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val sig = ColumnBridge.column(graft.expr.MinHashSig(
+      ColumnBridge.expression(text), numHashes, shingleSize))
+    df.select(col(id), sig.as("__mh"))
+      .filter(col("__mh").isNotNull) // < shingleSize tokens
+      .select(col(id) +: (0 until numHashes)
+        .map(j => col(s"__mh.mh$j").as(s"mh$j")): _*)
+  }
+
   /** Production-fast minhash: xxhash64 per (seed, shingle) — ~an order
     * of magnitude cheaper than sha256 and the right default at 100 TB.
     * Not cross-engine reproducible (xxhash64 is Spark-internal), so the

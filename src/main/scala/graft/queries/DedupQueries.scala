@@ -55,11 +55,14 @@ object DedupQueries {
 
   val qs: Seq[Q] = Seq(
 
-    // ---- MinHash signatures over the raw corpus ----
+    // ---- MinHash signatures over the raw corpus (fused expression) ----
+    // Runs the codegen MinHashSig projection — the oracle doubles as a
+    // cross-engine proof that the fused kernel equals the explode+agg
+    // formulation (whose SQL this is).
     Q("q13_minhash_sig",
       s"""WITH ${minhashSql("documents")}
          |SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
-      NearDup.minhashSignatures(t(s, d, "documents"), "doc_id", col("text"))
+      NearDup.minhashSignaturesFused(t(s, d, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))
     },
 
@@ -75,7 +78,7 @@ object DedupQueries {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val base = NearDup.withMutatedCopies(t(s, d, "documents"), "doc_id", "text")
-      val sigs = NearDup.minhashSignatures(base, "doc_id", col("text"))
+      val sigs = NearDup.minhashSignaturesFused(base, "doc_id", col("text"))
       NearDup.lshCandidatePairs(sigs, "doc_id")
         .orderBy(col("doc_a"), col("doc_b"))
     },

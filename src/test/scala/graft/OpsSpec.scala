@@ -173,6 +173,26 @@ class OpsSpec extends AnyFunSuite {
     assert(aggBmp == compBmp && aggBmp == "！ 😀")
   }
 
+  test("fused MinHashSig expression equals the explode+agg formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaAgg = NearDup.minhashSignatures(docs, "doc_id", col("text"))
+      .orderBy("doc_id").collect().toSeq
+    val viaExpr = NearDup.minhashSignaturesFused(docs, "doc_id", col("text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaExpr == viaAgg)
+    // divergence-prone inputs: empty, 1-token (filtered), tab/newline
+    // whitespace (edge empty tokens), uppercase, non-BMP text
+    val crafted = Seq((1L, ""), (2L, "solo"), (3L, "\tA  b\nc "),
+      (4L, "UPPER case MiXeD"), (5L, "😀 emoji 😀 emoji pair"))
+      .toDF("doc_id", "text")
+    val a = NearDup.minhashSignatures(crafted, "doc_id", col("text"))
+      .orderBy("doc_id").collect().toSeq
+    val e = NearDup.minhashSignaturesFused(crafted, "doc_id", col("text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(e == a)
+    assert(e.map(_.getLong(0)) == Seq(3L, 4L, 5L)) // 1,2 gated out both ways
+  }
+
   test("decontaminate: flags exact n-gram leaks, keeps clean docs, drops by threshold") {
     val bench = Seq((100L, "the capital of france is paris"))
       .toDF("doc_id", "text")
