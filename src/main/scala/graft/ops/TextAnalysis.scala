@@ -93,15 +93,18 @@ object TextAnalysis {
 
   /** Gopher-style repetition metrics: duplicate-token fraction and
     * duplicate-bigram fraction (1 − distinct/total; 0 for degenerate
-    * inputs). High values flag boilerplate/spam for quality filters. */
-  def dupTokenFrac(text: Column): Column = {
-    val w = tokens(text)
+    * inputs). High values flag boilerplate/spam for quality filters.
+    *
+    * Both take a MATERIALIZED token-array column (`.withColumn("__w",
+    * tokens(text))` first) — never pass `tokens(text)` inline: an
+    * array-producing expression inlined into the shingle lambda
+    * re-evaluates per element access (O(n²) regex splits per row; this
+    * exact mistake made the repetition query 15× slower). */
+  def dupTokenFrac(w: Column): Column =
     when(size(w) <= 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(w)) / size(w).cast("double"))
-  }
 
-  def dupBigramFrac(text: Column): Column = {
-    val w = tokens(text)
+  def dupBigramFrac(w: Column): Column = {
     val g = NearDup.shinglesFromTokens(w, 2)
     // guard on the TOKEN count (CaseWhen is lazy per row): under 2
     // tokens the shingle sequence(0, size-2) would be degenerate —

@@ -158,9 +158,11 @@ object TextQueries {
         |      ELSE round(1 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE), 6)
         | END AS dup_bigram_frac
         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-          round(TextAnalysis.dupTokenFrac(col("text")), 6).as("dup_tok_frac"),
-          round(TextAnalysis.dupBigramFrac(col("text")), 6).as("dup_bigram_frac"))
+      t(s, d, "documents")
+        .withColumn("__w", graft.ops.NearDup.tokens(col("text")))
+        .select(col("doc_id"),
+          round(TextAnalysis.dupTokenFrac(col("__w")), 6).as("dup_tok_frac"),
+          round(TextAnalysis.dupBigramFrac(col("__w")), 6).as("dup_bigram_frac"))
         .orderBy(col("doc_id"))
     },
 

@@ -71,12 +71,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"unexpected shuffle count $exchanges:\n${p.take(1200)}")
   }
 
-  test("LSH pairs reuse the signature exchange; no cache pinned after run") {
+  test("LSH pairs: no aggregation in signature stage, no cache pinned after run") {
     spark.catalog.clearCache()
     val p = plan("q14_lsh_neardup_pairs")
-    // the shingle→sha→min signature pipeline must run ONCE: every band
-    // arm / join side replays the groupBy shuffle via ReusedExchange
-    assert(p.contains("ReusedExchange"), p.take(1500))
+    // fused MinHashSig turns signature extraction into a map-only
+    // projection — the plan must contain the expression but NO
+    // signature aggregation (the old explode→groupBy-min shape)
+    assert(p.contains("minhash_sig"), p.take(1500))
+    assert(!p.contains("Explode"), "fused path must not explode shingles")
     assert(!p.contains("InMemoryTableScan"), "no cache in the LSH plan")
     // and nothing stays pinned in the session after the query completes
     assert(spark.sharedState.cacheManager.isEmpty,

@@ -58,11 +58,13 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, "spam spam spam spam"),   // 4 tokens, 1 distinct; 3 bigrams, 1 distinct
       (4L, "single"))                 // degenerate: no bigrams
       .toDF("id", "text")
-    val out = df.select(col("id"),
-      TextAnalysis.scrubPii(col("text")).as("clean"),
-      TextAnalysis.piiCounts(col("text")).as("pii"),
-      TextAnalysis.dupTokenFrac(col("text")).as("dtf"),
-      TextAnalysis.dupBigramFrac(col("text")).as("dbf"))
+    val out = df
+      .withColumn("__w", graft.ops.NearDup.tokens(col("text")))
+      .select(col("id"),
+        TextAnalysis.scrubPii(col("text")).as("clean"),
+        TextAnalysis.piiCounts(col("text")).as("pii"),
+        TextAnalysis.dupTokenFrac(col("__w")).as("dtf"),
+        TextAnalysis.dupBigramFrac(col("__w")).as("dbf"))
       .orderBy("id").collect()
     assert(out(0).getAs[String]("clean")
       == "mail <EMAIL> call <PHONE> ssn <SSN> via <IP> end")
