@@ -84,13 +84,19 @@ object NearDup {
     * join is an equi-join on the band key — shuffle-partitioned,
     * skew-safe (bands are near-unique for non-duplicates).
     *
-    * No cache: the signature subtree ends in the groupBy exchange, and
-    * every reference (each band arm, both join sides) shares that
-    * identical subplan — Spark's ReusedExchange materializes the
-    * shuffle files once and re-reads them per consumer, so the
-    * shingle→sha→min pipeline runs once WITHOUT pinning executor
-    * memory. At 100 TB that beats cache(): shuffle files spill to disk
-    * by design and nothing leaks into a long-lived session. */
+    * No cache pinned here; the recompute story depends on the
+    * signature variant upstream:
+    *  - `minhashSignatures` (explode+agg): the subtree ends in the
+    *    groupBy exchange, so every band arm / join side replays the
+    *    shuffle files via ReusedExchange — the sha pipeline runs once.
+    *  - `minhashSignaturesFused` (map-only projection): there is no
+    *    exchange to reuse, so the per-row kernel re-runs once per band
+    *    arm (nBands × 2 sides worst case). The kernel is cheap and
+    *    scan-bound, and profiling shows the fused total still beats
+    *    the agg path at nBands=2 — but for wide banding (rowsPerBand=1,
+    *    many arms) materialize the signature table first (write it, or
+    *    persist explicitly and unpersist after).
+    * Either way nothing leaks into a long-lived session. */
   def lshCandidatePairs(sigs: DataFrame, id: String,
       numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val nBands = numHashes / rowsPerBand

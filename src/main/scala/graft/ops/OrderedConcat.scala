@@ -38,16 +38,17 @@ final class OrderedConcat(sep: String)
     // compares strings as UTF8String (UTF-8 binary order), which
     // diverges from Java's UTF-16 code-unit order for supplementary
     // characters — so ties compare UTF-8 bytes, not String.compareTo.
-    val sorted = b.sortWith { (x, y) =>
-      if (x._1 != y._1) x._1 < y._1
-      else org.apache.spark.unsafe.types.UTF8String.fromString(x._2)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y._2)) < 0
+    // one UTF8String conversion per element (not per comparison)
+    val keyed = b.map(x =>
+      (x._1, org.apache.spark.unsafe.types.UTF8String.fromString(x._2), x._2))
+    val sorted = keyed.sortWith { (x, y) =>
+      if (x._1 != y._1) x._1 < y._1 else x._2.compareTo(y._2) < 0
     }
     val sb = new StringBuilder
     var i = 0
     while (i < sorted.length) {
       if (i > 0) sb.append(sep)
-      sb.append(sorted(i)._2)
+      sb.append(sorted(i)._3)
       i += 1
     }
     sb.toString

@@ -38,7 +38,14 @@ object Packing {
     // phase 1: per-partition totals (bounded: one long per partition)
     val partSums = rows.mapPartitionsWithIndex { (i, it) =>
       var s = 0L
-      it.foreach { r => s += r.getLong(tokIdx) }
+      it.foreach { r =>
+        require(!r.isNullAt(tokIdx),
+          "packByTokenBudget: null token count (null text upstream?) — " +
+            "fill or filter before packing")
+        val t = r.getLong(tokIdx)
+        require(t >= 0, s"packByTokenBudget: negative token count $t")
+        s += t
+      }
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)

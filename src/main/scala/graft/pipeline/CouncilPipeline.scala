@@ -60,9 +60,17 @@ object CouncilPipeline {
       col("no_speech_prob") < noSpeechThresh, chunkSize,
       timeBounds = Some(("start", "end")))
       .filter(length(trim(col("chunk_text"))) >= 2)
+    // clear per-row error instead of an opaque non-nullable-encoder
+    // crash when a segment arrives with a null Whisper time (e.g.
+    // malformed JSON re-reads)
+    def requiredTime(c: String) =
+      when(col(c).isNull, raise_error(lit(
+        s"summarize: null $c — segments must carry start/end times")))
+        .otherwise(col(c)).as(c)
     val summarized = chunks
       .select(col("file"), col("chunk_id"), col("chunk_text"),
-        col("start_time"), col("end_time"), col("start_id"), col("end_id"))
+        requiredTime("start_time"), requiredTime("end_time"),
+        col("start_id"), col("end_id"))
       .as[(String, Long, String, Double, Double, Long, Long)]
       .mapPartitions { it =>
         val lm = summarizer()

@@ -88,7 +88,8 @@ object PipelineQueries {
     // → aggregate pipeline reproduces exactly in DuckDB.
     Q("q40_multimodal_decode",
       """WITH dec AS (SELECT doc_id,
-        |   CASE WHEN substr(text, 1, 1) = 'P' THEN 'ppm' ELSE 'raw' END AS format,
+        |   CASE WHEN octet_length(encode(text)) >= 2 AND substr(text, 1, 1) = 'P'
+        |        THEN 'ppm' ELSE 'raw' END AS format,
         |   CAST(64 + ((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
         |            + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)) * 4
         |     AS INTEGER) AS width,

@@ -42,7 +42,7 @@ object ScaleSmoke {
       // minhash signature volume (shingle explode → partial agg)
       T(s"minhash_sig x$scale") {
         NearDup.minhashSignaturesFast(doc, "doc_id", col("text"))
-          .write.format("noop").mode("overwrite").save(); doc.count()
+          .write.format("noop").mode("overwrite").save(); 0L
       }
       // LSH candidate pairs: the distinct-pairs volume grows with dup
       // density — replicated copies are mutual near-dups, the worst case

@@ -77,9 +77,10 @@ object Ivf {
   def trainCentroids(df: DataFrame, id: String, vec: String, k: Int,
       iters: Int = 5): Array[Array[Float]] = {
     require(k >= 1, "k must be positive")
-    val first = df.orderBy(col(id)).limit(1)
-      .select(col(vec)).head().getSeq[Float](0).toArray
-    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    val firstRows = df.orderBy(col(id)).limit(1).select(col(vec)).collect()
+    require(firstRows.nonEmpty, "trainCentroids: empty input DataFrame")
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      firstRows(0).getSeq[Float](0).toArray)
     while (chosen.size < k) {
       val sofar = chosen.toArray
       val minD = udf { (v: Seq[Float]) =>
