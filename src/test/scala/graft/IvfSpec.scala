@@ -63,6 +63,28 @@ class IvfSpec extends AnyFunSuite {
     assert(all == exact)
   }
 
+  test("cell-partitioned collection: probes prune to nProbe partitions at the scan") {
+    // the 100 TB story: write the collection partitioned BY ivf_cell,
+    // and a probe's cell filter becomes partition pruning — the scan
+    // reads nProbe directories, not the table
+    val dir = s"${TestSpark.tempDir("ivfpart")}/coll"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    Ivf.assignCells(emb, col("embedding"), cents)
+      .write.partitionBy("ivf_cell").parquet(dir)
+    val coll = spark.read.parquet(dir)
+    val probed = coll.filter(col("ivf_cell").isin(0, 1))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.toString
+    // partition filter present and pushed (not a post-scan Filter)
+    assert(scan.contains("PartitionFilters") && scan.contains("ivf_cell"),
+      scan.take(800))
+    // and the probe genuinely reads a subset
+    val all = coll.count()
+    val sub = probed.count()
+    assert(sub > 0 && sub < all)
+  }
+
   test("empty-cell fallback: k larger than distinct points keeps previous centroid") {
     val tiny = Seq((0L, Array(0f, 0f)), (1L, Array(10f, 10f)))
       .toDF("vec_id", "embedding")

@@ -79,6 +79,9 @@ class PlanSpec extends AnyFunSuite {
     // signature aggregation (the old explode→groupBy-min shape)
     assert(p.contains("minhash_sig"), p.take(1500))
     assert(!p.contains("Explode"), "fused path must not explode shingles")
+    // the fused kernel participates in whole-stage codegen (doGenCode)
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("minhash_sig")), p.take(1500))
     assert(!p.contains("InMemoryTableScan"), "no cache in the LSH plan")
     // and nothing stays pinned in the session after the query completes
     assert(spark.sharedState.cacheManager.isEmpty,
