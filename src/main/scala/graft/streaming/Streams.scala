@@ -61,6 +61,66 @@ object Streams {
       }.toDF("user_id", "n_events")
   }
 
+  /** One open session per key: [startMs, endMs] and its event count. */
+  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState with
+    * EVENT-TIME timeout — the full custom-state pattern (q36's batch
+    * sessionize, made incremental). A session closes either when a
+    * later event for the key arrives beyond the gap (emitted inline)
+    * or when the watermark passes sessionEnd+gap with no successor
+    * (emitted by the timeout callback). State is one OpenSession per
+    * active key — bounded by live keys, not history; the watermark
+    * retires idle keys. Output (append-mode): closed sessions only,
+    * `(key, session_start_ms, session_end_ms, n_events)`. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    // the watermarked TIMESTAMP column must survive into the grouped
+    // Dataset — event-time timeout resolves against it; converting to
+    // millis beforehand silently drops the watermark
+    val keyed = events
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("et"))
+      .withWatermark("et", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (k: Long, rows0: Iterator[(Long, java.sql.Timestamp)],
+          state: GroupState[OpenSession]) =>
+        val rows = rows0.map { case (kk, t) => (kk, t.getTime) }
+        if (state.hasTimedOut) {
+          // watermark passed end+gap with no successor: close and retire
+          val s = state.get
+          state.remove()
+          Iterator((k, s.startMs, s.endMs, s.n))
+        } else {
+          // micro-batch rows are not time-ordered — sort locally
+          val ts = rows.map(_._2).toArray.sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var cur = state.getOption
+          ts.foreach { t =>
+            cur match {
+              case Some(s) if t <= s.endMs + gapMs =>
+                cur = Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+              case Some(s) =>
+                closed += ((k, s.startMs, s.endMs, s.n))
+                cur = Some(OpenSession(t, t, 1L))
+              case None =>
+                cur = Some(OpenSession(t, t, 1L))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.endMs + gapMs)
+          }
+          closed.iterator
+        }
+    }.toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
+  }
+
   /** foreachBatch writer that MERGEs each micro-batch into a parquet
     * state table by id — exactly-once-ish via idempotent key-based
     * upsert (the reference's per-record checkpoint rewrite,

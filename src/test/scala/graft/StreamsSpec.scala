@@ -29,6 +29,35 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sessionizeStream closes sessions on gap arrival across micro-batches") {
+    val dir = TestSpark.tempDir("sess")
+    def f(rows: Seq[(Long, String)], path: String) =
+      rows.toDF("user_id", "ts_s")
+        .withColumn("tstamp", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.parquet(path)
+    // batch 1: user 1 burst (one session); batch 2: an event far past
+    // the gap → session A must close inline when B opens
+    f(Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:05:00")), s"$dir/in/f=1")
+    f(Seq((1L, "2024-01-01 12:00:00")), s"$dir/in/f=2")
+    val schema = spark.read.parquet(s"$dir/in/f=1").schema
+    val stream = Streams.fileStream(spark, s"$dir/in/*/", schema,
+      maxFilesPerTrigger = 1)
+    val sessions = Streams.sessionizeStream(spark, stream, "user_id", "tstamp")
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("sessions")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // only session A is closed (B has no successor and the watermark
+    // never passes its end+gap — it stays open in state)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00").getTime
+    assert(closed == Seq((1L, t0, t1, 2L)), s"got $closed")
+  }
+
   test("stream-static decontamination: arriving docs drop on benchmark overlap") {
     // decontaminate as a streaming stage: the benchmark shingle set is
     // a STATIC broadcastable side; each micro-batch of arriving corpus
