@@ -87,6 +87,26 @@ object ScaleSmoke {
           "file", "id", "text", col("nsp") < 0.12, 100)
           .write.format("noop").mode("overwrite").save(); 0L
       }
+      // fused minhash (q13 shape): map-only signature projection
+      T(s"minhash_fused x$scale") {
+        NearDup.minhashSignaturesFused(doc, "doc_id", col("text"))
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
+      // decontamination (q59 shape): shingle explode + broadcast join
+      T(s"decontaminate x$scale") {
+        graft.ops.Decontaminate.contaminationReport(
+            doc.filter(col("doc_id") % 97 =!= 0), "doc_id", col("text"),
+            doc.filter(col("doc_id") % 97 === 0), col("text"), n = 3)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
+      // sequence packing (q60 shape): range exchange + prefix-sum jobs
+      T(s"packing x$scale") {
+        val toks = doc.select(col("doc_id"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+        graft.ops.Packing.packByTokenBudget(toks, Seq(col("doc_id")),
+            col("n_tokens"), 2048L)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
     }
     spark.stop()
   }
