@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's Spark tuning posture. Local runs and the
+  * driver mains use `local(...)`; a cluster deployment applies
+  * `tuned(...)` to its own builder. Knobs and why they matter at
+  * 100 TB:
+  *
+  * - `spark.sql.shuffle.partitions`: sized to cores locally; on a
+  *   cluster start at ~2-3× total executor cores and let AQE coalesce
+  *   down — too few partitions spills, too many drowns in task
+  *   overhead.
+  * - AQE (on by default in Spark 4; asserted here): runtime re-plan
+  *   gives post-shuffle coalescing, dynamic broadcast of
+  *   smaller-than-expected sides, and skew-join splitting — the
+  *   mechanisms this engine leans on instead of hand-tuned hints
+  *   (see ops/Skew for the explicit salting fallback).
+  * - `spark.sql.files.maxPartitionBytes` (256 MB): bigger scan splits
+  *   than the 128 MB default — parquet decode is cheap relative to
+  *   task scheduling at 100 TB file counts; halves the task count of
+  *   pure scans.
+  * - `spark.sql.parquet.aggregatePushdown`: MIN/MAX/COUNT answered
+  *   from parquet footers when no filter needs row groups.
+  * - UTC session timezone: timestamp arithmetic must not depend on
+  *   the driver machine's zone (oracle parity and cluster/driver
+  *   consistency).
+  */
+object GraftSession {
+
+  /** Apply the engine's tuning to any builder (cluster entry point). */
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", 256L * 1024 * 1024)
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  /** Local session for tests/mains: `cpus` threads, UI off. */
+  def local(cpus: Int, appName: String = "graft"): SparkSession =
+    tuned(SparkSession.builder().master(s"local[$cpus]").appName(appName),
+      shufflePartitions = cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}
