@@ -66,6 +66,28 @@ object Chunking {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Sliding token-window chunking (the RAG/pretraining text splitter):
+    * one output row per window of `window` tokens advancing by
+    * `window - overlap`, the last window truncated. A pure plan —
+    * materialized token array → `sequence` of starts → `explode` →
+    * `slice` — codegen'd, no UDF, oracle-checkable. The token array is
+    * bound to a column BEFORE the lambda (inlining an array expression
+    * into explode/slice re-evaluates it per element — see TextAnalysis
+    * repetition note). */
+  def chunkByTokens(df: DataFrame, id: String, text: Column,
+      window: Int = 256, overlap: Int = 32): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    df.withColumn("__w", graft.ops.NearDup.tokens(text))
+      .withColumn("__start",
+        explode(sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)), lit(stride))))
+      .select(col(id),
+        (col("__start") / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("__w"), col("__start") + 1, lit(window)), " ").as("chunk_text"),
+        least(lit(window), size(col("__w")) - col("__start")).cast("long").as("n_tokens"))
+  }
+
   /** A2 — meeting-level rollup: concat chunk texts in chunk order with
     * a newline (ref summarize.py:147). `carryTimes` additionally rolls
     * up the meeting-level `start_time`/`end_time` (first chunk's start,

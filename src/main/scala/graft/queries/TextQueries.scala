@@ -166,6 +166,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- sliding token-window chunking (RAG splitter, 32-tok/8 overlap) ----
+    Q("q63_chunk_tokens",
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws,
+        |  unnest(range(0, greatest(len(ws) - 1, 0) + 1, 24)) AS start FROM w)
+        |SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+        | array_to_string(list_slice(ws, start + 1, least(start + 32, len(ws))), ' ') AS chunk_text,
+        | CAST(least(32, len(ws) - start) AS BIGINT) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      graft.ops.Chunking.chunkByTokens(t(s, d, "documents"), "doc_id",
+          col("text"), window = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // ---- fingerprints: sha16 of normalized text + rolling hash ----
     Q("q24_fingerprint",
       """WITH n AS (SELECT doc_id,
