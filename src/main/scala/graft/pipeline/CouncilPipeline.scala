@@ -67,38 +67,37 @@ object CouncilPipeline {
       when(col(c).isNull, raise_error(lit(
         s"summarize: null $c — segments must carry start/end times")))
         .otherwise(col(c)).as(c)
-    val summarized = chunks
+    // Single grouped pass per meeting: digest every chunk (in chunk_id
+    // order), then reduce the newline-joined summaries into the rollup
+    // row — the reference's O4 amortization (SURVEY §4.1) by
+    // CONSTRUCTION: the chunk LLM pass runs exactly once, nothing is
+    // cached/pinned, and an evicted-cache silent re-run is impossible.
+    // Per-group memory is one meeting's chunks — the same bound the
+    // rollup concat string itself implies.
+    chunks
       .select(col("file"), col("chunk_id"), col("chunk_text"),
         requiredTime("start_time"), requiredTime("end_time"),
         col("start_id"), col("end_id"))
       .as[(String, Long, String, Double, Double, Long, Long)]
-      .mapPartitions { it =>
+      .groupByKey(_._1)
+      .flatMapGroups { (file: String,
+          it: Iterator[(String, Long, String, Double, Double, Long, Long)]) =>
         val lm = summarizer()
-        it.map { case (file, chunkId, text, st, et, s, e) =>
+        val ordered = it.toVector.sortBy(_._2) // chunk_id, unique per file
+        val chunkRows = ordered.map { case (_, chunkId, text, st, et, s, e) =>
           val d = lm.digest(text)
           (file, chunkId, d.summary, d.quotes, d.names, st, et, s, e)
         }
+        // rollup semantics = Chunking.rollup(carryTimes): "\n"-joined
+        // summaries in chunk order, whole-meeting id/time bounds
+        // (ref summarize.py:147-155)
+        val rollup = (file, -1L, lm.reduce(chunkRows.map(_._3).mkString("\n")),
+          Seq.empty[String], Seq.empty[String],
+          chunkRows.head._6, chunkRows.last._7,
+          chunkRows.map(_._8).min, chunkRows.map(_._9).max)
+        Iterator(rollup) ++ chunkRows.iterator
       }.toDF("file", "chunk_id", "summary", "quotes", "names",
         "start_time", "end_time", "start_id", "end_id")
-      // referenced by both the rollup reduce and the final union;
-      // caching runs the (expensive) chunk LLM pass exactly once —
-      // the reference's O4 amortization, SURVEY §4.1
-      .cache()
-    val rollup = Chunking.rollup(
-        summarized.withColumnRenamed("summary", "chunk_text"), "file",
-        carryTimes = true)
-      .select(col("file"), col("rollup_text"),
-        col("start_time"), col("end_time"), col("start_id"), col("end_id"))
-      .as[(String, String, Double, Double, Long, Long)]
-      .mapPartitions { it =>
-        val lm = summarizer()
-        it.map { case (file, text, st, et, s, e) =>
-          (file, -1L, lm.reduce(text), Seq.empty[String], Seq.empty[String],
-            st, et, s, e)
-        }
-      }.toDF("file", "chunk_id", "summary", "quotes", "names",
-        "start_time", "end_time", "start_id", "end_id")
-    rollup.unionByName(summarized)
   }
 
   /** Stage 5 (newscrawler.py:327-460): dedup new articles against seen

@@ -61,7 +61,7 @@ object VectorQueries {
         |x AS (SELECT v.doc_id,
         |   CAST(CAST(vv AS FLOAT) * CAST(1.0 / nrm AS FLOAT) AS FLOAT) AS xv
         | FROM v JOIN n USING (doc_id) WHERE nrm > 0),
-        |a AS (SELECT doc_id, round(SUM(CAST(xv AS DOUBLE)), 4) AS vec_sum,
+        |a AS (SELECT doc_id, round(SUM(CAST(xv AS DOUBLE)), 4) + 0.0 AS vec_sum,
         |   CAST(COUNT(*) FILTER (xv <> 0) AS INTEGER) AS nnz
         | FROM x GROUP BY doc_id)
         |SELECT d.doc_id, CAST(64 AS INTEGER) AS dim,
@@ -74,8 +74,13 @@ object VectorQueries {
         t(s, d, "documents"), col("text"), new HashEmbedder(dim = 64))
       embedded.select(col("doc_id"),
           size(col("embedding")).as("dim"),
-          round(aggregate(col("embedding"), lit(0.0d),
-            (acc, x) => acc + x.cast("double")), 4).as("vec_sum"),
+          // `+ 0.0` canonicalizes IEEE -0.0 to +0.0: a ±1e-8 vector sum
+          // rounds to a SIGNED zero whose sign depends on summation order,
+          // and DuckDB (IEEE round) can emit -0.0 where Spark's
+          // BigDecimal-backed round emits +0.0 — equal values, different
+          // bytes under the driver's hash compare.
+          (round(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4) + lit(0.0d)).as("vec_sum"),
           size(filter(col("embedding"), x => x =!= 0.0f)).as("nnz"),
           round(Similarity.cosineSim(col("embedding"), col("embedding")), 3).as("self_cos"))
         .orderBy(col("doc_id"))
