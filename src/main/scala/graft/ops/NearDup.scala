@@ -201,6 +201,78 @@ object NearDup {
       pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("doc_b").as(id)).distinct(), Seq(id), "left_anti")
 
+  /** Connected components over a candidate-pair graph by iterative
+    * min-label propagation (hash-min) — the grouping step of
+    * transitive corpus dedup (CCNet/RefinedWeb-style), with no graph
+    * library: each round a node's component becomes the min over its
+    * own label, its neighbors' labels, AND its label's label (pointer
+    * jumping — turns O(diameter) convergence into O(log diameter),
+    * so even pathological duplicate chains converge in a few joins).
+    *
+    * Scale notes: per iteration = two equi-joins + one agg, all
+    * shuffle-partitioned on the id; `localCheckpoint` truncates the
+    * otherwise exponentially growing lineage (the standard iterative-
+    * join discipline) and the convergence check reads the
+    * materialized blocks, not a recompute. Dup clusters in real
+    * corpora are tight, so practical runs converge in 2-4 rounds;
+    * non-convergence within `maxIterations` throws rather than
+    * silently under-merging.
+    *
+    * Returns one row per node appearing in `pairs`:
+    * (node, component = min id reachable). */
+  def connectedComponents(pairs: DataFrame, colA: String = "doc_a",
+      colB: String = "doc_b", maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(colA).as("src"), col(colB).as("dst"))
+      .unionByName(pairs.select(col(colB).as("src"), col(colA).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+    var iter = 0
+    var done = false
+    while (!done) {
+      iter += 1
+      require(iter <= maxIterations,
+        s"connectedComponents: no fixpoint after $maxIterations iterations " +
+          "— raise maxIterations (component diameter exceeds 2^n bound)")
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.node"))
+        .groupBy(col("e.src").as("node")).agg(min(col("l.component")).as("__nbr"))
+      val hopMin = labels.as("x")
+        .join(labels.as("y"), col("x.component") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.component").as("__hop"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .join(hopMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"),
+            coalesce(col("__nbr"), col("component")),
+            coalesce(col("__hop"), col("component"))).as("component"),
+          col("component").as("__prev"))
+        .localCheckpoint() // truncate iterative-join lineage, materialize
+      done = next.filter(col("component") =!= col("__prev")).isEmpty
+      labels = next.select(col("node"), col("component"))
+    }
+    labels
+  }
+
+  /** Transitive near-dup application: group candidate pairs into
+    * connected components and keep only each component's min-id
+    * representative — one survivor per duplicate CLUSTER, the policy
+    * large dedup runs (CCNet/RefinedWeb-style) use. Differs from the
+    * greedy `dropNearDuplicates` whenever two pairs meet only at
+    * their larger id: pairs {(a,c),(b,c)} put a,b,c in one component
+    * (a~b holds transitively through c), so this keeps a alone, while
+    * greedy keeps both a and b — greedy under-merges clusters whose
+    * witnessing pairs were pruned (LSH reports a candidate SAMPLE of
+    * each cluster's pairs, not its closure). */
+  def dropNearDuplicatesTransitive(df: DataFrame, id: String,
+      pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val losers = connectedComponents(pairs, maxIterations = maxIterations)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
+
   /** Demo/test helper: append truncated copies of each row (guaranteed
     * near-duplicates) with offset ids. */
   def withMutatedCopies(df: DataFrame, id: String, text: String,

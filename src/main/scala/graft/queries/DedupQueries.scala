@@ -137,6 +137,39 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- connected components over LSH candidate pairs ----
+    // The transitive-dedup grouping: hash-min label propagation with
+    // pointer jumping on the Spark side; the oracle computes the same
+    // components via a recursive transitive-closure CTE (min reachable
+    // id == min-label fixpoint).
+    Q("q64_connected_components",
+      s"""WITH RECURSIVE $mutatedBase,
+         |${minhashSql("base")},
+         |bands AS (
+         | SELECT doc_id, '0|' || mh0 || '|' || mh1 AS band FROM sig
+         | UNION ALL
+         | SELECT doc_id, '1|' || mh2 || '|' || mh3 AS band FROM sig),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |edges AS (
+         | SELECT doc_a AS src, doc_b AS dst FROM pairs
+         | UNION
+         | SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |walk AS (
+         | SELECT src AS node, dst AS reach FROM edges
+         | UNION
+         | SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+         |SELECT node AS doc_id, least(node, min(reach)) AS component
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = NearDup.withMutatedCopies(t(s, d, "documents"), "doc_id", "text")
+      val sigs = NearDup.minhashSignaturesFused(base, "doc_id", col("text"))
+      val pairs = NearDup.lshCandidatePairs(sigs, "doc_id")
+      NearDup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- embedding-cosine near-dup pairs on a bounded candidate set ----
     Q("q17_embed_neardup",
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
