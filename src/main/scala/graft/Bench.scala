@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune unreferenced projections, under-measuring
   * scan+project queries); it still runs fully distributed with no
   * driver collect.
+  *
+  * Failure handling: a query that throws is recorded under "errors"
+  * (first line of the exception) and the process exits nonzero — a
+  * silently broken query must not read as a speedup. The JSON line is
+  * ALSO written to target/bench.json: the driver keeps only a stdout
+  * tail, which has truncated the line before.
   */
 object Bench {
   private val TimedPasses = 2
@@ -30,10 +36,17 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, Option(e.toString).getOrElse("error")
+            .replaceAll("[\"\\\\\\r\\n\\t]", " ").take(300))
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // caches are per-query intermediates (LSH signatures etc.);
       // clear so passes and queries are timed in isolation
@@ -43,14 +56,28 @@ object Bench {
 
     var coldTotal = 0.0
     val results = SparkEntry.queries.map { case (name, fn) =>
-      coldTotal += runOnce(fn) // untimed warmup (cold) pass
-      val timed = Seq.fill(TimedPasses)(runOnce(fn))
+      coldTotal += runOnce(name, fn) // untimed warmup (cold) pass
+      val timed = Seq.fill(TimedPasses)(runOnce(name, fn))
       name -> timed.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":$coldTotal}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":$coldTotal,"errors":$errJson}"""
+    println(line)
+    // survive the driver's stdout-tail truncation
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILURES: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
+  /** Changed-label deltas at or under this row count are broadcast in
+    * the connected-components loop (≤ ~24 MB collected on the driver);
+    * larger deltas fall back to shuffle joins. */
+  private val BroadcastDeltaRows = 1000000L
+
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
@@ -112,20 +117,37 @@ object NearDup {
       .distinct()
   }
 
-  /** 16-bit SimHash over the token multiset. Word hash = first 4
-    * sha256 nibbles; each bit votes ±1; bit set iff vote sum > 0.
-    * 16 bits keeps the per-bit vote columns cheap AND the whole
-    * computation integer-exact / oracle-portable; widen by slicing
-    * more nibbles if a deployment needs 64-bit fingerprints. */
-  def simhash(df: DataFrame, id: String, text: Column): DataFrame = {
+  /** SimHash over the token multiset, `bits` wide (16 or 64). Word
+    * hash = first bits/4 sha256 nibbles (nibble 1 most significant);
+    * each bit votes ±1 across the document's words; bit set iff the
+    * vote sum > 0. All arithmetic is small-integer exact, so the
+    * fingerprint is bit-portable across engines (oracle-checkable).
+    * 64-bit is the production fingerprint width (Hamming-distance
+    * dedup); 16-bit keeps demo vote columns cheap. Bit 63 of a 64-bit
+    * fingerprint is the sign bit — fingerprints are the signed-long
+    * REINTERPRETATION of the bit pattern, same as any engine that
+    * stores u64 hashes in long columns. One explode + one hash-agg:
+    * map-side partial aggregation keeps the shuffle at one row per
+    * (doc, vote-vector), not per word. */
+  def simhash(df: DataFrame, id: String, text: Column,
+      bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0 && bits >= 4 && bits <= 64,
+      s"simhash: bits must be a multiple of 4 in [4,64], got $bits")
+    val nNibs = bits / 4
     val words = df.select(col(id), explode(tokens(text)).as("__w"))
       .withColumn("__h", sha2(col("__w"), 256))
-      .withColumn("__hw", conv(substring(col("__h"), 1, 4), 16, 10).cast("int"))
-    val votes = (0 until 16).map(i =>
-      sum(shiftright(col("__hw"), i) % 2 * 2 - 1).as(s"__s$i"))
-    val sh = (0 until 16).map(i =>
-      when(col(s"__s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    words.groupBy(col(id))
+    val nibbed = words.select(col(id) +: (1 to nNibs).map(j =>
+      conv(substring(col("__h"), j, 1), 16, 10).cast("int").as(s"__n$j")): _*)
+    // bit i lives in nibble (nNibs - i/4) (1-indexed, MSB first), at
+    // in-nibble position i%4
+    def bit(i: Int): Column =
+      shiftright(col(s"__n${nNibs - i / 4}"), i % 4) % 2
+    val votes = (0 until bits).map(i => sum(bit(i) * 2 - 1).as(s"__s$i"))
+    val sh = (0 until bits).map { i =>
+      val v = if (i == 63) Long.MinValue else 1L << i
+      when(col(s"__s$i") > 0, lit(v)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    nibbed.groupBy(col(id))
       .agg(votes.head, votes.tail: _*)
       .select(col(id), sh.cast("long").as("simhash"))
   }
@@ -201,22 +223,59 @@ object NearDup {
       pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("doc_b").as(id)).distinct(), Seq(id), "left_anti")
 
+  /** Release the materialized blocks behind a `localCheckpoint`ed
+    * DataFrame. `Dataset.unpersist` only covers cache-manager entries;
+    * a local checkpoint persists the underlying RDD directly, so the
+    * blocks live until the ContextCleaner notices the RDD is garbage —
+    * at 100 TB label tables that lag is real memory/disk pressure
+    * across iterations. The checkpointed plan is a LogicalRDD leaf;
+    * unpersist its RDD explicitly. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Connected components over a candidate-pair graph by iterative
     * min-label propagation (hash-min) — the grouping step of
     * transitive corpus dedup (CCNet/RefinedWeb-style), with no graph
     * library: each round a node's component becomes the min over its
-    * own label, its neighbors' labels, AND its label's label (pointer
-    * jumping — turns O(diameter) convergence into O(log diameter),
-    * so even pathological duplicate chains converge in a few joins).
+    * (changed) neighbors' labels AND its label's label (pointer
+    * jumping — O(log diameter) convergence, so even pathological
+    * duplicate chains settle in a few rounds). Labels are
+    * monotonically non-increasing with label(x) <= x and always node
+    * ids from the same component, so the fixpoint (no label can
+    * decrease) is exactly "every label = its component's min id".
     *
-    * Scale notes: per iteration = two equi-joins + one agg, all
-    * shuffle-partitioned on the id; `localCheckpoint` truncates the
-    * otherwise exponentially growing lineage (the standard iterative-
-    * join discipline) and the convergence check reads the
-    * materialized blocks, not a recompute. Dup clusters in real
-    * corpora are tight, so practical runs converge in 2-4 rounds;
-    * non-convergence within `maxIterations` throws rather than
-    * silently under-merging.
+    * Scale/efficiency notes:
+    *  - The symmetrized edge list is `localCheckpoint`ed ONCE up
+    *    front: it is re-read every iteration, and recomputing its
+    *    upstream per round (often a full minhash+LSH pipeline) would
+    *    dominate the loop.
+    *  - INCREMENTAL rounds: a label can only decrease when a
+    *    neighbor's label decreased (or its pointer target's, for the
+    *    jump term), so each round joins edges against the CHANGED
+    *    labels only. The delta shrinks geometrically; at or under
+    *    `BroadcastDeltaRows` it is broadcast, making the edge join
+    *    map-side — late rounds never shuffle the edge table.
+    *  - One driver action per iteration: the changed-row count rides
+    *    the checkpoint's own materialization job via an accumulator
+    *    (a transformation-side accumulator can over-count on task
+    *    retry, but the convergence test is `== 0`, which retries
+    *    cannot flip). The count doubles as next round's
+    *    broadcast-or-shuffle decision for the delta.
+    *  - Loop shuffles are sized to the materialized edge count (and
+    *    AQE paused) rather than the session default: a small graph
+    *    must not pay 32-partition exchanges × AQE stage-jobs ×
+    *    iterations; a 100 TB graph still gets the session ceiling.
+    *  - `localCheckpoint` truncates the otherwise exponentially
+    *    growing lineage, and the previous iteration's blocks are
+    *    explicitly unpersisted as soon as the next table
+    *    materializes — steady-state footprint is two label tables.
+    * Dup clusters in real corpora are tight, so practical runs
+    * converge in a handful of rounds; non-convergence within
+    * `maxIterations` throws rather than silently under-merging.
     *
     * Returns one row per node appearing in `pairs`:
     * (node, component = min id reachable). */
@@ -225,33 +284,86 @@ object NearDup {
     val edges = pairs.select(col(colA).as("src"), col(colB).as("dst"))
       .unionByName(pairs.select(col(colB).as("src"), col(colA).as("dst")))
       .distinct()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("component"))
-    var iter = 0
-    var done = false
-    while (!done) {
-      iter += 1
-      require(iter <= maxIterations,
-        s"connectedComponents: no fixpoint after $maxIterations iterations " +
-          "— raise maxIterations (component diameter exceeds 2^n bound)")
-      val nbrMin = edges.as("e")
-        .join(labels.as("l"), col("e.dst") === col("l.node"))
-        .groupBy(col("e.src").as("node")).agg(min(col("l.component")).as("__nbr"))
-      val hopMin = labels.as("x")
-        .join(labels.as("y"), col("x.component") === col("y.node"))
-        .select(col("x.node").as("node"), col("y.component").as("__hop"))
-      val next = labels
-        .join(nbrMin, Seq("node"), "left")
-        .join(hopMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"),
-            coalesce(col("__nbr"), col("component")),
-            coalesce(col("__hop"), col("component"))).as("component"),
-          col("component").as("__prev"))
-        .localCheckpoint() // truncate iterative-join lineage, materialize
-      done = next.filter(col("component") =!= col("__prev")).isEmpty
-      labels = next.select(col("node"), col("component"))
+      .localCheckpoint()
+    val spark = edges.sparkSession
+    // Size the loop's shuffles to the (materialized) edge list instead
+    // of the session default: iterative shuffles pay per-stage job
+    // overhead every round, so a tiny graph must not run 32-partition
+    // exchanges × AQE stage jobs × iterations. ~2M edges per partition
+    // keeps partitions well under executor memory at any scale; the
+    // session default is the ceiling. AQE is paused inside the loop —
+    // partitions are already right-sized, and each AQE stage would
+    // otherwise be its own scheduled job per iteration.
+    val edgeCount = edges.count()
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(defaultParts.toLong,
+      edgeCount / 2000000L + 1L)).toInt
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    var labels: DataFrame = null
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      var checkpointed = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("component"))
+        .localCheckpoint()
+      labels = checkpointed
+      // Incremental (delta) propagation: a label can only decrease
+      // when a neighbor's label decreased, or when its component
+      // target's label decreased (pointer jump). So each round joins
+      // against the CHANGED labels only — the delta shrinks
+      // geometrically, and once it fits the broadcast threshold the
+      // edge scan is map-side with no edge-table shuffle at all.
+      // Round 1's delta is the full label table (everything "changed"
+      // at initialization), which reproduces the classic full
+      // hash-min round.
+      var delta = labels
+      var prevChanged = Long.MaxValue
+      var iter = 0
+      var done = false
+      while (!done) {
+        iter += 1
+        require(iter <= maxIterations,
+          s"connectedComponents: no fixpoint after $maxIterations iterations " +
+            "— raise maxIterations (component diameter exceeds 2^n bound)")
+        val d = if (prevChanged <= BroadcastDeltaRows) broadcast(delta) else delta
+        val viaEdges = edges.as("e")
+          .join(d.as("dd"), col("e.dst") === col("dd.node"))
+          .select(col("e.src").as("node"), col("dd.component").as("__cand"))
+        // full pointer jump every round (label ∘ label): must use the
+        // WHOLE label table, not the delta — only then does the jump
+        // compound (2^t reach) and keep convergence logarithmic in
+        // component diameter. The label table is the node set, far
+        // smaller than the edge list this round avoids re-joining.
+        val viaJump = labels.as("x")
+          .join(labels.as("y"), col("x.component") === col("y.node"))
+          .select(col("x.node").as("node"), col("y.component").as("__cand"))
+        val cand = viaEdges.unionByName(viaJump)
+          .groupBy(col("node")).agg(min(col("__cand")).as("__cand"))
+        val computed = labels.join(cand, Seq("node"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("__cand"), col("component")))
+              .as("component"),
+            col("component").as("__prev"))
+        val changed = spark.sparkContext.longAccumulator("cc_changed")
+        val counted = computed.mapPartitions { rows =>
+          rows.map { r => if (r.get(1) != r.get(2)) changed.add(1L); r }
+        }(org.apache.spark.sql.Encoders.row(computed.schema))
+        val next = counted.localCheckpoint() // eager: one job, fills `changed`
+        freeLocalCheckpoint(checkpointed)
+        checkpointed = next
+        labels = next.select(col("node"), col("component"))
+        delta = next.filter(col("component") =!= col("__prev"))
+          .select(col("node"), col("component"))
+        prevChanged = changed.value
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"CC iter=$iter changed=$prevChanged")
+        done = prevChanged == 0L
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
     }
+    freeLocalCheckpoint(edges)
     labels
   }
 
@@ -271,6 +383,30 @@ object NearDup {
       .filter(col("node") =!= col("component"))
       .select(col("node").as(id))
     df.join(losers, Seq(id), "left_anti")
+  }
+
+  /** Transitive dedup with a cluster-representative POLICY: instead of
+    * min-id, keep the row maximizing `keepBy` within each duplicate
+    * component (large corpus runs often keep the longest or highest-
+    * quality doc). Ties break to the smaller id so the survivor is
+    * deterministic. Rows untouched by any pair are their own singleton
+    * component and always survive. One extra shuffle vs the min-id
+    * path (the per-component window); the window state is one row per
+    * component member — small, since components are duplicate
+    * clusters. */
+  def dropNearDuplicatesTransitiveBy(df: DataFrame, id: String,
+      pairs: DataFrame, keepBy: Column,
+      maxIterations: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs, maxIterations = maxIterations)
+      .withColumnRenamed("node", id)
+    val w = Window
+      .partitionBy(coalesce(col("component"), col(id)))
+      .orderBy(keepBy.desc, col(id).asc)
+    df.join(cc, Seq(id), "left")
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .drop("__rank", "component")
   }
 
   /** Demo/test helper: append truncated copies of each row (guaranteed

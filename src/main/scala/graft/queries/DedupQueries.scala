@@ -35,22 +35,29 @@ object DedupQueries {
        |  min(substr(h,25,12)) AS mh2, min(substr(h,37,12)) AS mh3
        | FROM hh GROUP BY doc_id)""".stripMargin
 
-  /** DuckDB 16-bit simhash: word hash = int value of first 4 sha256
-    * nibbles (strpos-decoded), per-bit ±1 votes, bit set iff sum>0. */
-  private val simhashSql: String = {
-    val nibs = (1 to 4).map(i => s"(strpos('0123456789abcdef', substr(h,$i,1)) - 1)")
-    val hw = nibs.zip(Seq(4096, 256, 16, 1))
-      .map { case (n, m) => s"$n * $m" }.mkString(" + ")
-    val votes = (0 until 16)
-      .map(i => s"SUM(((hw >> $i) & 1) * 2 - 1) AS s$i").mkString(", ")
-    val bits = (0 until 16)
-      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+  /** DuckDB simhash at `bits` width: word hash = first bits/4 sha256
+    * nibbles (strpos-decoded, nibble 1 most significant), per-bit ±1
+    * votes, bit set iff sum>0. Bit 63 is the long sign bit, written as
+    * (-max-1) so the sum reproduces the signed reinterpretation the
+    * Spark side emits. Mirrors `NearDup.simhash` exactly. */
+  private def simhashSql(bits: Int): String = {
+    val nNibs = bits / 4
+    val nibs = (1 to nNibs)
+      .map(j => s"(strpos('0123456789abcdef', substr(h,$j,1)) - 1) AS n$j")
+      .mkString(", ")
+    val votes = (0 until bits)
+      .map(i => s"SUM(((n${nNibs - i / 4} >> ${i % 4}) & 1) * 2 - 1) AS s$i")
+      .mkString(", ")
+    val fp = (0 until bits).map { i =>
+      val v = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"CASE WHEN s$i > 0 THEN $v ELSE 0 END"
+    }.mkString(" + ")
     s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
        | FROM documents),
        |hh AS (SELECT doc_id, sha256(word) AS h FROM w),
-       |hv AS (SELECT doc_id, $hw AS hw FROM hh),
+       |hv AS (SELECT doc_id, $nibs FROM hh),
        |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
-       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin
   }
 
   val qs: Seq[Q] = Seq(
@@ -83,9 +90,18 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // ---- SimHash fingerprints ----
-    Q("q15_simhash", simhashSql) { (s, d) =>
+    // ---- SimHash fingerprints (16-bit demo width) ----
+    Q("q15_simhash", simhashSql(16)) { (s, d) =>
       NearDup.simhash(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- SimHash fingerprints (64-bit production width) ----
+    // Same operator at the width real simhash dedup runs use; bit 63
+    // makes the fingerprint the signed reinterpretation of the u64
+    // pattern — oracle-checked at both widths.
+    Q("q65_simhash64", simhashSql(64)) { (s, d) =>
+      NearDup.simhash(t(s, d, "documents"), "doc_id", col("text"), bits = 64)
         .orderBy(col("doc_id"))
     },
 

@@ -142,6 +142,72 @@ class OpsSpec extends AnyFunSuite {
     assert(sh(0) != sh(2))
   }
 
+  test("simhash 64-bit: top 16 bits reproduce the 16-bit fingerprint") {
+    // both widths slice the SAME sha256 prefix MSB-first, so the
+    // 64-bit fingerprint's high quarter must equal the 16-bit one —
+    // a cross-width consistency invariant over real corpus text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 50)
+    val s16 = NearDup.simhash(docs, "doc_id", col("text"), bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s64 = NearDup.simhash(docs, "doc_id", col("text"), bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s64.keySet == s16.keySet && s64.nonEmpty)
+    s64.foreach { case (id, v) => assert((v >>> 48) == s16(id)) }
+    // 64-bit fingerprints actually use the extra width (some doc sets
+    // a low bit) and the sign bit is reachable in principle (signed
+    // reinterpretation — at least assert values differ from the 16-bit)
+    assert(s64.exists { case (id, v) => (v & 0xFFFFFFFFFFFFL) != 0L })
+    assert(s64.exists { case (id, v) => v != s16(id) })
+  }
+
+  test("connectedComponents: chains, cycles, stars, bridges → min-id labels") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),     // chain
+      (10L, 11L), (11L, 12L), (12L, 10L), // cycle
+      (20L, 21L), (20L, 22L), (20L, 23L), // star
+      (30L, 32L), (31L, 32L))             // meet only at the larger id
+      .toDF("doc_a", "doc_b")
+    val cc = NearDup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L)
+    assert(cc == expected)
+  }
+
+  test("connectedComponents converges on a long path (pointer jumping)") {
+    // a 40-node path is the worst case for plain hash-min (O(diameter)
+    // rounds); pointer jumping must finish well inside maxIterations
+    val path = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = NearDup.connectedComponents(path, maxIterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == 40 && cc.forall(_._2 == 0L))
+  }
+
+  test("transitive dedup keepBy policy keeps the keepBy-max survivor") {
+    val docs = Seq(
+      (1L, "a", 0.2), (2L, "b", 0.9), (3L, "c", 0.5), (4L, "d", 0.9),
+      (9L, "solo", 0.1)).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // chain {1,2,3,4} collapses to ONE survivor: max quality 0.9 held
+    // by 2 and 4, tie broken to the smaller id → 2; singleton 9 stays
+    val keptBy = NearDup.dropNearDuplicatesTransitiveBy(
+        docs, "doc_id", pairs, keepBy = col("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBy == Set(2L, 9L))
+    // default policy on the same graph keeps min id
+    val keptMin = NearDup.dropNearDuplicatesTransitive(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMin == Set(1L, 9L))
+    // schema is preserved (policy column retained, no helper columns)
+    val cols = NearDup.dropNearDuplicatesTransitiveBy(
+      docs, "doc_id", pairs, keepBy = col("quality")).columns.toSeq
+    assert(cols == Seq("doc_id", "text", "quality"))
+  }
+
   test("OrderedConcat Aggregator matches the sort_array composite") {
     val df = Seq(("f", 3L, "c"), ("f", 1L, "a"), ("f", 2L, "b"),
       ("g", 2L, "y"), ("g", 1L, "x")).toDF("file", "id", "text").repartition(4)
