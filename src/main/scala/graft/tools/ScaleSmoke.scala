@@ -107,6 +107,27 @@ object ScaleSmoke {
             col("n_tokens"), 2048L)
           .write.format("noop").mode("overwrite").save(); 0L
       }
+      // transitive dedup (q64 shape): LSH pairs → connected components
+      // → anti join. Every word in a copy gets a per-copy PREFIX — a
+      // bijective token rename, so each copy's shingle structure is
+      // isomorphic to the original but disjoint across copies: the
+      // pair graph is `scale` statistically-equivalent replicas of
+      // the 1× graph (pairs scale by rows; identical-text copies
+      // would instead blow up pairs quadratically and measure dup
+      // density, not the CC machinery; an interleaved separator token
+      // shares shingles WITHIN a copy and collapses band buckets).
+      // Run with GRAFT_CC_DEBUG=1 to see iterations-to-fixpoint.
+      val docTagged = (0 until scale).map { k =>
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"c$k$$1").as("text"))
+      }.reduce(_.unionByName(_))
+      T(s"transitive_dedup x$scale") {
+        val base = NearDup.withMutatedCopies(docTagged, "doc_id", "text")
+        val pairs = NearDup.lshCandidatePairs(
+          NearDup.minhashSignaturesFast(base, "doc_id", col("text")), "doc_id")
+        NearDup.dropNearDuplicatesTransitive(base, "doc_id", pairs)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
     }
     spark.stop()
   }
