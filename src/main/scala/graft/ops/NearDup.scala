@@ -136,18 +136,27 @@ object NearDup {
     val nNibs = bits / 4
     val words = df.select(col(id), explode(tokens(text)).as("__w"))
       .withColumn("__h", sha2(col("__w"), 256))
-    val nibbed = words.select(col(id) +: (1 to nNibs).map(j =>
-      conv(substring(col("__h"), j, 1), 16, 10).cast("int").as(s"__n$j")): _*)
-    // bit i lives in nibble (nNibs - i/4) (1-indexed, MSB first), at
-    // in-nibble position i%4
-    def bit(i: Int): Column =
-      shiftright(col(s"__n${nNibs - i / 4}"), i % 4) % 2
+    // decode the hex prefix in ≤8-nibble chunks (one conv each, int-
+    // safe: 8 hex chars < 2^32) rather than per nibble — 1 conv for
+    // 16-bit, 2 for 64-bit, instead of bits/4
+    val nChunks = (nNibs + 7) / 8
+    val chunkLens = (0 until nChunks).map(c => math.min(8, nNibs - c * 8))
+    val chunked = words.select(col(id) +: (0 until nChunks).map(c =>
+      conv(substring(col("__h"), c * 8 + 1, chunkLens(c)), 16, 10)
+        .cast("long").as(s"__c$c")): _*)
+    // chunk 0 is most significant; bit i (0 = LSB of the whole prefix)
+    // lives in the chunk whose low-side cumulative width first covers i
+    val lowCum = chunkLens.scanRight(0)(_ * 4 + _) // low-side bit offset per chunk
+    def bit(i: Int): Column = {
+      val c = (nChunks - 1 to 0 by -1).find(c => i < lowCum(c)).get
+      shiftright(col(s"__c$c"), i - lowCum(c + 1)) % 2
+    }
     val votes = (0 until bits).map(i => sum(bit(i) * 2 - 1).as(s"__s$i"))
     val sh = (0 until bits).map { i =>
       val v = if (i == 63) Long.MinValue else 1L << i
       when(col(s"__s$i") > 0, lit(v)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    nibbed.groupBy(col(id))
+    chunked.groupBy(col(id))
       .agg(votes.head, votes.tail: _*)
       .select(col(id), sh.cast("long").as("simhash"))
   }

@@ -186,6 +186,48 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- transitive dedup with a keep-best policy ----
+    // Same component grouping as q64, applied as a dedup that keeps
+    // the LONGEST doc per duplicate cluster (ties → smaller id)
+    // instead of the min id — the representative policy large corpus
+    // runs use. Singletons (docs in no pair) always survive. Oracle:
+    // recursive-CTE components + a row_number window.
+    Q("q66_transitive_keep_best",
+      s"""WITH RECURSIVE $mutatedBase,
+         |${minhashSql("base")},
+         |bands AS (
+         | SELECT doc_id, '0|' || mh0 || '|' || mh1 AS band FROM sig
+         | UNION ALL
+         | SELECT doc_id, '1|' || mh2 || '|' || mh3 AS band FROM sig),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |edges AS (
+         | SELECT doc_a AS src, doc_b AS dst FROM pairs
+         | UNION
+         | SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |walk AS (
+         | SELECT src AS node, dst AS reach FROM edges
+         | UNION
+         | SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+         |comp AS (
+         | SELECT node AS doc_id, least(node, min(reach)) AS component
+         | FROM walk GROUP BY node),
+         |ranked AS (
+         | SELECT b.doc_id,
+         |   row_number() OVER (
+         |     PARTITION BY coalesce(c.component, b.doc_id)
+         |     ORDER BY length(b.text) DESC, b.doc_id ASC) AS rn
+         | FROM base b LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = NearDup.withMutatedCopies(t(s, d, "documents"), "doc_id", "text")
+      val sigs = NearDup.minhashSignaturesFused(base, "doc_id", col("text"))
+      val pairs = NearDup.lshCandidatePairs(sigs, "doc_id")
+      NearDup.dropNearDuplicatesTransitiveBy(base, "doc_id", pairs,
+          keepBy = length(col("text")))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
     // ---- embedding-cosine near-dup pairs on a bounded candidate set ----
     Q("q17_embed_neardup",
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
