@@ -286,6 +286,11 @@ object NearDup {
     * converge in a handful of rounds; non-convergence within
     * `maxIterations` throws rather than silently under-merging.
     *
+    * The loop temporarily overrides `spark.sql.shuffle.partitions`
+    * and AQE on the SESSION (restored in a finally, including on the
+    * non-convergence throw) — run it on a session not concurrently
+    * planning unrelated queries, or on a cloned session.
+    *
     * Returns one row per node appearing in `pairs`:
     * (node, component = min id reachable). */
   def connectedComponents(pairs: DataFrame, colA: String = "doc_a",

@@ -187,6 +187,32 @@ class OpsSpec extends AnyFunSuite {
     assert(cc.length == 40 && cc.forall(_._2 == 0L))
   }
 
+  test("connectedComponents frees iteration checkpoints; at most the result stays") {
+    // the loop localCheckpoints every round — blocks from prior rounds
+    // and the edge table must be unpersisted eagerly, not left for the
+    // ContextCleaner (at 100 TB label tables that lag is real memory
+    // pressure). Only the returned final label table may remain.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = NearDup.connectedComponents(pairs, maxIterations = 12)
+    assert(cc.count() == 201)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked persisted RDDs: $leaked")
+  }
+
+  test("connectedComponents restores session conf even when it throws") {
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    val pairs = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // a 100-node path cannot converge in 2 rounds → the fixpoint guard
+    // must throw, and the loop's conf overrides must still roll back
+    intercept[IllegalArgumentException] {
+      NearDup.connectedComponents(pairs, maxIterations = 2)
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parts0)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe0)
+  }
+
   test("transitive dedup keepBy policy keeps the keepBy-max survivor") {
     val docs = Seq(
       (1L, "a", 0.2), (2L, "b", 0.9), (3L, "c", 0.5), (4L, "d", 0.9),
