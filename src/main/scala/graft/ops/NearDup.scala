@@ -317,8 +317,14 @@ object NearDup {
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-      var checkpointed = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("component"))
+      // initialization already IS the first hash-min round: label(x) =
+      // min(x, min neighbor) from one groupBy over the checkpointed
+      // edges — same single shuffle a distinct-nodes init would cost,
+      // one fewer loop iteration
+      var checkpointed = edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("__m"))
+        .select(col("src").as("node"),
+          least(col("src"), col("__m")).as("component"))
         .localCheckpoint()
       labels = checkpointed
       // Incremental (delta) propagation: a label can only decrease
