@@ -123,4 +123,40 @@ object TextAnalysis {
     ColumnBridge.column(
       graft.expr.TextStats(ColumnBridge.expression(text), stopwords))
   }
+
+  /** CCNet-style line-level boilerplate removal: drop every line whose
+    * exact text occurs in >= `minDocs` DISTINCT documents (headers,
+    * footers, navigation chrome — the lines that repeat across a
+    * crawl), keep the rest, and reassemble each document's surviving
+    * lines in original order. Returns (id, clean_text); documents
+    * whose every line was boilerplate come back as "" (row count
+    * preserved).
+    *
+    * Scale shape: the line-frequency aggregation is map-side
+    * combining on the line text; only lines ABOVE the threshold
+    * survive into the join relation, so the membership join is
+    * big ⋈ small (AQE broadcasts it) rather than line ⋈ line; the
+    * per-doc reassembly is one hash aggregation with an array_sort
+    * (per-doc line counts bound the sort). No UDFs — runs at scan
+    * speed and stays oracle-checkable. */
+  def removeBoilerplateLines(df: org.apache.spark.sql.DataFrame,
+      id: String, text: Column, minDocs: Long = 5L): org.apache.spark.sql.DataFrame = {
+    val lines = df.select(col(id),
+      posexplode(split(text, "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines.filter(trim(col("__line")) =!= "")
+      .groupBy(col("__line"))
+      .agg(countDistinct(col(id)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__line"), lit(true).as("__bp"))
+    val rebuilt = lines
+      .join(boiler, Seq("__line"), "left")
+      .filter(col("__bp").isNull)
+      .groupBy(col(id))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line"))).as("clean_text"))
+    df.select(col(id))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -198,5 +198,37 @@ object TextQueries {
           TextAnalysis.rollingHash(Functions.normText(col("text"))).as("fp_roll"))
         .orderBy(col("doc_id"))
     },
+
+    // ---- line-level boilerplate removal (CCNet-style) ----
+    // The corpus is single-line, so the query constructs the crawl
+    // shape in-query (same pattern as q14's mutated copies): a header
+    // line shared by EVERY doc (boilerplate: doc-frequency 500 >= 10)
+    // plus a per-doc unique footer. The operator must strip exactly
+    // the header (and any body line that happens to repeat across
+    // >= 10 docs — the data decides, the oracle agrees) while
+    // preserving line order of what remains.
+    Q("q67_boilerplate",
+      """WITH doc2 AS (SELECT doc_id,
+        |  'city council weekly notice' || chr(10) || text || chr(10)
+        |    || 'doc ' || doc_id || ' footer' AS text
+        | FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM doc2),
+        |u AS (SELECT doc_id, unnest(ls) AS line,
+        |  generate_subscripts(ls, 1) AS pos FROM s),
+        |boiler AS (SELECT line FROM u WHERE trim(line) <> ''
+        | GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+        |kept AS (SELECT * FROM u WHERE line NOT IN (SELECT line FROM boiler)),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val doc2 = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("city council weekly notice\n"), col("text"),
+          lit("\ndoc "), col("doc_id").cast("string"), lit(" footer")).as("text"))
+      TextAnalysis.removeBoilerplateLines(doc2, "doc_id", col("text"),
+          minDocs = 10L)
+        .orderBy(col("doc_id"))
+    },
   )
 }

@@ -148,4 +148,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(viaExpr.toSeq == df.collect().map(r => manual(r.getString(0))).toSeq)
   }
+
+  test("boilerplate removal: drops repeated lines, keeps order, preserves rows") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha beta\nFOOTER 1"),
+      (2L, "HEADER\ngamma delta\nFOOTER 2"),
+      (3L, "HEADER\nalpha beta\nFOOTER 3"), // body shared with doc 1 (2 < minDocs)
+      (4L, "HEADER"),                        // fully boilerplate → ""
+      (5L, "HEADER\n\nepsilon"))             // blank line survives (not counted)
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .removeBoilerplateLines(docs, "doc_id", col("text"), minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha beta\nFOOTER 1",
+      2L -> "gamma delta\nFOOTER 2",
+      3L -> "alpha beta\nFOOTER 3",
+      4L -> "",
+      5L -> "\nepsilon"))
+  }
 }
