@@ -429,6 +429,40 @@ object NearDup {
       .drop("__rank", "component")
   }
 
+  /** Cross-document repeated token-window report — the diagnostic
+    * behind exact-substring dedup (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): for every stride-1
+    * window of `w` tokens whose exact text occurs in MORE THAN ONE
+    * document, report per doc how many of its windows are such
+    * cross-doc repeats and where the first one starts. Within-doc
+    * repetition alone does not count (that is `TextAnalysis.
+    * dupTokenFrac` territory); the doc-frequency test is
+    * countDistinct.
+    *
+    * Scale shape: windows explode to ~tokens-per-doc rows per doc (the
+    * honest cost of stride-1 window hashing — what distributed
+    * exact-substring dedup pays before suffix-automaton tricks); the
+    * doc-frequency aggregation combines map-side on the window text;
+    * only windows with docFreq >= 2 survive into the membership join
+    * (big ⋈ small); the per-doc rollup is one hash agg. Returns
+    * (id, n_rep, first_pos), docs with no repeats omitted. */
+  def repeatedWindows(df: DataFrame, id: String, text: Column,
+      w: Int = 8): DataFrame = {
+    require(w >= 2, "repeatedWindows: w must be >= 2")
+    val toks = df.select(col(id), tokens(text).as("__w"))
+      .filter(size(col("__w")) >= w)
+    val wins = toks.select(col(id),
+      posexplode(shinglesFromTokens(col("__w"), w)).as(Seq("__pos", "__win")))
+    val rep = wins.groupBy(col("__win"))
+      .agg(countDistinct(col(id)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select(col("__win"))
+    wins.join(rep, Seq("__win"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_rep"),
+        min(col("__pos")).cast("long").as("first_pos"))
+  }
+
   /** Demo/test helper: append truncated copies of each row (guaranteed
     * near-duplicates) with offset ids. */
   def withMutatedCopies(df: DataFrame, id: String, text: String,

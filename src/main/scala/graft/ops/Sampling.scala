@@ -22,6 +22,24 @@ object Sampling {
     df.filter(hashBucket(key) < (fraction * 65536).toLong)
   }
 
+  /** Deterministic per-group quota sampling (source balancing): keep
+    * at most `quota` rows per group, selected by sha256-hash order of
+    * the key — a stable uniform shuffle, so the kept subset is
+    * reproducible across runs, partitionings, and engines, unlike
+    * arrival-order `limit` per group. Ties (hash collisions) break by
+    * the key itself. One shuffle (the per-group window); group
+    * cardinality bounds the window state. */
+  def quotaSample(df: DataFrame, group: Column, key: Column,
+      quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group)
+      .orderBy(sha2(key.cast("string"), 256), key)
+    df.withColumn("__qr", row_number().over(w))
+      .filter(col("__qr") <= quota)
+      .drop("__qr")
+  }
+
   /** Assign split labels by cumulative weight over the hash space:
     * e.g. `weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`. */
   def splitLabel(key: Column, weights: Seq[(String, Double)]): Column = {

@@ -228,6 +228,39 @@ object DedupQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
 
+    // ---- cross-document repeated token windows (exact-substring dedup diagnostic) ----
+    // The corpus has no naturally shared 8-grams (tiny vocab, huge
+    // window space), so every 25th doc gets a shared 10-word sentence
+    // appended in-query: its interior windows repeat across exactly
+    // those docs; boundary windows stay doc-specific. The operator
+    // must count, per doc, windows whose exact text occurs in >= 2
+    // DISTINCT docs (within-doc repetition alone must NOT trigger).
+    Q("q68_repeated_windows", {
+      val win8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH d2 AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 25 = 0
+         |    THEN text || ' shared city hall announcement for all residents tonight at seven'
+         |    ELSE text END AS text
+         | FROM documents),
+         |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM d2),
+         |f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 8),
+         |wl AS (SELECT doc_id,
+         |  list_transform(range(1, len(ws) - 6), i -> $win8) AS wins FROM f),
+         |u AS (SELECT doc_id, unnest(wins) AS win,
+         |  generate_subscripts(wins, 1) - 1 AS pos FROM wl),
+         |rep AS (SELECT win FROM u GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, count(*) AS n_rep, CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM u JOIN rep USING (win)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val d2 = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 25 === 0, concat(col("text"),
+          lit(" shared city hall announcement for all residents tonight at seven")))
+          .otherwise(col("text")).as("text"))
+      NearDup.repeatedWindows(d2, "doc_id", col("text"), w = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- embedding-cosine near-dup pairs on a bounded candidate set ----
     Q("q17_embed_neardup",
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

@@ -82,6 +82,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- deterministic per-source quota sampling (corpus balancing) ----
+    // Keep at most 10 docs per source, chosen by sha256-hash order of
+    // the id — a stable uniform shuffle, reproducible across engines
+    // (both sort the same lowercase hex), unlike per-group limit.
+    Q("q69_quota_sample",
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Sampling.quotaSample(t(s, d, "documents"),
+          col("source"), col("doc_id"), quota = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- multimodal decode stub: per-partition decoder, frame explode ----
     // The stub decoder is sha256-derived (format sniff + digest-based
     // dimensions + length-based duration), so the decode → frame-sample

@@ -234,6 +234,33 @@ class OpsSpec extends AnyFunSuite {
     assert(cols == Seq("doc_id", "text", "quality"))
   }
 
+  test("repeatedWindows: cross-doc repeats only, positions and counts exact") {
+    val shared = "a b c d e f g h" // one full 8-token window
+    val docs = Seq(
+      (1L, s"x1 x2 $shared"),          // shared window at pos 2
+      (2L, s"$shared y1 y2"),          // shared window at pos 0
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8"), // unique window → omitted
+      (4L, "w w w w w w w w w w"),     // within-doc repetition only → omitted
+      (5L, "too short")).toDF("doc_id", "text")
+    val out = NearDup.repeatedWindows(docs, "doc_id", col("text"), w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 2L), (2L, 1L, 0L)))
+  }
+
+  test("quotaSample: caps per group, deterministic, stable under repartition") {
+    val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val a = graft.ops.Sampling.quotaSample(df, col("src"), col("id"), 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.length == 28)
+    assert(a.groupBy(_._2).forall(_._2.length == 7))
+    val b = graft.ops.Sampling.quotaSample(df.repartition(13), col("src"),
+      col("id"), 7).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSet == b.toSet) // hash order, not arrival order
+    // quota above group size keeps everything
+    val all = graft.ops.Sampling.quotaSample(df, col("src"), col("id"), 50)
+    assert(all.count() == 100)
+  }
+
   test("OrderedConcat Aggregator matches the sort_array composite") {
     val df = Seq(("f", 3L, "c"), ("f", 1L, "a"), ("f", 2L, "b"),
       ("g", 2L, "y"), ("g", 1L, "x")).toDF("file", "id", "text").repartition(4)
