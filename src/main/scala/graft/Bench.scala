@@ -60,19 +60,33 @@ object Bench {
       val timed = Seq.fill(TimedPasses)(runOnce(name, fn))
       name -> timed.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":$coldTotal,"errors":$errJson}"""
-    println(line)
-    // survive the driver's stdout-tail truncation
+    // Locale.ROOT: a comma-decimal default locale must not break JSON
+    def num(v: Double, prec: Int): String =
+      s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+    def line(qs: Iterable[(String, Double)], prec: Int): String = {
+      val dict = qs.map { case (k, v) => s"\"" + k + "\":" + num(v, prec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"errors":$errJson}"""
+    }
+    // Full-precision, full-name line goes to a file; stdout gets a line
+    // guaranteed to FIT the driver's 2000-char stdout tail (rounds 1-4
+    // all truncated the full line → "parsed": null). Prefer full query
+    // names; above the tail budget fall back to the qNN prefix keys the
+    // driver contract itself uses ("q1":sec).
+    val fullLine = line(results, 9)
+    val stdoutLine = {
+      val named = line(results, 3)
+      if (named.length <= 1800) named
+      else line(results.map { case (k, v) => k.take(3) -> v }, 3)
+    }
+    println(stdoutLine)
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
     if (errors.nonEmpty) {
