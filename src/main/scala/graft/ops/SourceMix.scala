@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-mix management — the source/domain-level operations a
+  * pre-training data pipeline runs after per-document filtering:
+  * per-source statistics, domain-level quality gating (drop whole
+  * sources whose aggregate stats fail — the RefinedWeb/C4 "bad
+  * domain" pass), and deterministic weighted resampling (up/down-
+  * sample each source to its target mixture weight, the DoReMi-style
+  * mixing step that turns a raw crawl into a training mix).
+  *
+  * Everything is hash-deterministic (no `rand()`): reruns, backfills
+  * and engine migrations reproduce the same mix bit-for-bit, which is
+  * what makes training data auditable.
+  */
+object SourceMix {
+
+  /** Per-source report: doc count, exact mean of `metric`, and corpus
+    * share. One map-side-combining aggregation; the share join is a
+    * broadcast of a single total row. */
+  def sourceStats(df: DataFrame, source: Column, metric: Column): DataFrame = {
+    val stats = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"), avg(metric).as("avg_metric"))
+    val total = stats.agg(sum(col("n_docs")).as("__tot"))
+    stats.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        round(col("avg_metric"), 4).as("avg_metric"),
+        round(col("n_docs") / col("__tot"), 6).as("share"))
+  }
+
+  /** Domain-level gate: keep only documents whose SOURCE passes the
+    * aggregate thresholds (enough documents AND a high enough mean
+    * metric). The gate relation is one row per source — tiny — so the
+    * membership join broadcasts; the document stream is filtered at
+    * scan speed with one aggregation shuffle over (source) partials. */
+  def filterBySourceQuality(df: DataFrame, source: String, metric: Column,
+      minDocs: Long, minAvgMetric: Double): DataFrame = {
+    val ok = df.groupBy(col(source))
+      .agg(count(lit(1)).as("__n"), avg(metric).as("__avg"))
+      .filter(col("__n") >= minDocs && col("__avg") >= minAvgMetric)
+      .select(col(source))
+    df.join(broadcast(ok), Seq(source), "left_semi")
+  }
+
+  /** Deterministic weighted resampling: each row is emitted
+    * floor(weight) times, plus one more for the hash-chosen fraction
+    * of rows that lands under frac(weight) — so a source with weight
+    * 2.5 contributes every doc twice and half its docs (stable halves,
+    * chosen by sha256 of the key) a third time, and weight 0.25 keeps
+    * a deterministic quarter. Output gains a `copy` index (0-based):
+    * downstream shuffles/splits treat replicas as distinct rows.
+    *
+    * Pure narrow ops — a hash, an arithmetic repeat count, and one
+    * explode; no shuffle at all. Expected output size = Σ weight(row),
+    * independent of partitioning. */
+  def resampleByWeight(df: DataFrame, key: Column, weight: Column,
+      copyCol: String = "copy"): DataFrame = {
+    val nCopies = (floor(weight).cast("long") +
+      when(Sampling.hashBucket(key) < floor((weight - floor(weight)) * 65536)
+        .cast("long"), 1L).otherwise(0L)).as("__n")
+    df.withColumn("__n", nCopies)
+      .filter(col("__n") > 0)
+      .withColumn(copyCol, explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+}

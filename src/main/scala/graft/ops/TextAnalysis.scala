@@ -124,6 +124,70 @@ object TextAnalysis {
       graft.expr.TextStats(ColumnBridge.expression(text), stopwords))
   }
 
+  /** Unicode NFC normalization (native codegen expression — see
+    * `expr.NfcNormalize`): canonical-compose combining marks so
+    * byte-level dedup/shingling/tokenization see one form per
+    * grapheme. */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.expr.NfcNormalize(ColumnBridge.expression(text)))
+  }
+
+  /** Per-document top-k TF-IDF terms — the classic salient-term
+    * extractor (corpus triage, topic drift monitoring, tokenizer
+    * vocabulary prep). score = tf · ln(N/df) with N = documents
+    * holding >= 1 token; ranking and ties use the ROUNDED score (6
+    * decimals) then the term, so the ranking is reproducible across
+    * engines (mathematically equal scores computed via different
+    * ln roundings must not flip ranks).
+    *
+    * Scale shape: tf and df are both map-side-combining hash aggs off
+    * one explode; N broadcasts as a single row; the per-doc top-k
+    * window partitions by doc id — state bounded by per-doc distinct
+    * terms, never the corpus vocabulary. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "tfidfTopTerms: k must be >= 1")
+    val toks = df.select(col(id), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+    val n = toks.agg(countDistinct(col(id)).as("__N"))
+    val tf = toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("__N") / col("df")), 6))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(id), col("rank"), col("term"), col("score"))
+  }
+
+  /** Corpus vocabulary coverage: the top-k tokens by frequency with
+    * rank, count, and CUMULATIVE corpus share — the head-coverage
+    * curve a tokenizer-training / stopword-selection pass reads first.
+    * The frequency table is one map-side-combining agg; top-k is a
+    * TakeOrdered (per-partition k-heap, no global sort of the
+    * vocabulary); only the k survivors enter the single-partition
+    * cumulative window, and the grand total broadcasts as one row. */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, text: Column,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "vocabCoverage: k must be >= 1")
+    val freq = df.select(explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).as("__tot"))
+    val top = freq.orderBy(col("n").desc, col("term").asc).limit(k)
+    val w = Window.orderBy(col("n").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("term").asc)))
+      .select(col("rank"), col("term"), col("n"),
+        round(sum(col("n")).over(w) / col("__tot"), 6).as("cum_share"))
+  }
+
   /** CCNet-style line-level boilerplate removal: drop every line whose
     * exact text occurs in >= `minDocs` DISTINCT documents (headers,
     * footers, navigation chrome — the lines that repeat across a

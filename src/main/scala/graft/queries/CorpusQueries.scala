@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{SourceMix, TextAnalysis}
+import Q.t
+
+/** Corpus-mix and vocabulary queries (training-data pipeline surface):
+  * per-source statistics, domain-level quality gating, deterministic
+  * weighted resampling, per-doc TF-IDF salient terms, Unicode NFC
+  * normalization, and head-vocabulary coverage.
+  */
+object CorpusQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- per-source corpus report (counts, mean length, share) ----
+    Q("q71_source_stats",
+      """WITH s AS (SELECT source, count(*) AS n_docs, avg(n_chars) AS am
+        | FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM s)
+        |SELECT source, n_docs, round(am, 4) AS avg_metric,
+        | round(n_docs / tot, 6) AS share
+        |FROM s, t ORDER BY source""".stripMargin) { (s, d) =>
+      SourceMix.sourceStats(t(s, d, "documents"), col("source"), col("n_chars"))
+        .orderBy(col("source"))
+    },
+
+    // ---- domain-level quality gate (drop whole sources) ----
+    // Keep documents whose SOURCE has >= 10 docs and mean n_chars >=
+    // 295 — the RefinedWeb/C4-style "bad domain" pass. The aggregate
+    // is integer-exact (sum/count), so the gate reproduces across
+    // engines with no float-boundary risk.
+    Q("q72_source_filter",
+      """WITH ok AS (SELECT source FROM documents
+        | GROUP BY source HAVING count(*) >= 10 AND avg(n_chars) >= 295.0)
+        |SELECT d.doc_id, d.source FROM documents d JOIN ok USING (source)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      SourceMix.filterBySourceQuality(t(s, d, "documents"), "source",
+          col("n_chars"), minDocs = 10L, minAvgMetric = 295.0)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic weighted resampling to a target mix ----
+    // Source weight = 0.25·(1 + src# mod 8) ∈ [0.25, 2.0]: whole part
+    // replicates every doc, fractional part keeps a stable sha256-
+    // chosen subset — the DoReMi-style mixing step. All quantities
+    // (quarter weights, ×65536 cuts) are exactly representable, so
+    // the emitted multiset is engine-reproducible.
+    Q("q73_weighted_resample",
+      """WITH base AS (SELECT doc_id, source,
+        |  CAST(0.25 AS DOUBLE) * (1 + (CAST(substr(source, 4) AS INT) % 8)) AS wt,
+        |  (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)),1,1)) - 1) * 4096
+        |+ (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256
+        |+ (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16
+        |+ (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)),4,1)) - 1) AS bucket
+        | FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  CAST(floor(wt) AS BIGINT)
+        |  + CASE WHEN bucket < CAST(floor((wt - floor(wt)) * 65536) AS BIGINT)
+        |         THEN 1 ELSE 0 END AS nc
+        | FROM base)
+        |SELECT doc_id, source, unnest(range(0, nc)) AS copy
+        |FROM n WHERE nc > 0 ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val wt = lit(0.25) * (lit(1) + substring(col("source"), 4, 8).cast("int") % 8)
+      SourceMix.resampleByWeight(docs, col("doc_id"), wt)
+        .orderBy(col("doc_id"), col("copy"))
+    },
+
+    // ---- per-document top-3 TF-IDF terms ----
+    // Ranking uses the ROUNDED score then the term: mathematically
+    // equal scores (tf·ln((N/d)^1) = 2·tf·ln(sqrt(N/d)) shapes) must
+    // not tie-break differently across engines' last-ulp ln.
+    Q("q74_tfidf_terms",
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM tok2),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT doc_id, tf.term, round(tf * ln(n / df), 6) AS score
+        | FROM tf JOIN dfq USING (term), nn),
+        |r AS (SELECT doc_id, term, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        | FROM sc)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", col("text"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // ---- Unicode NFC normalization (native codegen expression) ----
+    // Every 10th doc gets a decomposed grapheme ("e" + U+0301)
+    // appended in-query; the normalizer must compose it (length
+    // shrinks by 1) and pass already-normalized text through
+    // unchanged. DuckDB's nfc_normalize is the cross-engine oracle.
+    Q("q75_nfc_normalize",
+      """WITH d2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN text || ' cafe' || chr(769)
+        |       ELSE text END AS t
+        | FROM documents)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_in,
+        |  nfc_normalize(t) AS norm_text,
+        |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_out
+        |FROM d2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t2 = when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" café"))).otherwise(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+          length(t2).cast("long").as("n_in"),
+          TextAnalysis.nfcNormalize(t2).as("norm_text"),
+          length(TextAnalysis.nfcNormalize(t2)).cast("long").as("n_out"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- head-vocabulary coverage curve (top-20 tokens) ----
+    Q("q76_vocab_coverage",
+      """WITH tok AS (SELECT
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents),
+        |f AS (SELECT term, count(*) AS n FROM tok WHERE term <> '' GROUP BY term),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM f),
+        |top AS (SELECT term, n FROM f ORDER BY n DESC, term LIMIT 20),
+        |r AS (SELECT term, n,
+        |  row_number() OVER (ORDER BY n DESC, term) AS rank,
+        |  CAST(SUM(n) OVER (ORDER BY n DESC, term
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM top)
+        |SELECT CAST(rank AS INTEGER) AS rank, term, n, round(cum / tot, 6) AS cum_share
+        |FROM r, tot ORDER BY rank""".stripMargin) { (s, d) =>
+      TextAnalysis.vocabCoverage(t(s, d, "documents"), col("text"), k = 20)
+        .orderBy(col("rank"))
+    },
+  )
+}

@@ -5,7 +5,7 @@ object Registry {
   val all: Seq[Q] =
     Relational.qs ++ DedupQueries.qs ++ VectorQueries.qs ++
       TextQueries.qs ++ ScalarQueries.qs ++ MiscQueries.qs ++
-      PipelineQueries.qs ++ OlapQueries.qs
+      PipelineQueries.qs ++ OlapQueries.qs ++ CorpusQueries.qs
 
   private lazy val index: Map[String, Q] = all.map(q => q.name -> q).toMap
   def byName(name: String): Q = index(name)

@@ -158,5 +158,45 @@ object VectorQueries {
       Ivf.ivfTopK(emb, "vec_id", "embedding", queryVec(s, d, 0), 10,
         cents, nProbe = 2)
     },
+
+    // ---- SemDeDup: cluster-bounded semantic dedup over embeddings ----
+    // k-means cells (fixed k=8 centroids = the smallest vec_ids, same
+    // SQL-reproducible trick as q58; the TRAINED path is SemDedupSpec's
+    // job), then within each cell drop every vector cosine->=0.3 to a
+    // smaller-id member. The cell equi-join bounds the pairwise work to
+    // cluster size — the quadratic term never sees the corpus.
+    Q("q70_semdedup",
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+        |       FROM embeddings WHERE vec_id < 8),
+        |vu AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |cu AS (SELECT cid, CAST(unnest(cemb) AS DOUBLE) AS cx,
+        |       generate_subscripts(cemb, 1) AS i FROM cent),
+        |dist AS (SELECT vec_id, cid, SUM((x - cx) * (x - cx)) AS d2
+        |       FROM vu JOIN cu USING (i) GROUP BY vec_id, cid),
+        |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |       FROM dist) WHERE rn = 1),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM vu GROUP BY vec_id),
+        |p AS (SELECT ca.vec_id AS ia, cb.vec_id AS ib
+        |      FROM cell ca JOIN cell cb ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id),
+        |d AS (SELECT ia, ib, SUM(a.x * b.x) AS dot
+        |      FROM p JOIN vu a ON a.vec_id = p.ia
+        |             JOIN vu b ON b.vec_id = p.ib AND b.i = a.i
+        |      GROUP BY ia, ib),
+        |losers AS (SELECT DISTINCT ib FROM d
+        |      JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib
+        |      WHERE dot / (na.nrm * nb.nrm) >= 0.3)
+        |SELECT c.vec_id, CAST(c.cid AS INTEGER) AS ivf_cell
+        |FROM cell c WHERE c.vec_id NOT IN (SELECT ib FROM losers)
+        |ORDER BY c.vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+      graft.vector.SemDedup.dropSemanticDuplicates(
+          emb, "vec_id", "embedding", cents, threshold = 0.3)
+        .select(col("vec_id"), col("ivf_cell"))
+        .orderBy(col("vec_id"))
+    },
   )
 }

@@ -1,0 +1,54 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the embedding space with k-means, then
+  * compare vectors ONLY within their cluster and drop every vector
+  * whose cosine similarity to a smaller-id cluster member reaches the
+  * threshold — semantic near-duplicates that exact/MinHash dedup
+  * cannot see (paraphrases, templated rewrites, translations).
+  *
+  * This is the third dedup scale path next to MinHash-LSH banding
+  * (`ops.NearDup`) and hyperplane/IVF ANN (`Similarity`/`Ivf`): the
+  * cluster assignment is a per-row O(k·dim) map against broadcast
+  * centroids, the candidate generation is an equi-join on the cell id
+  * (one shuffle, hash-partitioned by cell), and the pairwise cosine
+  * work is bounded by cluster size — k is the knob that keeps
+  * per-cell membership ~N/k so the quadratic term never sees the full
+  * corpus. The same keep-smallest-id policy as `NearDup
+  * .dropNearDuplicates`; chain `NearDup.connectedComponents` over
+  * `semanticDuplicatePairs` when transitive grouping is wanted.
+  */
+object SemDedup {
+
+  /** Within-cell candidate pairs with cosine >= threshold:
+    * (cell, id_a, id_b, cos_sim), id_a < id_b. */
+  def semanticDuplicatePairs(df: DataFrame, id: String, vec: String,
+      cents: Array[Array[Float]], threshold: Double,
+      cellCol: String = "ivf_cell"): DataFrame = {
+    val assigned = Ivf.assignCells(df.select(col(id), col(vec)), col(vec), cents, cellCol)
+    val a = assigned.select(col(cellCol), col(id).as("id_a"), col(vec).as("__va"))
+    val b = assigned.select(col(cellCol), col(id).as("id_b"), col(vec).as("__vb"))
+    val cos = Similarity.cosineSim(col("__va"), col("__vb"))
+    a.join(b, Seq(cellCol))
+      .filter(col("id_a") < col("id_b") && cos >= threshold)
+      .select(col(cellCol), col("id_a"), col("id_b"),
+        round(cos, 6).as("cos_sim"))
+  }
+
+  /** Apply semantic dedup: every row cosine-close to a smaller-id
+    * member of its own cluster is dropped (greedy keep-min policy —
+    * the SemDeDup paper's "keep one per ε-ball"). Returns the
+    * surviving rows WITH their cell id attached (callers typically
+    * write the collection partitioned by it). */
+  def dropSemanticDuplicates(df: DataFrame, id: String, vec: String,
+      cents: Array[Array[Float]], threshold: Double,
+      cellCol: String = "ivf_cell"): DataFrame = {
+    val losers = semanticDuplicatePairs(df, id, vec, cents, threshold, cellCol)
+      .select(col("id_b").as(id)).distinct()
+    Ivf.assignCells(df, col(vec), cents, cellCol)
+      .join(losers, Seq(id), "left_anti")
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Sampling, SourceMix, TextAnalysis}
+import graft.vector.SemDedup
+
+/** Corpus-mix + vocabulary + normalization operators (round-5 surface):
+  * SemDeDup semantic dedup, source gating, weighted resampling,
+  * TF-IDF, NFC normalization, vocabulary coverage.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- NFC normalization ----
+
+  test("nfcNormalize composes combining marks and passes normalized text through") {
+    val df = Seq(
+      (1L, "café"),          // e + combining acute -> é
+      (2L, "café"),                // already composed
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+      .select(col("id"), TextAnalysis.nfcNormalize(col("s")).as("n"),
+        length(TextAnalysis.nfcNormalize(col("s"))).as("len"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(1) == "café" && rows(0).getInt(2) == 4)
+    assert(rows(1).getString(1) == "café" && rows(1).getInt(2) == 4)
+    assert(rows(2).getString(1) == "plain ascii")
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+  }
+
+  // ---- SemDeDup ----
+
+  private val cents = Array(Array(1f, 0f), Array(0f, 1f))
+
+  test("semantic dedup drops the larger id of a same-cell near-dup pair") {
+    val df = Seq(
+      (10L, Seq(1f, 0.01f)),      // cell 0
+      (11L, Seq(0.99f, 0.011f)),  // cell 0, cos ~ 1 with 10 -> dropped
+      (12L, Seq(0.01f, 1f)),      // cell 1, alone there
+      (20L, Seq(-1f, 0.2f)))      // cell 1 (farther from +x), dissimilar
+      .toDF("vec_id", "embedding")
+    val kept = SemDedup.dropSemanticDuplicates(df, "vec_id", "embedding",
+      cents, threshold = 0.95)
+    assert(kept.select("vec_id").as[Long].collect().sorted.toSeq == Seq(10L, 12L, 20L))
+    // cell ids ride along for partitioned writes
+    assert(kept.columns.contains("ivf_cell"))
+  }
+
+  test("semantic dedup is cluster-bounded: near-dups straddling a cell boundary survive") {
+    // cos(v, w) ~ 0.99995 but v lands in cell 0 and w in cell 1 — the
+    // documented SemDeDup recall tradeoff (k vs boundary misses), and
+    // the property that keeps the pairwise work O(cell²) not O(N²)
+    val df = Seq(
+      (1L, Seq(0.71f, 0.703f)),
+      (2L, Seq(0.703f, 0.71f)))
+      .toDF("vec_id", "embedding")
+    val pairs = SemDedup.semanticDuplicatePairs(df, "vec_id", "embedding",
+      cents, threshold = 0.9)
+    assert(pairs.count() == 0)
+    assert(SemDedup.dropSemanticDuplicates(df, "vec_id", "embedding",
+      cents, threshold = 0.9).count() == 2)
+  }
+
+  // ---- source gating ----
+
+  test("filterBySourceQuality keeps only sources passing both gates") {
+    val df = Seq(
+      ("good", 1L, 10.0), ("good", 2L, 12.0), ("good", 3L, 8.0),
+      ("small", 4L, 100.0),                  // fails minDocs
+      ("low", 5L, 1.0), ("low", 6L, 2.0), ("low", 7L, 0.0)) // fails avg
+      .toDF("source", "doc_id", "q")
+    val kept = SourceMix.filterBySourceQuality(df, "source", col("q"),
+      minDocs = 2L, minAvgMetric = 5.0)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"gate join should broadcast the per-source relation:\n$plan")
+  }
+
+  test("sourceStats shares sum to 1 and means are exact") {
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 40L)).toDF("source", "m")
+    val st = SourceMix.sourceStats(df, col("source"), col("m"))
+      .orderBy("source").collect()
+    assert(st(0).getLong(1) == 2 && st(0).getDouble(2) == 15.0)
+    assert(st(1).getLong(1) == 1 && st(1).getDouble(2) == 40.0)
+    assert(math.abs(st.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+  }
+
+  // ---- weighted resampling ----
+
+  test("resampleByWeight: integer weights replicate exactly, fractions follow the hash") {
+    val df = (0L until 100L).toDF("id")
+    // weight 3.0 -> exactly 3 copies, copy ids 0,1,2
+    val tripled = SourceMix.resampleByWeight(df, col("id"), lit(3.0))
+    assert(tripled.count() == 300)
+    assert(tripled.groupBy("id").count().filter(col("count") =!= 3).count() == 0)
+    assert(tripled.filter(col("id") === 0).select("copy").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // weight 0 -> nothing
+    assert(SourceMix.resampleByWeight(df, col("id"), lit(0.0)).count() == 0)
+    // weight 1.25: 1 copy always, +1 exactly when hashBucket < 16384
+    val got = SourceMix.resampleByWeight(df, col("id"), lit(1.25))
+      .groupBy("id").count()
+    val expected = df.select(col("id"),
+      when(Sampling.hashBucket(col("id")) < 16384, 2L).otherwise(1L).as("n"))
+    assert(got.join(expected, Seq("id"))
+      .filter(col("count") =!= col("n")).count() == 0)
+    // deterministic: a rerun emits the identical multiset
+    val again = SourceMix.resampleByWeight(df, col("id"), lit(1.25))
+      .groupBy("id").count()
+    assert(got.join(again, Seq("id"))
+      .filter(got("count") =!= again("count")).count() == 0)
+  }
+
+  test("resampleByWeight plans with no shuffle") {
+    val df = (0L until 10L).toDF("id")
+    val plan = SourceMix.resampleByWeight(df, col("id"), lit(1.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resample must stay narrow:\n$plan")
+  }
+
+  // ---- TF-IDF ----
+
+  test("tfidfTopTerms matches a hand-computed example") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "banana date"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "doc_id", col("text"), k = 2)
+      .orderBy("doc_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    def s(tf: Int, n: Int, df0: Int) =
+      BigDecimal(tf * math.log(n.toDouble / df0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (1L, 1, "apple", s(2, 3, 2)), (1L, 2, "banana", s(1, 3, 2)),
+      (2L, 1, "cherry", s(1, 3, 1)), (2L, 2, "apple", s(1, 3, 2)),
+      (3L, 1, "date", s(1, 3, 1)), (3L, 2, "banana", s(1, 3, 2))))
+  }
+
+  // ---- vocabulary coverage ----
+
+  test("vocabCoverage ranks by frequency with cumulative share") {
+    val df = Seq("apple apple banana", "apple cherry", "banana date")
+      .toDF("text")
+    val got = TextAnalysis.vocabCoverage(df, col("text"), k = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1, "apple", 3L, math.rint(3.0 / 7 * 1e6) / 1e6),
+      (2, "banana", 2L, math.rint(5.0 / 7 * 1e6) / 1e6),
+      (3, "cherry", 1L, math.rint(6.0 / 7 * 1e6) / 1e6)))
+  }
+}
