@@ -463,6 +463,51 @@ object NearDup {
         min(col("__pos")).cast("long").as("first_pos"))
   }
 
+  /** Cross-document exact-substring REMOVAL — the dedup step that
+    * `repeatedWindows` diagnoses (Lee et al. 2022): every token whose
+    * position is covered by a stride-1 window of `w` tokens occurring
+    * in >= 2 DISTINCT documents is removed; each document is rebuilt
+    * from its surviving tokens in order. Documents shorter than `w`
+    * tokens (no windows) are untouched. Returns (id, clean_text,
+    * n_removed) for every input row — a fully-deduped doc comes back
+    * as "" with its token count removed, mirroring
+    * `TextAnalysis.removeBoilerplateLines`.
+    *
+    * Scale shape: the window-frequency agg is map-side combining on
+    * the window text and only windows above the doc-frequency gate
+    * enter the membership join (big ⋈ small); coverage expansion is a
+    * narrow explode of `w` positions per repeated window; the rebuild
+    * is one hash agg per doc with an array_sort bounded by per-doc
+    * token counts. No UDFs. */
+  def removeRepeatedWindows(df: DataFrame, id: String, text: Column,
+      w: Int = 8): DataFrame = {
+    require(w >= 2, "removeRepeatedWindows: w must be >= 2")
+    val toks = df.select(col(id), tokens(text).as("__w"))
+    val tok = toks.select(col(id),
+      posexplode(col("__w")).as(Seq("__p", "__t")))
+    val wins = toks.filter(size(col("__w")) >= w)
+      .select(col(id), posexplode(shinglesFromTokens(col("__w"), w))
+        .as(Seq("__pos", "__win")))
+    val rep = wins.groupBy(col("__win"))
+      .agg(countDistinct(col(id)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select(col("__win"))
+    val covered = wins.join(rep, Seq("__win"))
+      .select(col(id),
+        explode(sequence(col("__pos"), col("__pos") + lit(w - 1))).as("__p"))
+      .distinct()
+    val kept = tok.join(covered, Seq(id, "__p"), "left_anti")
+      .groupBy(col(id))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__p"), col("__t")))),
+          s => s.getField("__t"))).as("clean_text"),
+        count(lit(1)).as("__kept"))
+    df.select(col(id), size(tokens(text)).cast("long").as("__n"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Demo/test helper: append truncated copies of each row (guaranteed
     * near-duplicates) with offset ids. */
   def withMutatedCopies(df: DataFrame, id: String, text: String,

@@ -44,6 +44,26 @@ object SourceMix {
     df.join(broadcast(ok), Seq(source), "left_semi")
   }
 
+  /** Per-group percentile band filter: keep rows whose `order` value
+    * sits inside [lo, hi] of their GROUP's distribution by
+    * percent_rank — the per-source outlier trim (drop each domain's
+    * freakishly short/long documents without imposing one global
+    * cutoff, since length distributions differ per source).
+    * percent_rank = (rank-1)/(n-1) is exact integer arithmetic over
+    * one division, so the band reproduces across engines; ties share
+    * a rank and are kept or dropped together. One shuffle (the
+    * per-group window); group cardinality bounds the window state. */
+  def filterByGroupPercentile(df: DataFrame, group: Column, order: Column,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi,
+      "filterByGroupPercentile: need 0 <= lo <= hi <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(order.asc)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= lo && col("__pr") <= hi)
+      .drop("__pr")
+  }
+
   /** Deterministic weighted resampling: each row is emitted
     * floor(weight) times, plus one more for the hash-chosen fraction
     * of rows that lands under frac(weight) — so a source with weight

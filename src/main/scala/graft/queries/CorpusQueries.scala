@@ -114,6 +114,23 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- per-source length-band outlier trim ----
+    // Keep each source's docs between its own 5th and 95th length
+    // percentiles — distributional outlier removal without a global
+    // cutoff. percent_rank = (rank-1)/(n-1): exact integer arithmetic,
+    // band membership reproduces across engines; ties move together.
+    Q("q78_length_band",
+      """SELECT doc_id, source, n_chars FROM (
+        | SELECT doc_id, source, n_chars,
+        |   percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+        | FROM documents)
+        |WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      SourceMix.filterByGroupPercentile(t(s, d, "documents"),
+          col("source"), col("n_chars"), lo = 0.05, hi = 0.95)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- head-vocabulary coverage curve (top-20 tokens) ----
     Q("q76_vocab_coverage",
       """WITH tok AS (SELECT

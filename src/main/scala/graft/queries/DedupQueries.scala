@@ -261,6 +261,50 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- cross-document exact-substring REMOVAL (Lee et al. 2022) ----
+    // Completes q68's diagnostic into the dedup operator: tokens
+    // covered by any 8-token window shared across >= 2 distinct docs
+    // are stripped and the doc is rebuilt from the survivors (same
+    // in-query planted shared sentence as q68: its interior repeats,
+    // its boundaries stay doc-specific, so the planted docs lose
+    // exactly the shared span).
+    Q("q77_substring_dedup", {
+      val win8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH d2 AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 25 = 0
+         |    THEN text || ' shared city hall announcement for all residents tonight at seven'
+         |    ELSE text END AS text
+         | FROM documents),
+         |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM d2),
+         |tok AS (SELECT doc_id, unnest(ws) AS w,
+         |  generate_subscripts(ws, 1) - 1 AS p FROM t),
+         |f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 8),
+         |wl AS (SELECT doc_id,
+         |  list_transform(range(1, len(ws) - 6), i -> $win8) AS wins FROM f),
+         |u AS (SELECT doc_id, unnest(wins) AS win,
+         |  generate_subscripts(wins, 1) - 1 AS pos FROM wl),
+         |rep AS (SELECT win FROM u GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT u.doc_id, u.pos + k.k AS p
+         |        FROM u JOIN rep USING (win), range(8) k(k)),
+         |kept AS (SELECT tok.doc_id,
+         |    string_agg(tok.w, ' ' ORDER BY tok.p) AS clean_text,
+         |    count(*) AS nk
+         |  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+         |  WHERE cov.doc_id IS NULL
+         |  GROUP BY tok.doc_id),
+         |n AS (SELECT doc_id, len(ws) AS n FROM t)
+         |SELECT n.doc_id, coalesce(kept.clean_text, '') AS clean_text,
+         |  CAST(n.n - coalesce(kept.nk, 0) AS BIGINT) AS n_removed
+         |FROM n LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val d2 = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 25 === 0, concat(col("text"),
+          lit(" shared city hall announcement for all residents tonight at seven")))
+          .otherwise(col("text")).as("text"))
+      NearDup.removeRepeatedWindows(d2, "doc_id", col("text"), w = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- embedding-cosine near-dup pairs on a bounded candidate set ----
     Q("q17_embed_neardup",
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

@@ -198,5 +198,44 @@ object VectorQueries {
         .select(col("vec_id"), col("ivf_cell"))
         .orderBy(col("vec_id"))
     },
+
+    // ---- cell-bounded kNN graph (batch ANN, top-3 per vector) ----
+    // The all-pairs analog of q58's single-query probe: neighbors come
+    // from each vector's own k-means cell (same fixed k=8 centroids),
+    // ranked by ROUNDED cosine then neighbor id so ranks reproduce
+    // across engines. Candidate edges are the cell equi-join — the
+    // per-cell quadratic never sees the corpus.
+    Q("q79_knn_graph",
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+        |       FROM embeddings WHERE vec_id < 8),
+        |vu AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |cu AS (SELECT cid, CAST(unnest(cemb) AS DOUBLE) AS cx,
+        |       generate_subscripts(cemb, 1) AS i FROM cent),
+        |dist AS (SELECT vec_id, cid, SUM((x - cx) * (x - cx)) AS d2
+        |       FROM vu JOIN cu USING (i) GROUP BY vec_id, cid),
+        |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |       FROM dist) WHERE rn = 1),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM vu GROUP BY vec_id),
+        |pairs AS (SELECT ca.vec_id AS ia, cb.vec_id AS ib
+        |      FROM cell ca JOIN cell cb ON ca.cid = cb.cid AND ca.vec_id <> cb.vec_id),
+        |d AS (SELECT ia, ib, SUM(a.x * b.x) AS dot
+        |      FROM pairs p JOIN vu a ON a.vec_id = p.ia
+        |             JOIN vu b ON b.vec_id = p.ib AND b.i = a.i
+        |      GROUP BY ia, ib),
+        |sc AS (SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        |       FROM d JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib),
+        |r AS (SELECT ia, ib, cos_sim,
+        |      row_number() OVER (PARTITION BY ia ORDER BY cos_sim DESC, ib) AS rank
+        |      FROM sc)
+        |SELECT ia AS vec_id, CAST(rank AS INTEGER) AS rank, ib AS neighbor, cos_sim
+        |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+      graft.vector.SemDedup.knnGraph(emb, "vec_id", "embedding", cents, k = 3)
+        .orderBy(col("vec_id"), col("rank"))
+    },
   )
 }

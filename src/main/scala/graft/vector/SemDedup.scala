@@ -38,6 +38,34 @@ object SemDedup {
         round(cos, 6).as("cos_sim"))
   }
 
+  /** Cell-bounded kNN graph — batch ANN: each vector's k nearest
+    * neighbors AMONG ITS OWN CELL's members by cosine, as (id, rank,
+    * neighbor, cos_sim). The all-pairs analog of the single-query
+    * `Ivf.ivfTopK`: candidate edges come from the cell equi-join (one
+    * shuffle, per-cell quadratic bounded by cluster size), the top-k
+    * cut is a per-id window over the ROUNDED score (6 decimals, ties
+    * to the smaller neighbor id) so ranks reproduce across engines.
+    * Boundary pairs are missed by construction — same recall dial as
+    * `dropSemanticDuplicates` (raise k / probe neighbors for more). */
+  def knnGraph(df: DataFrame, id: String, vec: String,
+      cents: Array[Array[Float]], k: Int,
+      cellCol: String = "ivf_cell"): DataFrame = {
+    require(k >= 1, "knnGraph: k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Ivf.assignCells(df.select(col(id), col(vec)), col(vec), cents, cellCol)
+    val a = assigned.select(col(cellCol), col(id).as("__id"), col(vec).as("__va"))
+    val b = assigned.select(col(cellCol), col(id).as("neighbor"), col(vec).as("__vb"))
+    val cos = Similarity.cosineSim(col("__va"), col("__vb"))
+    val scored = a.join(b, Seq(cellCol))
+      .filter(col("__id") =!= col("neighbor"))
+      .select(col("__id").as(id), col("neighbor"), round(cos, 6).as("cos_sim"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("cos_sim").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(id), col("rank"), col("neighbor"), col("cos_sim"))
+  }
+
   /** Apply semantic dedup: every row cosine-close to a smaller-id
     * member of its own cluster is dropped (greedy keep-min policy —
     * the SemDeDup paper's "keep one per ε-ball"). Returns the

@@ -122,6 +122,64 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"resample must stay narrow:\n$plan")
   }
 
+  // ---- exact-substring removal ----
+
+  test("removeRepeatedWindows strips cross-doc shared spans, keeps short docs whole") {
+    val df = Seq(
+      (1L, "a b c d e f g h unique1 tail1"),
+      (2L, "x y a b c d e f g h z"),
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.NearDup.removeRepeatedWindows(df, "doc_id", col("text"), w = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the shared "a b c d e f g h" covers doc1 pos 0-7 and doc2 pos 2-9
+    assert(got.toSeq == Seq(
+      (1L, "unique1 tail1", 8L),
+      (2L, "x y z", 8L),
+      (3L, "tiny doc", 0L)))
+  }
+
+  test("removeRepeatedWindows: within-doc repetition alone is not removed") {
+    val rep = "a b c d e f g h"
+    val df = Seq((1L, s"$rep $rep"), (2L, "nothing shared here at all ok fine"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.NearDup.removeRepeatedWindows(df, "doc_id", col("text"), w = 8)
+      .filter(col("doc_id") === 1).head()
+    assert(got.getLong(2) == 0L, "doc-frequency gate must be DISTINCT docs")
+  }
+
+  // ---- percentile band ----
+
+  test("filterByGroupPercentile keeps the interior band per group, ties move together") {
+    val df = ((0 to 20).map(i => ("g1", i.toLong)) :+ (("g2", 5L)) :+ (("g2", 5L)))
+      .toDF("g", "v")
+    val kept = SourceMix.filterByGroupPercentile(df, col("g"), col("v"), 0.05, 0.95)
+    val g1 = kept.filter(col("g") === "g1").select("v").as[Long].collect().sorted
+    // percent_rank = (rank-1)/20: 0 -> 0.0 (out), 1 -> 0.05 .. 19 -> 0.95, 20 -> 1.0 (out)
+    assert(g1.toSeq == (1L to 19L))
+    // g2: both rows tie at rank 1 -> pr 0.0 -> both dropped together
+    assert(kept.filter(col("g") === "g2").count() == 0)
+  }
+
+  // ---- kNN graph ----
+
+  test("knnGraph ranks within-cell neighbors; singleton cells emit nothing") {
+    val df = Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.8f, 0.3f)),
+      (4L, Seq(0f, 1f)))   // alone in cell 1
+      .toDF("vec_id", "embedding")
+    val g = SemDedup.knnGraph(df, "vec_id", "embedding", cents, k = 2)
+      .orderBy("vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(!g.exists(_._1 == 4L), "singleton cell has no neighbors")
+    assert(g.filter(_._1 == 1L).map(_._3).toSeq == Seq(2L, 3L),
+      "closer vector ranks first")
+    assert(g.count(_._1 == 2L) == 2 && g.count(_._1 == 3L) == 2)
+  }
+
   // ---- TF-IDF ----
 
   test("tfidfTopTerms matches a hand-computed example") {
