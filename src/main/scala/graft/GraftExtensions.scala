@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.RollingHash
+import graft.expr.{NfcNormalize, RollingHash}
 import graft.vector.CosineSimilarity
 
 /** Session-extension entry point: registers the engine's native
@@ -44,5 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("cosine_sim", 2)(e => CosineSimilarity(e(0), e(1)))))
     ext.injectFunction(fn("rolling_hash", classOf[RollingHash],
       arity("rolling_hash", 1)(e => RollingHash(e.head))))
+    ext.injectFunction(fn("nfc_normalize", classOf[NfcNormalize],
+      arity("nfc_normalize", 1)(e => NfcNormalize(e.head))))
   }
 }

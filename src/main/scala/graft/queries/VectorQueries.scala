@@ -160,14 +160,18 @@ object VectorQueries {
     },
 
     // ---- SemDeDup: cluster-bounded semantic dedup over embeddings ----
-    // k-means cells (fixed k=8 centroids = the smallest vec_ids, same
-    // SQL-reproducible trick as q58; the TRAINED path is SemDedupSpec's
-    // job), then within each cell drop every vector cosine->=0.3 to a
-    // smaller-id member. The cell equi-join bounds the pairwise work to
-    // cluster size — the quadratic term never sees the corpus.
+    // k-means cells (centroids = the smallest vec_ids, same SQL-
+    // reproducible trick as q58; the TRAINED path is IvfSpec's job),
+    // then within each cell drop every vector cosine->=0.3 to a
+    // smaller-id member. The cell equi-join bounds the pairwise work
+    // to cluster size, and k SCALES WITH THE CORPUS (max(8, N/250))
+    // so cell membership stays ~constant — a fixed k would pay
+    // quadratically growing cells (measured 15x wall at 10x rows on
+    // q79 before the knob). k = 8 at sf0.01/sf0.1, 80 at sf1.
     Q("q70_semdedup",
-      """WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
-        |       FROM embeddings WHERE vec_id < 8),
+      """WITH k AS (SELECT greatest(8, count(*) // 250) AS k FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, embedding AS cemb
+        |       FROM embeddings WHERE vec_id < (SELECT k FROM k)),
         |vu AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |       generate_subscripts(embedding, 1) AS i FROM embeddings),
         |cu AS (SELECT cid, CAST(unnest(cemb) AS DOUBLE) AS cx,
@@ -191,7 +195,8 @@ object VectorQueries {
         |FROM cell c WHERE c.vec_id NOT IN (SELECT ib FROM losers)
         |ORDER BY c.vec_id""".stripMargin) { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      val k = graft.vector.SemDedup.cellCountFor(emb.count())
+      val cents = emb.filter(col("vec_id") < k).orderBy(col("vec_id"))
         .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
       graft.vector.SemDedup.dropSemanticDuplicates(
           emb, "vec_id", "embedding", cents, threshold = 0.3)
@@ -201,13 +206,14 @@ object VectorQueries {
 
     // ---- cell-bounded kNN graph (batch ANN, top-3 per vector) ----
     // The all-pairs analog of q58's single-query probe: neighbors come
-    // from each vector's own k-means cell (same fixed k=8 centroids),
+    // from each vector's own k-means cell (corpus-scaled k, as q70),
     // ranked by ROUNDED cosine then neighbor id so ranks reproduce
     // across engines. Candidate edges are the cell equi-join — the
     // per-cell quadratic never sees the corpus.
     Q("q79_knn_graph",
-      """WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
-        |       FROM embeddings WHERE vec_id < 8),
+      """WITH k AS (SELECT greatest(8, count(*) // 250) AS k FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, embedding AS cemb
+        |       FROM embeddings WHERE vec_id < (SELECT k FROM k)),
         |vu AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |       generate_subscripts(embedding, 1) AS i FROM embeddings),
         |cu AS (SELECT cid, CAST(unnest(cemb) AS DOUBLE) AS cx,
@@ -232,7 +238,8 @@ object VectorQueries {
         |SELECT ia AS vec_id, CAST(rank AS INTEGER) AS rank, ib AS neighbor, cos_sim
         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      val nCells = graft.vector.SemDedup.cellCountFor(emb.count())
+      val cents = emb.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
         .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
       graft.vector.SemDedup.knnGraph(emb, "vec_id", "embedding", cents, k = 3)
         .orderBy(col("vec_id"), col("rank"))

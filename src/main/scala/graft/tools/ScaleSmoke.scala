@@ -32,6 +32,7 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
     val docs = spark.read.parquet(s"$d/documents.parquet")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
     val events = spark.read.parquet(s"$d/events.parquet")
     val lineitem = spark.read.parquet(s"$d/lineitem.parquet")
     val orders = spark.read.parquet(s"$d/orders.parquet")
@@ -126,6 +127,44 @@ object ScaleSmoke {
         val pairs = NearDup.lshCandidatePairs(
           NearDup.minhashSignaturesFast(base, "doc_id", col("text")), "doc_id")
         NearDup.dropNearDuplicatesTransitive(base, "doc_id", pairs)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
+      // SemDeDup / kNN graph (q70/q79 shape): k GROWS with N so cell
+      // membership stays ~constant (2000/8 = 20000/80 = 250) — the
+      // knob that keeps the within-cell quadratic LINEAR in corpus
+      // size. A fixed k at 10× rows would pay 100× pairwise work.
+      val embS = replicate(emb.select("vec_id", "embedding"), "vec_id",
+        scale, 10000000L)
+      val cents = emb.orderBy("vec_id").limit(8 * scale)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      T(s"semdedup x$scale") {
+        graft.vector.SemDedup.dropSemanticDuplicates(embS, "vec_id",
+            "embedding", cents, threshold = 0.3)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
+      T(s"knn_graph x$scale") {
+        graft.vector.SemDedup.knnGraph(embS, "vec_id", "embedding", cents, 3)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
+      // exact-substring removal (q77 shape): stride-1 window explode,
+      // doc-freq gate, coverage explode (8 positions per repeated
+      // occurrence), per-doc rebuild — every term linear in tokens.
+      // Tagged copies keep ordinary windows disjoint across copies;
+      // the planted sentence (appended AFTER tagging) is global
+      // boilerplate shared by every copy — the realistic mix.
+      val docPlanted = docTagged.select(col("doc_id"),
+        when(col("doc_id") % 25 === 0, concat(col("text"),
+          lit(" shared city hall announcement for all residents tonight at seven")))
+          .otherwise(col("text")).as("text"))
+      T(s"substring_dedup x$scale") {
+        NearDup.removeRepeatedWindows(docPlanted, "doc_id", col("text"), w = 8)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
+      // TF-IDF (q74 shape): two hash aggs + per-doc window; tagged
+      // copies scale the vocabulary with the corpus (disjoint per
+      // copy), the worst case for the df table.
+      T(s"tfidf x$scale") {
+        graft.ops.TextAnalysis.tfidfTopTerms(docTagged, "doc_id", col("text"), 3)
           .write.format("noop").mode("overwrite").save(); 0L
       }
     }

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** Cell count that holds expected cell membership at
+    * `targetCellSize` for an `n`-vector corpus (min 8): within-cell
+    * pairwise work is O(cellSize) PER VECTOR, so k must grow with N —
+    * a fixed k pays quadratically growing cells (10× rows at fixed
+    * k=8 → 100× pairwise work; measured 15× wall on q79 before this
+    * knob). */
+  def cellCountFor(n: Long, targetCellSize: Long = 250L): Int =
+    math.max(8L, n / targetCellSize).toInt
+
   /** Within-cell candidate pairs with cosine >= threshold:
     * (cell, id_a, id_b, cos_sim), id_a < id_b. */
   def semanticDuplicatePairs(df: DataFrame, id: String, vec: String,

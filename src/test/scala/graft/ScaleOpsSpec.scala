@@ -16,6 +16,9 @@ class ScaleOpsSpec extends AnyFunSuite {
         |       rolling_hash('abc') AS h""".stripMargin).head
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) == ((97L * 257 + 98) % 1000000007L * 257 + 99) % 1000000007L)
+    // nfc_normalize: decomposed e+U+0301 composes to a single é
+    val n = spark.sql("SELECT nfc_normalize('café') AS s").head.getString(0)
+    assert(n == "café" && n.length == 4)
   }
 
   test("bucketed tables join without an exchange") {
