@@ -46,6 +46,29 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-split exact-content leakage audit: test-split documents
+    * whose content fingerprint (sha16 of the raw text) also appears in
+    * the train split, with the train-side copy count — the check that
+    * a hash split didn't leak duplicated content across the boundary
+    * (exact dups land in INDEPENDENT splits when the split key is the
+    * id, which is why split-after-dedup is the rule; this measures
+    * the damage when it isn't). Output: `(id, n_train_dups)` per
+    * leaking test doc; clean docs absent.
+    *
+    * Scale shape: one hash per row on each side, map-side-combining
+    * count on the train fingerprints, equi-join on the 16-hex key —
+    * the same shape as `contaminationReport` with the shingle explode
+    * replaced by one fingerprint per document. */
+  def splitLeakageReport(train: DataFrame, test: DataFrame, id: String,
+      text: Column): DataFrame = {
+    val fp = graft.expr.Functions.sha16(text)
+    val trainFp = train.select(fp.as("__fp"))
+      .groupBy(col("__fp")).agg(count(lit(1)).as("n_train_dups"))
+    test.select(col(id), fp.as("__fp"))
+      .join(trainFp, "__fp")
+      .select(col(id), col("n_train_dups"))
+  }
+
   /** Drop contaminated documents outright (anti join on the report).
     * `minShared` tunes aggressiveness: 1 = drop on any overlap. */
   def decontaminate(corpus: DataFrame, id: String, text: Column,

@@ -188,6 +188,30 @@ object TextAnalysis {
         round(sum(col("n")).over(w) / col("__tot"), 6).as("cum_share"))
   }
 
+  /** Per-document mean unigram negative log-likelihood under the
+    * corpus's OWN unigram distribution — the cheap in-engine analog of
+    * CCNet's LM-perplexity quality filter: documents of common, well-
+    * distributed words score low; rare-token soup (mojibake, code
+    * dumps, exotic boilerplate) scores high. No external LM — the
+    * "model" is one aggregation over the corpus being scored.
+    * Output: (id, n_tokens, avg_logprob), avg_logprob rounded to 6.
+    *
+    * Scale shape: the frequency table is one map-side-combining agg;
+    * the token stream joins it on the term (vocab-sized build side,
+    * AQE-broadcast when small); the grand total broadcasts as one
+    * row; the per-doc score is a second hash agg. */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(id), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("__n"))
+    val total = freq.agg(sum(col("__n")).as("__tot"))
+    toks.join(freq, Seq("term")).crossJoin(broadcast(total))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("__n") / col("__tot"))), 6).as("avg_logprob"))
+  }
+
   /** CCNet-style line-level boilerplate removal: drop every line whose
     * exact text occurs in >= `minDocs` DISTINCT documents (headers,
     * footers, navigation chrome — the lines that repeat across a

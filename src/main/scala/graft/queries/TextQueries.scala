@@ -53,18 +53,24 @@ object TextQueries {
          | CASE WHEN n_tokens >= 30 AND stop_hits > 0 THEN 'good'
          |      WHEN n_tokens >= 10 THEN 'fair' ELSE 'poor' END AS quality
          |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val text = col("text")
-      val nTokens = TextAnalysis.tokenCount(text)
-      val stopHits = TextAnalysis.stopwordHits(text, TextAnalysis.stopwordProfiles.head._2)
-      t(s, d, "documents").select(
-          col("doc_id"),
-          nTokens.as("n_tokens"),
-          TextAnalysis.punctCount(text).as("punct_n"),
-          stopHits.as("stop_hits"),
-          TextAnalysis.charCountNoWs(text).as("char_nws"),
-          round(stopHits.cast("double") / nTokens, 6).as("stop_ratio"),
-          round(TextAnalysis.charCountNoWs(text).cast("double") / nTokens, 6).as("avg_token_len"),
-          TextAnalysis.qualityBucket(nTokens, stopHits).as("quality"))
+      // fused TextStats codegen expression: all four counters in ONE
+      // string pass (the composed regexp_extract_all/split variants
+      // re-scan the text per stat; equivalence is spec-asserted in
+      // TextStatsSpec, and the DuckDB oracle above is unchanged)
+      val st = TextAnalysis.textStats(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), st.as("__st"))
+        .select(col("doc_id"),
+          col("__st.n_tokens").as("n_tokens"),
+          col("__st.punct_n").as("punct_n"),
+          col("__st.stop_hits").as("stop_hits"),
+          col("__st.char_nws").as("char_nws"),
+          round(col("__st.stop_hits").cast("double") / col("__st.n_tokens"), 6)
+            .as("stop_ratio"),
+          round(col("__st.char_nws").cast("double") / col("__st.n_tokens"), 6)
+            .as("avg_token_len"),
+          TextAnalysis.qualityBucket(col("__st.n_tokens"), col("__st.stop_hits"))
+            .as("quality"))
         .orderBy(col("doc_id"))
     },
 
