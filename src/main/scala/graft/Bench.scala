@@ -44,8 +44,7 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch {
         case e: Throwable =>
-          errors.getOrElseUpdate(name, Option(e.toString).getOrElse("error")
-            .replaceAll("[\"\\\\\\r\\n\\t]", " ").take(300))
+          errors.getOrElseUpdate(name, Option(e.toString).getOrElse("error").take(300))
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // caches are per-query intermediates (LSH signatures etc.);
@@ -60,7 +59,21 @@ object Bench {
       val timed = Seq.fill(TimedPasses)(runOnce(name, fn))
       name -> timed.min
     }
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    // JSON string escaping: Spark exception messages routinely quote
+    // column names ("`col`"), carry backslashes (Windows-style paths in
+    // stack frames) and newlines — raw interpolation would produce
+    // invalid JSON exactly when the driver most needs to parse it.
+    def jsonStr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+    val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Locale.ROOT: a comma-decimal default locale must not break JSON
@@ -80,7 +93,9 @@ object Bench {
     val stdoutLine = {
       val named = line(results, 3)
       if (named.length <= 1800) named
-      else line(results.map { case (k, v) => k.take(3) -> v }, 3)
+      // prefix keys must stay unique: cut at the first underscore
+      // (q100_* would collide with q10_* under a fixed take(3))
+      else line(results.map { case (k, v) => k.takeWhile(_ != '_') -> v }, 3)
     }
     println(stdoutLine)
     try {

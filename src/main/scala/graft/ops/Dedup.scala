@@ -51,4 +51,47 @@ object Dedup {
     * state rows carry over. Anti join + union — both shuffle on id. */
   def mergeById(state: DataFrame, updates: DataFrame, key: Seq[String]): DataFrame =
     updates.unionByName(state.join(updates.select(key.map(col): _*), key, "left_anti"))
+
+  /** J4 at crawl scale: seen-set anti join with a Bloom-filter
+    * pre-pass. The `seen` keys aggregate into one Bloom sketch
+    * (distributed build, driver holds only the bitset — ~1.2 MB per
+    * million keys at 1% fpp), which broadcasts and splits `fresh`
+    * map-side: "definitely new" rows (the overwhelming majority in an
+    * incremental crawl) bypass the join entirely; only "maybe seen"
+    * rows — true dups plus the fpp sliver of false positives — enter
+    * the residual anti join. Result is EXACTLY the plain anti join
+    * (Bloom filters have no false negatives; false positives only
+    * route extra rows through the residual join), so the op stays
+    * oracle-checkable while the shuffle carries ~(dup_rate + fpp) of
+    * the input instead of all of it.
+    *
+    * Null keys never match a join condition, so the anti join keeps
+    * them; the probe maps null → "definitely new" to agree.
+    * `expectedItems` may be overestimated freely (larger bitset);
+    * underestimating only raises the false-positive rate — more
+    * residual-join traffic, same answer. At seen-sets too large for
+    * one broadcast sketch (≫10⁹ keys), fall back to the plain
+    * anti join — it is the same answer, one shuffle. */
+  def bloomPrefilteredAntiJoin(fresh: DataFrame, key: String, seen: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val seenKeys = seen.select(col(key))
+    val bf = seenKeys.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = fresh.sparkSession.sparkContext.broadcast(bf)
+    val might = fresh.schema(key).dataType match {
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+      case LongType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      case IntegerType =>
+        udf((k: java.lang.Integer) =>
+          k != null && bc.value.mightContainLong(k.longValue()))
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloomPrefilteredAntiJoin: unsupported key type $other")
+    }
+    val definitelyNew = fresh.filter(!might(col(key)))
+    val maybeSeen = fresh.filter(might(col(key)))
+    definitelyNew.unionByName(maybeSeen.join(seenKeys, Seq(key), "left_anti"))
+  }
 }

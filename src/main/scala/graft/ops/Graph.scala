@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph scoring over an edge list — PageRank as the
+  * canonical instance. In a training-data pipeline this runs over a
+  * document similarity graph (e.g. the kNN graph from
+  * `vector.SemDedup.knnGraph`) or a crawl link graph to produce a
+  * centrality/quality prior per document (the crawl-frontier
+  * prioritization signal; reference analog: the crawler's relevance
+  * gate, newscrawler.py:48-57, generalized to a graph-global score).
+  *
+  * Scale shape (same iterative-join discipline as
+  * `NearDup.connectedComponents`):
+  *  - the weighted edge list is computed ONCE (one out-degree agg +
+  *    one join), `localCheckpoint`ed, and re-read by every iteration —
+  *    the expensive upstream (e.g. the kNN build) never re-executes;
+  *  - each iteration is one shuffle-join (rank × edge weight) plus one
+  *    hash agg on the destination — no driver-side state beyond the
+  *    one node-count long;
+  *  - each iteration's rank table is `localCheckpoint`ed to truncate
+  *    lineage and the PREVIOUS iteration's blocks are explicitly
+  *    unpersisted (see `NearDup.freeLocalCheckpoint`);
+  *  - ranks are rounded to `roundTo` decimals each iteration: floating
+  *    sums are order-dependent, so an unrounded loop would drift
+  *    across engines/partitionings — rounding at 1e-9 against ~1e-16
+  *    relative error makes every iteration bit-reproducible.
+  */
+object Graph {
+
+  /** PageRank over `edges` for a fixed number of iterations.
+    * Returns `(node, pagerank)` with pagerank rounded to 6 decimals.
+    *
+    * Semantics: rank'(v) = (1-damping)/N + damping * Σ_{u→v} rank(u)/outdeg(u).
+    * Nodes with no incoming edges settle at (1-damping)/N. Dangling
+    * nodes (no OUT-edges) contribute nothing — their mass leaks, the
+    * common simplification when the graph (like a kNN graph, where
+    * every node emits exactly k edges) has none. */
+  def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
+      iterations: Int = 5, damping: Double = 0.85,
+      roundTo: Int = 9): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    require(damping > 0.0 && damping < 1.0, "pageRank: damping must be in (0,1)")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // one driver-side long — the only scalar the loop needs
+    val n = nodes.count()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val weighted = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("__w"))
+      .localCheckpoint()
+    NearDup.freeLocalCheckpoint(e)
+
+    val base = lit((1.0 - damping) / n)
+    var ranks = nodes
+      .select(col("node"), round(lit(1.0 / n), roundTo).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = weighted
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("__w")).as("__in"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(base + lit(damping) * coalesce(col("__in"), lit(0.0)),
+            roundTo).as("rank"))
+        .localCheckpoint()
+      NearDup.freeLocalCheckpoint(ranks)
+      ranks = next
+    }
+    val out = ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
+    NearDup.freeLocalCheckpoint(weighted)
+    NearDup.freeLocalCheckpoint(nodes)
+    out
+  }
+}

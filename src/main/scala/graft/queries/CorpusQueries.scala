@@ -131,6 +131,27 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- per-doc mean unigram negative log-likelihood ----
+    // The CCNet-style LM-quality proxy under the corpus's own unigram
+    // distribution: common-word prose scores low, rare-token soup
+    // scores high. ln runs on identical doubles both engines (long/
+    // long division), and the per-doc average is rounded to 6 — the
+    // established ln-parity contract (q74).
+    Q("q80_unigram_logprob",
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |f AS (SELECT term, count(*) AS n FROM tok2 GROUP BY term),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM f)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(n / tot)), 6) AS avg_logprob
+        |FROM tok2 JOIN f USING (term), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.unigramLogProb(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- head-vocabulary coverage curve (top-20 tokens) ----
     Q("q76_vocab_coverage",
       """WITH tok AS (SELECT

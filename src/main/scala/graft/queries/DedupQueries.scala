@@ -305,6 +305,55 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- cross-split exact-content leakage audit ----
+    // Deterministic split: doc_id % 3 == 0 plays the test split; the
+    // train side is the rest PLUS verbatim copies of every 5th doc
+    // (offset ids) — the planted leak. Test docs whose content
+    // fingerprint appears in train surface with the train-side copy
+    // count; multiples of 15 leak by construction, plus any natural
+    // exact dups that straddle the split.
+    Q("q81_split_leakage",
+      """WITH train AS (
+        | SELECT text FROM documents WHERE doc_id % 3 <> 0
+        | UNION ALL
+        | SELECT text FROM documents WHERE doc_id % 5 = 0),
+        |tf AS (SELECT substr(sha256(text), 1, 16) AS fp,
+        |       count(*) AS n_train_dups FROM train GROUP BY 1)
+        |SELECT d.doc_id, tf.n_train_dups
+        |FROM documents d JOIN tf ON substr(sha256(d.text), 1, 16) = tf.fp
+        |WHERE d.doc_id % 3 = 0
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val test = docs.filter(col("doc_id") % 3 === 0)
+      graft.ops.Decontaminate.splitLeakageReport(train, test, "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Bloom-prefiltered seen-set anti join ----
+    // Every 4th doc's content fingerprint plays the seen set; the op
+    // must return EXACTLY the plain anti join (the Bloom pre-pass only
+    // decides which rows ride the residual join), so the oracle is the
+    // anti join itself. The map-side split is the 100 TB shape: the
+    // shuffle carries the maybe-seen sliver, not the corpus.
+    Q("q82_bloom_dedup",
+      """WITH seen AS (SELECT DISTINCT substr(sha256(text), 1, 16) AS fp
+        | FROM documents WHERE doc_id % 4 = 0)
+        |SELECT doc_id FROM documents
+        |WHERE substr(sha256(text), 1, 16) NOT IN (SELECT fp FROM seen)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val withFp = t(s, d, "documents").select(col("doc_id"),
+        graft.expr.Functions.sha16(col("text")).as("fp"))
+      val seen = withFp.filter(col("doc_id") % 4 === 0).select(col("fp"))
+      graft.ops.Dedup.bloomPrefilteredAntiJoin(withFp, "fp", seen,
+          expectedItems = 20000L, fpp = 0.01)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- embedding-cosine near-dup pairs on a bounded candidate set ----
     Q("q17_embed_neardup",
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

@@ -5,7 +5,8 @@ object Registry {
   val all: Seq[Q] =
     Relational.qs ++ DedupQueries.qs ++ VectorQueries.qs ++
       TextQueries.qs ++ ScalarQueries.qs ++ MiscQueries.qs ++
-      PipelineQueries.qs ++ OlapQueries.qs ++ CorpusQueries.qs
+      PipelineQueries.qs ++ OlapQueries.qs ++ CorpusQueries.qs ++
+      GraphQueries.qs
 
   private lazy val index: Map[String, Q] = all.map(q => q.name -> q).toMap
   def byName(name: String): Q = index(name)

@@ -18,6 +18,36 @@ object VectorQueries {
     t(s, d, "embeddings").filter(col("vec_id") === id)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
+  /** Shared DuckDB CTE chain: corpus-scaled k-means cells → cell-
+    * bounded ranked kNN candidates (`r`: ia, ib, cos_sim, rank).
+    * q79 selects from it directly; q83's PageRank builds its edge
+    * list from it. */
+  private[queries] val knnRankedCte: String =
+    """k AS (SELECT greatest(8, count(*) // 250) AS k FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS cemb
+      |       FROM embeddings WHERE vec_id < (SELECT k FROM k)),
+      |vu AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |cu AS (SELECT cid, CAST(unnest(cemb) AS DOUBLE) AS cx,
+      |       generate_subscripts(cemb, 1) AS i FROM cent),
+      |dist AS (SELECT vec_id, cid, SUM((x - cx) * (x - cx)) AS d2
+      |       FROM vu JOIN cu USING (i) GROUP BY vec_id, cid),
+      |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |       FROM dist) WHERE rn = 1),
+      |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM vu GROUP BY vec_id),
+      |pairs AS (SELECT ca.vec_id AS ia, cb.vec_id AS ib
+      |      FROM cell ca JOIN cell cb ON ca.cid = cb.cid AND ca.vec_id <> cb.vec_id),
+      |d AS (SELECT ia, ib, SUM(a.x * b.x) AS dot
+      |      FROM pairs p JOIN vu a ON a.vec_id = p.ia
+      |             JOIN vu b ON b.vec_id = p.ib AND b.i = a.i
+      |      GROUP BY ia, ib),
+      |sc AS (SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+      |       FROM d JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib),
+      |r AS (SELECT ia, ib, cos_sim,
+      |      row_number() OVER (PARTITION BY ia ORDER BY cos_sim DESC, ib) AS rank
+      |      FROM sc)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact brute-force cosine top-k (codegen'd kernel) ----
@@ -211,30 +241,7 @@ object VectorQueries {
     // across engines. Candidate edges are the cell equi-join — the
     // per-cell quadratic never sees the corpus.
     Q("q79_knn_graph",
-      """WITH k AS (SELECT greatest(8, count(*) // 250) AS k FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, embedding AS cemb
-        |       FROM embeddings WHERE vec_id < (SELECT k FROM k)),
-        |vu AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
-        |cu AS (SELECT cid, CAST(unnest(cemb) AS DOUBLE) AS cx,
-        |       generate_subscripts(cemb, 1) AS i FROM cent),
-        |dist AS (SELECT vec_id, cid, SUM((x - cx) * (x - cx)) AS d2
-        |       FROM vu JOIN cu USING (i) GROUP BY vec_id, cid),
-        |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |       FROM dist) WHERE rn = 1),
-        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM vu GROUP BY vec_id),
-        |pairs AS (SELECT ca.vec_id AS ia, cb.vec_id AS ib
-        |      FROM cell ca JOIN cell cb ON ca.cid = cb.cid AND ca.vec_id <> cb.vec_id),
-        |d AS (SELECT ia, ib, SUM(a.x * b.x) AS dot
-        |      FROM pairs p JOIN vu a ON a.vec_id = p.ia
-        |             JOIN vu b ON b.vec_id = p.ib AND b.i = a.i
-        |      GROUP BY ia, ib),
-        |sc AS (SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
-        |       FROM d JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib),
-        |r AS (SELECT ia, ib, cos_sim,
-        |      row_number() OVER (PARTITION BY ia ORDER BY cos_sim DESC, ib) AS rank
-        |      FROM sc)
+      s"""WITH $knnRankedCte
         |SELECT ia AS vec_id, CAST(rank AS INTEGER) AS rank, ib AS neighbor, cos_sim
         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
       val emb = t(s, d, "embeddings")

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Decontaminate, Dedup, Graph, TextAnalysis}
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Naive driver-side PageRank mirroring Graph.pageRank's contract
+    * (per-iteration rounding, dangling leak, no-incoming floor). */
+  private def naivePageRank(edges: Seq[(Long, Long)], iterations: Int,
+      damping: Double, roundTo: Int): Map[Long, Double] = {
+    def rnd(v: Double, p: Int): Double =
+      BigDecimal(v).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var ranks = nodes.map(_ -> rnd(1.0 / n, roundTo)).toMap
+    for (_ <- 1 to iterations) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => ranks(src) / outDeg(src) }.sum
+      }
+      ranks = nodes.map(v =>
+        v -> rnd((1.0 - damping) / n + damping * in.getOrElse(v, 0.0), roundTo)).toMap
+    }
+    ranks.map { case (k, v) => k -> rnd(v, 6) }
+  }
+
+  test("pageRank matches a driver-side reference on a known graph") {
+    // 1 ⇄ 2, 2 → 3, 3 → 1, 4 → 1 (4 has no incoming: floor rank)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val out = Graph.pageRank(edges.toDF("src", "dst"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = naivePageRank(edges, 10, 0.85, 9)
+    assert(out.keySet == expect.keySet)
+    out.foreach { case (node, rank) =>
+      assert(rank == expect(node), s"node $node: $rank != ${expect(node)}")
+    }
+    // node 4 has no incoming edges: exactly the (1-d)/N floor
+    assert(out(4L) == BigDecimal(0.15 / 4).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // hub 1 outranks everyone
+    assert(out(1L) > out(2L) && out(2L) > out(3L) && out(3L) > out(4L))
+  }
+
+  test("pageRank mass is conserved on a dangling-free graph") {
+    // ring of 6: uniform stationary distribution = 1/6 each
+    val edges = (0L until 6L).map(i => (i, (i + 1) % 6))
+    val out = Graph.pageRank(edges.toDF("src", "dst"), iterations = 20)
+      .collect().map(_.getDouble(1))
+    // output is rounded to 6 decimals: tolerance is the rounding step
+    assert(out.forall(r => math.abs(r - 1.0 / 6) < 5e-7))
+    assert(math.abs(out.sum - 1.0) < 1e-5)
+  }
+
+  test("bloomPrefilteredAntiJoin equals the plain anti join (string keys)") {
+    val rnd = new scala.util.Random(7)
+    val fresh = (1 to 400).map(i => (i.toLong, s"k${rnd.nextInt(120)}"))
+      .toDF("id", "fp")
+    val seen = (0 until 60).map(i => Tuple1(s"k$i")).toDF("fp")
+    val got = Dedup.bloomPrefilteredAntiJoin(fresh, "fp", seen,
+      expectedItems = 100L, fpp = 0.05).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = fresh.join(seen, Seq("fp"), "left_anti").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("bloomPrefilteredAntiJoin: long keys and null keys survive") {
+    val fresh = Seq((1L, java.lang.Long.valueOf(10L)),
+      (2L, java.lang.Long.valueOf(20L)), (3L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "k")
+    val seen = Seq(Tuple1(10L)).toDF("k")
+    val got = Dedup.bloomPrefilteredAntiJoin(fresh, "k", seen,
+      expectedItems = 10L).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // anti-join semantics: null key never matches, so rows 2 and 3 stay
+    assert(got == Seq(2L, 3L))
+  }
+
+  test("splitLeakageReport finds planted cross-split duplicates with counts") {
+    val train = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("id", "text")
+    val test = Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "text")
+    val got = Decontaminate.splitLeakageReport(train, test, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 2L)) // "alpha" occurs twice in train; gamma clean
+  }
+
+  test("unigramLogProb: uniform vocabulary scores ln(V) per token") {
+    // 4 equally-frequent tokens -> every token's -ln p = ln 4
+    val df = Seq((1L, "a b"), (2L, "c d")).toDF("id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ln4 = BigDecimal(math.log(4)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSet == Set((1L, 2L, ln4), (2L, 2L, ln4)))
+    // rarer tokens score strictly higher than common ones
+    val skew = Seq((1L, "x x x x x x x"), (2L, "y")).toDF("id", "text")
+    val s2 = TextAnalysis.unigramLogProb(skew, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(2L) > s2(1L))
+  }
+}
