@@ -117,6 +117,32 @@ object NearDup {
       .distinct()
   }
 
+  /** Incremental LSH: candidate pairs between a NEW batch and an
+    * already-signed corpus — the production shape for a daily dedup
+    * pass. The corpus side is a stored signature table (signatures are
+    * map-only to produce and land once, at ingest); each increment
+    * bands only the new batch and probes corpus ∪ batch, so the
+    * corpus NEVER joins itself — per-run work scales with the batch,
+    * not the corpus. Pairs are normalized (doc_a < doc_b) and each
+    * has at least one new-batch side; pairs internal to the corpus
+    * were already emitted by the run that ingested them. */
+  def lshCandidatePairsIncremental(corpusSigs: DataFrame, newSigs: DataFrame,
+      id: String, numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    def bandsOf(sigs: DataFrame): DataFrame = (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
+      sigs.select(col(id).as("__id"),
+        concat_ws("|", lit(b.toString) +: cols: _*).as("__band"))
+    }.reduce(_.unionByName(_))
+    val fresh = bandsOf(newSigs)
+    val all = bandsOf(corpusSigs).unionByName(fresh)
+    fresh.as("a").join(all.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("doc_a"),
+        greatest(col("a.__id"), col("b.__id")).as("doc_b"))
+      .distinct()
+  }
+
   /** SimHash over the token multiset, `bits` wide (16 or 64). Word
     * hash = first bits/4 sha256 nibbles (nibble 1 most significant);
     * each bit votes ±1 across the document's words; bit set iff the

@@ -305,6 +305,32 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- incremental LSH: new batch vs already-signed corpus ----
+    // The daily-dedup shape: the corpus signature table is reused as
+    // stored (never re-banded against itself); only the mutated copies
+    // (the "new batch") band and probe. Result = exactly the q14 pairs
+    // that touch a new doc — corpus-internal pairs belong to the run
+    // that ingested them.
+    Q("q85_lsh_incremental",
+      s"""WITH $mutatedBase,
+         |${minhashSql("base")},
+         |bands AS (
+         | SELECT doc_id, '0|' || mh0 || '|' || mh1 AS band FROM sig
+         | UNION ALL
+         | SELECT doc_id, '1|' || mh2 || '|' || mh3 AS band FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |WHERE a.doc_id >= 1000000 OR b.doc_id >= 1000000
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val newBatch = NearDup.withMutatedCopies(docs, "doc_id", "text")
+        .filter(col("doc_id") >= 1000000)
+      val corpusSigs = NearDup.minhashSignaturesFused(docs, "doc_id", col("text"))
+      val newSigs = NearDup.minhashSignaturesFused(newBatch, "doc_id", col("text"))
+      NearDup.lshCandidatePairsIncremental(corpusSigs, newSigs, "doc_id")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // ---- cross-split exact-content leakage audit ----
     // Deterministic split: doc_id % 3 == 0 plays the test split; the
     // train side is the rest PLUS verbatim copies of every 5th doc

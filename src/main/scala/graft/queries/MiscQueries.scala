@@ -25,6 +25,39 @@ object MiscQueries {
       a.unionByName(b, allowMissingColumns = true).orderBy(col("id"))
     },
 
+    // ---- corpus snapshot diff (CDC delta report) ----
+    // "Previous" snapshot is derived in-query: every 7th doc absent
+    // (→ added today), every 11th doc's text stale (→ changed), plus
+    // offset-id extras (→ removed); everything else unchanged. The op
+    // compares 16-hex content fingerprints, so the full-outer join
+    // shuffles fingerprints, not bodies.
+    Q("q84_snapshot_diff",
+      """WITH prev AS (
+        | SELECT doc_id,
+        |   CASE WHEN doc_id % 11 = 0 THEN text || ' v1' ELSE text END AS text
+        | FROM documents WHERE doc_id % 7 <> 0
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+        |p AS (SELECT doc_id, substr(sha256(text), 1, 16) AS pf FROM prev),
+        |c AS (SELECT doc_id, substr(sha256(text), 1, 16) AS cf FROM documents)
+        |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        | CASE WHEN pf IS NULL THEN 'added'
+        |      WHEN cf IS NULL THEN 'removed'
+        |      WHEN pf <> cf THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM p FULL JOIN c ON p.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      graft.ops.Snapshot.snapshotDiff(prev, docs.select(col("doc_id"), col("text")),
+          "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- W2/T2: first row per group ----
     Q("q29_first_per_group",
       """SELECT user_id, event_id, event_type, value FROM (

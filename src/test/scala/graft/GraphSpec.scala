@@ -87,6 +87,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(10L -> 2L)) // "alpha" occurs twice in train; gamma clean
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val prev = Seq((1L, "same"), (2L, "old body"), (3L, "gone")).toDF("id", "text")
+    val curr = Seq((1L, "same"), (2L, "new body"), (4L, "fresh")).toDF("id", "text")
+    val got = graft.ops.Snapshot.snapshotDiff(prev, curr, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("incremental LSH pairs = full LSH pairs touching the new batch") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = graft.ops.NearDup.withMutatedCopies(docs, "doc_id", "text")
+    val newBatch = base.filter(col("doc_id") >= 1000000)
+    val corpusSigs = graft.ops.NearDup.minhashSignaturesFused(docs, "doc_id", col("text"))
+    val newSigs = graft.ops.NearDup.minhashSignaturesFused(newBatch, "doc_id", col("text"))
+    val inc = graft.ops.NearDup.lshCandidatePairsIncremental(corpusSigs, newSigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullSigs = graft.ops.NearDup.minhashSignaturesFused(base, "doc_id", col("text"))
+    val full = graft.ops.NearDup.lshCandidatePairs(fullSigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= 1000000 || b >= 1000000 }.toSet
+    assert(inc.nonEmpty && inc == full)
+  }
+
   test("unigramLogProb: uniform vocabulary scores ln(V) per token") {
     // 4 equally-frequent tokens -> every token's -ln p = ln 4
     val df = Seq((1L, "a b"), (2L, "c d")).toDF("id", "text")
