@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *  - ranks are rounded to `roundTo` decimals each iteration: floating
   *    sums are order-dependent, so an unrounded loop would drift
   *    across engines/partitionings — rounding at 1e-9 against ~1e-16
-  *    relative error makes every iteration bit-reproducible.
+  *    relative error makes every iteration reproducible except at
+  *    astronomically rare rounding ties (a value within ~1e-16 of a
+  *    0.5e-9 boundary can round differently under Spark's
+  *    BigDecimal-on-shortest-decimal rule vs an engine's plain double
+  *    rounding, and a single early mismatch would then propagate).
   */
 object Graph {
 
@@ -47,6 +51,14 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     // one driver-side long — the only scalar the loop needs
     val n = nodes.count()
+    if (n == 0) {
+      // empty edge list: return the empty (node, pagerank) frame rather
+      // than silently folding 1/0 = Infinity into the rank literals
+      val out = nodes.select(col("node"), lit(0.0).as("pagerank"))
+      NearDup.freeLocalCheckpoint(e)
+      NearDup.freeLocalCheckpoint(nodes)
+      return out
+    }
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val weighted = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("__w"))

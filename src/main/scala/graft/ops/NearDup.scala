@@ -104,6 +104,10 @@ object NearDup {
     * Either way nothing leaks into a long-lived session. */
   def lshCandidatePairs(sigs: DataFrame, id: String,
       numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"lshCandidatePairs: numHashes=$numHashes not divisible by " +
+        s"rowsPerBand=$rowsPerBand — trailing hashes would be silently " +
+        "dropped from banding (reduced recall)")
     val nBands = numHashes / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
@@ -128,6 +132,10 @@ object NearDup {
     * were already emitted by the run that ingested them. */
   def lshCandidatePairsIncremental(corpusSigs: DataFrame, newSigs: DataFrame,
       id: String, numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"lshCandidatePairsIncremental: numHashes=$numHashes not divisible " +
+        s"by rowsPerBand=$rowsPerBand — trailing hashes would be silently " +
+        "dropped from banding (reduced recall)")
     val nBands = numHashes / rowsPerBand
     def bandsOf(sigs: DataFrame): DataFrame = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))

@@ -365,11 +365,15 @@ object DedupQueries {
     // decides which rows ride the residual join), so the oracle is the
     // anti join itself. The map-side split is the 100 TB shape: the
     // shuffle carries the maybe-seen sliver, not the corpus.
+    // NOT EXISTS (not NOT IN): anti-join semantics keep null-key rows,
+    // while SQL NOT IN drops them (or empties the result if a NULL
+    // lands in the seen set) — a data-dependent parity trap.
     Q("q82_bloom_dedup",
       """WITH seen AS (SELECT DISTINCT substr(sha256(text), 1, 16) AS fp
         | FROM documents WHERE doc_id % 4 = 0)
-        |SELECT doc_id FROM documents
-        |WHERE substr(sha256(text), 1, 16) NOT IN (SELECT fp FROM seen)
+        |SELECT doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM seen
+        |                  WHERE seen.fp = substr(sha256(d.text), 1, 16))
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val withFp = t(s, d, "documents").select(col("doc_id"),
         graft.expr.Functions.sha16(col("text")).as("fp"))

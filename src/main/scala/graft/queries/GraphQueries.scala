@@ -42,8 +42,11 @@ object GraphQueries {
     // ---- PageRank over the semantic kNN graph ----
     // Centrality as a data-quality prior: documents many neighbors
     // point at rank high (prototypical content), isolated chains rank
-    // at the floor. Edges are q79's cell-bounded kNN (every node emits
-    // exactly k=3 edges, so the graph has no dangling mass).
+    // at the floor. Edges are q79's cell-bounded kNN (up to k=3 edges
+    // per node; a cell with <4 members yields fewer — a singleton-cell
+    // vector vanishes from the graph entirely, so dangling/leaked mass
+    // is possible and accepted; both engines derive the identical
+    // edge list, so parity is unaffected).
     Q("q83_pagerank", pagerankSql(iters = 5, damping = 0.85)) { (s, d) =>
       val emb = t(s, d, "embeddings")
       val nCells = graft.vector.SemDedup.cellCountFor(emb.count())
