@@ -195,6 +195,49 @@ object NearDup {
       .select(col(id), sh.cast("long").as("simhash"))
   }
 
+  /** SimHash Hamming-distance near-duplicate pairs — the dedup join the
+    * 64-bit fingerprint exists for (reference analog: the seen-set
+    * dedup generalized, newscrawler.py:366-369). The fingerprint is
+    * split into `nBands` contiguous chunks of bits/nBands bits; a
+    * candidate pair is any two docs sharing a chunk value at the same
+    * position (equi-join on (band_no, band_val) — one shuffle, no
+    * O(n²)); candidates are refined by popcount(xor) <= maxHamming.
+    *
+    * EXACT for maxHamming < nBands by pigeonhole: a pair within
+    * Hamming distance d flips bits in at most d chunks, so with
+    * d < nBands at least one chunk is identical on both sides and the
+    * pair lands in a bucket — recall 1.0, no tuning. The default
+    * (64 bits, 4 × 16-bit bands, d <= 3) is the standard web-dedup
+    * configuration (Manku et al., WWW'07). Banding is one map-side
+    * posexplode (no repeated scans); the 8-byte fingerprint rides
+    * along so the refine needs no join back to the corpus. */
+  def simhashHammingPairs(fps: DataFrame, id: String,
+      fp: Column, bits: Int = 64, nBands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bits % nBands == 0,
+      s"simhashHammingPairs: bits=$bits not divisible by nBands=$nBands")
+    val w = bits / nBands
+    require(w < 64, "simhashHammingPairs: need nBands >= 2 (chunk < 64 bits)")
+    require(maxHamming < nBands,
+      s"simhashHammingPairs: maxHamming=$maxHamming >= nBands=$nBands " +
+        "breaks the pigeonhole guarantee — pairs at that distance can " +
+        "miss every bucket (silent recall loss). Raise nBands.")
+    val mask = (1L << w) - 1
+    val bandVals = array((0 until nBands).map(b =>
+      shiftright(fp, b * w).bitwiseAND(lit(mask))): _*)
+    val banded = fps.select(col(id).as("__id"), fp.as("__fp"),
+      posexplode(bandVals).as(Seq("__band_no", "__band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.__band_no") === col("b.__band_no") &&
+          col("a.__band_val") === col("b.__band_val") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        bit_count(col("a.__fp").bitwiseXOR(col("b.__fp")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Enforce the bounded-candidate-set contract of the O(n²) pairwise
     * operators: a mis-wired call on a raw corpus must fail fast with
     * guidance, not launch a cartesian-scale job. The count is one cheap

@@ -40,7 +40,7 @@ object DedupQueries {
     * votes, bit set iff sum>0. Bit 63 is the long sign bit, written as
     * (-max-1) so the sum reproduces the signed reinterpretation the
     * Spark side emits. Mirrors `NearDup.simhash` exactly. */
-  private def simhashSql(bits: Int): String = {
+  private def simhashCtes(bits: Int, src: String): String = {
     val nNibs = bits / 4
     val nibs = (1 to nNibs)
       .map(j => s"(strpos('0123456789abcdef', substr(h,$j,1)) - 1) AS n$j")
@@ -52,13 +52,17 @@ object DedupQueries {
       val v = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
       s"CASE WHEN s$i > 0 THEN $v ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-       | FROM documents),
+    s"""w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       | FROM $src),
        |hh AS (SELECT doc_id, sha256(word) AS h FROM w),
        |hv AS (SELECT doc_id, $nibs FROM hh),
-       |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin
+       |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
+
+  private def simhashSql(bits: Int): String =
+    s"""WITH ${simhashCtes(bits, "documents")}
+       |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
 
   val qs: Seq[Q] = Seq(
 
@@ -103,6 +107,32 @@ object DedupQueries {
     Q("q65_simhash64", simhashSql(64)) { (s, d) =>
       NearDup.simhash(t(s, d, "documents"), "doc_id", col("text"), bits = 64)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- SimHash Hamming-distance near-dup pairs (64-bit, 4 bands) ----
+    // The dedup join the 64-bit fingerprint exists for: band into
+    // 4 x 16-bit chunks, equi-join on (band_no, band_val), refine by
+    // popcount(xor) <= 3 — exact at that radius by pigeonhole. Corpus
+    // is unioned with truncated copies so the near-dup set is
+    // non-empty; `& 65535` after the shift normalizes arithmetic vs
+    // logical >> on the signed fingerprint identically in both engines.
+    Q("q86_simhash_hamming",
+      s"""WITH $mutatedBase,
+         |${simhashCtes(64, "base")},
+         |bands AS (
+         | SELECT doc_id, simhash, CAST(r.range AS INTEGER) AS band_no,
+         |        (simhash >> (CAST(r.range AS INTEGER) * 16)) & 65535 AS band_val
+         | FROM fp CROSS JOIN range(4) r)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM bands a JOIN bands b ON a.band_no = b.band_no
+         | AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val base = NearDup.withMutatedCopies(t(s, d, "documents"), "doc_id", "text")
+      val fps = NearDup.simhash(base, "doc_id", col("text"), bits = 64)
+      NearDup.simhashHammingPairs(fps, "doc_id", col("simhash"))
+        .orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ---- n-gram (token-set) Jaccard pairs on a bounded candidate set ----

@@ -161,6 +161,31 @@ class OpsSpec extends AnyFunSuite {
     assert(s64.exists { case (id, v) => v != s16(id) })
   }
 
+  test("simhashHammingPairs: exact recall within radius, brute-force parity") {
+    // 40 corpus docs + truncated mutations → fingerprints, then the
+    // banded join must equal a brute-force popcount(xor) <= 3 over all
+    // pairs (pigeonhole: d < nBands → at least one shared band)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 40)
+    val base = NearDup.withMutatedCopies(docs, "doc_id", "text")
+    val fps = NearDup.simhash(base, "doc_id", col("text"), bits = 64)
+    val got = NearDup.simhashHammingPairs(fps, "doc_id", col("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = fps.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == brute && got.nonEmpty)
+    // config that breaks the pigeonhole guarantee fails fast
+    intercept[IllegalArgumentException] {
+      NearDup.simhashHammingPairs(fps, "doc_id", col("simhash"), maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      NearDup.simhashHammingPairs(fps, "doc_id", col("simhash"), nBands = 3)
+    }
+  }
+
   test("connectedComponents: chains, cycles, stars, bridges → min-id labels") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),     // chain
