@@ -49,11 +49,8 @@ object GraphQueries {
     // edge list, so parity is unaffected).
     Q("q83_pagerank", pagerankSql(iters = 5, damping = 0.85)) { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val nCells = graft.vector.SemDedup.cellCountFor(emb.count())
-      val cents = emb.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
-        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
       val knn = graft.vector.SemDedup.knnGraph(emb, "vec_id", "embedding",
-        cents, k = 3)
+        VectorQueries.corpusQuantizer(emb), k = 3)
       val edges = knn.select(col("vec_id").as("src"), col("neighbor").as("dst"))
       graft.ops.Graph.pageRank(edges, iterations = 5, damping = 0.85)
         .select(col("node").as("vec_id"), col("pagerank"))

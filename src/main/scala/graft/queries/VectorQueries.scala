@@ -22,19 +22,61 @@ object VectorQueries {
     * bounded ranked kNN candidates (`r`: ia, ib, cos_sim, rank).
     * q79 selects from it directly; q83's PageRank builds its edge
     * list from it. */
-  private[queries] val knnRankedCte: String =
+  /** Two-level (coarse→fine) cell assignment, shared by q70/q79/q83/
+    * q87 — the SQL mirror of `Ivf.assignCellsTwoLevel` under the
+    * id-prefix seed rule: fine seeds are `vec_id < k`
+    * (k = max(8, N/250), SemDedup.cellCountFor), coarse seeds the
+    * `vec_id < ceil(√k)` (min 4) prefix of those. Fine centroid cid
+    * below the coarse count anchors its own group (fcmap CASE);
+    * rows route to their nearest coarse centroid, then to the nearest
+    * fine centroid OF THAT GROUP. All argmins tie-break to the
+    * smaller id, matching the Scala first-wins scan. */
+  private[queries] val twoLevelCellCte: String =
     """k AS (SELECT greatest(8, count(*) // 250) AS k FROM embeddings),
+      |ck AS (SELECT greatest(4, CAST(ceil(sqrt(k)) AS BIGINT)) AS c FROM k),
       |cent AS (SELECT vec_id AS cid, embedding AS cemb
       |       FROM embeddings WHERE vec_id < (SELECT k FROM k)),
       |vu AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |       generate_subscripts(embedding, 1) AS i FROM embeddings),
       |cu AS (SELECT cid, CAST(unnest(cemb) AS DOUBLE) AS cx,
       |       generate_subscripts(cemb, 1) AS i FROM cent),
-      |dist AS (SELECT vec_id, cid, SUM((x - cx) * (x - cx)) AS d2
-      |       FROM vu JOIN cu USING (i) GROUP BY vec_id, cid),
+      |gu AS (SELECT cid AS gid, cx AS gx, i FROM cu
+      |       WHERE cid < (SELECT c FROM ck)),
+      |fcd AS (SELECT cid, gid, SUM((cx - gx) * (cx - gx)) AS d2
+      |       FROM cu JOIN gu USING (i) GROUP BY cid, gid),
+      |fcmap AS (SELECT cid,
+      |         CASE WHEN cid < (SELECT c FROM ck) THEN cid ELSE gid END AS gid
+      |       FROM (SELECT cid, gid,
+      |         row_number() OVER (PARTITION BY cid ORDER BY d2, gid) AS rn
+      |       FROM fcd) WHERE rn = 1),
+      |rgd AS (SELECT vec_id, gid, SUM((x - gx) * (x - gx)) AS d2
+      |       FROM vu JOIN gu USING (i) GROUP BY vec_id, gid),
+      |rgmap AS (SELECT vec_id, gid FROM (SELECT vec_id, gid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, gid) AS rn
+      |       FROM rgd) WHERE rn = 1),
+      |dist AS (SELECT v.vec_id, f.cid, SUM((v.x - f.cx) * (v.x - f.cx)) AS d2
+      |       FROM vu v JOIN rgmap rg ON rg.vec_id = v.vec_id
+      |            JOIN fcmap fm ON fm.gid = rg.gid
+      |            JOIN cu f ON f.cid = fm.cid AND f.i = v.i
+      |       GROUP BY v.vec_id, f.cid),
       |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |       FROM dist) WHERE rn = 1),
+      |       FROM dist) WHERE rn = 1)""".stripMargin
+
+  /** The Spark-side twin of `twoLevelCellCte`: corpus-scaled k, one
+    * bounded driver collect of the k id-prefix seeds (documented cap
+    * in `Ivf.seedCentroids`), coarse level = the √k prefix of those —
+    * per-row assignment O(2√k·dim) instead of the flat O(k·dim). */
+  private[queries] def corpusQuantizer(
+      emb: org.apache.spark.sql.DataFrame): graft.vector.TwoLevelQuantizer = {
+    val k = graft.vector.SemDedup.cellCountFor(emb.count())
+    val fine = graft.vector.Ivf.seedCentroids(emb, "vec_id", "embedding", k)
+    graft.vector.TwoLevelQuantizer(
+      fine, fine.take(graft.vector.Ivf.coarseCountFor(k)))
+  }
+
+  private[queries] val knnRankedCte: String =
+    twoLevelCellCte + """,
       |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM vu GROUP BY vec_id),
       |pairs AS (SELECT ca.vec_id AS ia, cb.vec_id AS ib
       |      FROM cell ca JOIN cell cb ON ca.cid = cb.cid AND ca.vec_id <> cb.vec_id),
@@ -199,18 +241,7 @@ object VectorQueries {
     // quadratically growing cells (measured 15x wall at 10x rows on
     // q79 before the knob). k = 8 at sf0.01/sf0.1, 80 at sf1.
     Q("q70_semdedup",
-      """WITH k AS (SELECT greatest(8, count(*) // 250) AS k FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, embedding AS cemb
-        |       FROM embeddings WHERE vec_id < (SELECT k FROM k)),
-        |vu AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
-        |cu AS (SELECT cid, CAST(unnest(cemb) AS DOUBLE) AS cx,
-        |       generate_subscripts(cemb, 1) AS i FROM cent),
-        |dist AS (SELECT vec_id, cid, SUM((x - cx) * (x - cx)) AS d2
-        |       FROM vu JOIN cu USING (i) GROUP BY vec_id, cid),
-        |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |       FROM dist) WHERE rn = 1),
+      s"""WITH $twoLevelCellCte,
         |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM vu GROUP BY vec_id),
         |p AS (SELECT ca.vec_id AS ia, cb.vec_id AS ib
         |      FROM cell ca JOIN cell cb ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id),
@@ -225,11 +256,8 @@ object VectorQueries {
         |FROM cell c WHERE c.vec_id NOT IN (SELECT ib FROM losers)
         |ORDER BY c.vec_id""".stripMargin) { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val k = graft.vector.SemDedup.cellCountFor(emb.count())
-      val cents = emb.filter(col("vec_id") < k).orderBy(col("vec_id"))
-        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
       graft.vector.SemDedup.dropSemanticDuplicates(
-          emb, "vec_id", "embedding", cents, threshold = 0.3)
+          emb, "vec_id", "embedding", corpusQuantizer(emb), threshold = 0.3)
         .select(col("vec_id"), col("ivf_cell"))
         .orderBy(col("vec_id"))
     },
@@ -245,11 +273,24 @@ object VectorQueries {
         |SELECT ia AS vec_id, CAST(rank AS INTEGER) AS rank, ib AS neighbor, cos_sim
         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val nCells = graft.vector.SemDedup.cellCountFor(emb.count())
-      val cents = emb.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
-        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
-      graft.vector.SemDedup.knnGraph(emb, "vec_id", "embedding", cents, k = 3)
+      graft.vector.SemDedup.knnGraph(emb, "vec_id", "embedding",
+          corpusQuantizer(emb), k = 3)
         .orderBy(col("vec_id"), col("rank"))
+    },
+
+    // ---- two-level quantizer cell assignment (the IVF-IMI route) ----
+    // Oracle-pins the coarse→fine assignment itself: every vector's
+    // cell from "nearest of √k coarse seeds, then nearest fine seed of
+    // that group" — the O(2√k·dim)/row scale path q70/q79/q83 ride.
+    Q("q87_two_level_cells",
+      s"""WITH $twoLevelCellCte
+        |SELECT vec_id, CAST(cid AS INTEGER) AS ivf_cell
+        |FROM cell ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = corpusQuantizer(emb)
+      q.attach(emb.select(col("vec_id"), col("embedding")), col("embedding"))
+        .select(col("vec_id"), col("ivf_cell"))
+        .orderBy(col("vec_id"))
     },
   )
 }

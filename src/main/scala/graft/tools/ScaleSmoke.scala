@@ -38,7 +38,11 @@ object ScaleSmoke {
     val orders = spark.read.parquet(s"$d/orders.parquet")
     spark.read.parquet(s"$d/lineitem.parquet").count() // warmup
 
-    for (scale <- Seq(1, 10)) {
+    // `runMain graft.tools.ScaleSmoke assign` → only the centroid-
+    // assignment scaling section (dev loop for the quantizer work)
+    val sections = if (a.isEmpty) Set("replicate", "assign") else a.toSet
+
+    for (scale <- Seq(1, 10) if sections("replicate")) {
       val doc = replicate(docs.select("doc_id", "text"), "doc_id", scale, 10000000L)
       // minhash signature volume (shingle explode → partial agg)
       T(s"minhash_sig x$scale") {
@@ -167,6 +171,44 @@ object ScaleSmoke {
         graft.ops.TextAnalysis.tfidfTopTerms(docTagged, "doc_id", col("text"), 3)
           .write.format("noop").mode("overwrite").save(); 0L
       }
+    }
+
+    // ---- centroid-assignment scaling: flat O(k·dim) vs two-level
+    // O((√k + k/√k)·dim) per row at FIXED N while k grows 80 → 2000.
+    // This isolates the k ∝ N term (SemDedup.cellCountFor): flat wall
+    // time should grow ~linearly in k, the two-level paths ~√k — the
+    // difference between O(N²/cellSize) and O(N^1.5) total work at
+    // the 100 TB design point where k reaches the millions.
+    if (sections("assign")) {
+      import graft.vector.Ivf
+      val embF = replicate(emb.select("vec_id", "embedding"), "vec_id",
+        10, 10000000L).cache()
+      embF.count()
+      for (k <- Seq(80, 500, 2000)) {
+        val fine = emb.orderBy("vec_id").limit(k)
+          .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+        val coarse = fine.take(Ivf.coarseCountFor(k))
+        T(s"assign_flat k=$k") {
+          Ivf.assignCells(embF, col("embedding"), fine)
+            .select("vec_id", "ivf_cell")
+            .write.format("noop").mode("overwrite").save(); 0L
+        }
+        T(s"assign_twolevel k=$k") {
+          Ivf.assignCellsTwoLevel(embF, col("embedding"), fine, coarse)
+            .select("vec_id", "ivf_cell")
+            .write.format("noop").mode("overwrite").save(); 0L
+        }
+        // the off-driver form: fine centroids stay a DataFrame
+        val fineDf = emb.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        T(s"assign_twolevel_dist k=$k") {
+          Ivf.assignCellsTwoLevelDist(embF, "vec_id", "embedding",
+              fineDf, coarse)
+            .select("vec_id", "ivf_cell")
+            .write.format("noop").mode("overwrite").save(); 0L
+        }
+      }
+      embF.unpersist()
     }
     spark.stop()
   }

@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * This is the third dedup scale path next to MinHash-LSH banding
   * (`ops.NearDup`) and hyperplane/IVF ANN (`Similarity`/`Ivf`): the
-  * cluster assignment is a per-row O(k·dim) map against broadcast
-  * centroids, the candidate generation is an equi-join on the cell id
+  * cluster assignment is a per-row map against broadcast centroids —
+  * O(2√k·dim) under the default two-level [[Quantizer]] (k is
+  * corpus-scaled via `cellCountFor`, so the flat O(k·dim) scan would
+  * make total assignment work O(N²/cellSize); the coarse→fine route
+  * cuts the per-row term to O(√k·dim), and its distributed form keeps
+  * all but the √k coarse prefix off the driver)
+  * — the candidate generation is an equi-join on the cell id
   * (one shuffle, hash-partitioned by cell), and the pairwise cosine
   * work is bounded by cluster size — k is the knob that keeps
   * per-cell membership ~N/k so the quadratic term never sees the full
@@ -33,11 +38,22 @@ object SemDedup {
     math.max(8L, n / targetCellSize).toInt
 
   /** Within-cell candidate pairs with cosine >= threshold:
-    * (cell, id_a, id_b, cos_sim), id_a < id_b. */
+    * (cell, id_a, id_b, cos_sim), id_a < id_b. Array form = flat
+    * quantizer; pass a [[TwoLevelQuantizer]] when k is corpus-scaled
+    * (see [[Quantizer]]). */
   def semanticDuplicatePairs(df: DataFrame, id: String, vec: String,
       cents: Array[Array[Float]], threshold: Double,
+      cellCol: String): DataFrame =
+    semanticDuplicatePairs(df, id, vec, FlatQuantizer(cents), threshold, cellCol)
+
+  def semanticDuplicatePairs(df: DataFrame, id: String, vec: String,
+      cents: Array[Array[Float]], threshold: Double): DataFrame =
+    semanticDuplicatePairs(df, id, vec, FlatQuantizer(cents), threshold, "ivf_cell")
+
+  def semanticDuplicatePairs(df: DataFrame, id: String, vec: String,
+      quant: Quantizer, threshold: Double,
       cellCol: String = "ivf_cell"): DataFrame = {
-    val assigned = Ivf.assignCells(df.select(col(id), col(vec)), col(vec), cents, cellCol)
+    val assigned = quant.attach(df.select(col(id), col(vec)), col(vec), cellCol)
     val a = assigned.select(col(cellCol), col(id).as("id_a"), col(vec).as("__va"))
     val b = assigned.select(col(cellCol), col(id).as("id_b"), col(vec).as("__vb"))
     val cos = Similarity.cosineSim(col("__va"), col("__vb"))
@@ -58,10 +74,19 @@ object SemDedup {
     * `dropSemanticDuplicates` (raise k / probe neighbors for more). */
   def knnGraph(df: DataFrame, id: String, vec: String,
       cents: Array[Array[Float]], k: Int,
+      cellCol: String): DataFrame =
+    knnGraph(df, id, vec, FlatQuantizer(cents), k, cellCol)
+
+  def knnGraph(df: DataFrame, id: String, vec: String,
+      cents: Array[Array[Float]], k: Int): DataFrame =
+    knnGraph(df, id, vec, FlatQuantizer(cents), k, "ivf_cell")
+
+  def knnGraph(df: DataFrame, id: String, vec: String,
+      quant: Quantizer, k: Int,
       cellCol: String = "ivf_cell"): DataFrame = {
     require(k >= 1, "knnGraph: k must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val assigned = Ivf.assignCells(df.select(col(id), col(vec)), col(vec), cents, cellCol)
+    val assigned = quant.attach(df.select(col(id), col(vec)), col(vec), cellCol)
     val a = assigned.select(col(cellCol), col(id).as("__id"), col(vec).as("__va"))
     val b = assigned.select(col(cellCol), col(id).as("neighbor"), col(vec).as("__vb"))
     val cos = Similarity.cosineSim(col("__va"), col("__vb"))
@@ -82,10 +107,19 @@ object SemDedup {
     * write the collection partitioned by it). */
   def dropSemanticDuplicates(df: DataFrame, id: String, vec: String,
       cents: Array[Array[Float]], threshold: Double,
+      cellCol: String): DataFrame =
+    dropSemanticDuplicates(df, id, vec, FlatQuantizer(cents), threshold, cellCol)
+
+  def dropSemanticDuplicates(df: DataFrame, id: String, vec: String,
+      cents: Array[Array[Float]], threshold: Double): DataFrame =
+    dropSemanticDuplicates(df, id, vec, FlatQuantizer(cents), threshold, "ivf_cell")
+
+  def dropSemanticDuplicates(df: DataFrame, id: String, vec: String,
+      quant: Quantizer, threshold: Double,
       cellCol: String = "ivf_cell"): DataFrame = {
-    val losers = semanticDuplicatePairs(df, id, vec, cents, threshold, cellCol)
+    val losers = semanticDuplicatePairs(df, id, vec, quant, threshold, cellCol)
       .select(col("id_b").as(id)).distinct()
-    Ivf.assignCells(df, col(vec), cents, cellCol)
+    quant.attach(df, col(vec), cellCol)
       .join(losers, Seq(id), "left_anti")
   }
 }

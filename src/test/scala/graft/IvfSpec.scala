@@ -85,6 +85,66 @@ class IvfSpec extends AnyFunSuite {
     assert(sub > 0 && sub < all)
   }
 
+  test("two-level with coarse = fine degenerates to exact flat assignment") {
+    // every fine centroid anchors its own group, so the coarse argmin
+    // IS the flat argmin — the approximation gap is exactly the
+    // coarse routing, nothing else
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    val flat = Ivf.assignCells(emb, col("embedding"), cents)
+      .select("vec_id", "ivf_cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val two = Ivf.assignCellsTwoLevel(emb, col("embedding"), cents, cents)
+      .select("vec_id", "ivf_cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(two == flat)
+  }
+
+  test("two-level routes within the coarse group; anchors keep groups non-empty") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fine = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    val coarse = fine.take(Ivf.coarseCountFor(8)) // 4 coarse over 8 fine
+    val groupOf = Ivf.fineToCoarse(fine, coarse)
+    // anchor rule: fine centroid g < |coarse| maps to group g
+    coarse.indices.foreach(g => assert(groupOf(g) == g))
+    // every coarse group owns >= 1 fine centroid
+    assert(groupOf.toSet.size == coarse.length ||
+      coarse.indices.forall(g => groupOf.contains(g)))
+    // every row lands in a fine cell belonging to its own coarse group
+    val cells = Ivf.assignCellsTwoLevel(emb, col("embedding"), fine, coarse)
+      .select("ivf_cell").collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < fine.length))
+  }
+
+  test("distributed two-level assignment equals the broadcast-UDF path") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // add a null-vector row: both paths must carry it with a null cell
+    val withNull = emb.unionByName(
+      Seq((99999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val fine = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    val coarse = fine.take(4)
+    val udfPath = Ivf.assignCellsTwoLevel(withNull, col("embedding"), fine, coarse)
+      .select("vec_id", "ivf_cell").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    val fineDf = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val distPath = Ivf.assignCellsTwoLevelDist(withNull, "vec_id", "embedding",
+        fineDf, coarse)
+      .select("vec_id", "ivf_cell").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(distPath == udfPath)
+    assert(udfPath(99999L) == -1)
+  }
+
+  test("seedCentroids enforces the documented driver-collect cap") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.seedCentroids(emb, "vec_id", "embedding", k = 100, maxCollect = 50)
+    }
+    assert(e.getMessage.contains("assignCellsTwoLevelDist"))
+    assert(Ivf.seedCentroids(emb, "vec_id", "embedding", 8).length == 8)
+  }
+
   test("empty-cell fallback: k larger than distinct points keeps previous centroid") {
     val tiny = Seq((0L, Array(0f, 0f)), (1L, Array(10f, 10f)))
       .toDF("vec_id", "embedding")
