@@ -198,39 +198,99 @@ object Ivf {
       .collect().map(_.getSeq[Float](0).toArray)
   }
 
-  /** Deterministic k-means: farthest-first init (the smallest-id
-    * vector, then k-1 rounds of "the point maximizing distance to the
-    * chosen set", ties broken by id — spreads seeds across clusters,
-    * where a naive first-k-ids init can strand every seed in one
-    * cluster), then `iters` Lloyd rounds. Every step is fully
-    * distributed — init rounds are a TakeOrdered(1) over a scored
-    * scan; each Lloyd round is assign (map) → per-(cell, dimension)
-    * average (posexplode + partial agg) — and only k×dim values ever
-    * return to the driver. A cell that loses all members keeps its
-    * previous centroid (standard empty-cluster fallback). */
+  private def minDistUdf(sofar: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
+    if (v == null) -1.0
+    else sofar.map { c =>
+      var d = 0.0; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val t = v(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
+      d
+    }.min
+  }
+
+  /** Deterministic k-means with a k-means‖-style init (Bahmani et al.
+    * 2012): the smallest-id vector seeds round 0, then TWO passes of
+    * d²-weighted oversampling — each pass scores every row's squared
+    * distance to the candidate set and keeps rows where a hash-derived
+    * uniform (`xxhash64(id, pass)`, engine-reproducible, no RNG state)
+    * falls below ℓ·d²/Σd² with ℓ = 4k — and a greedy farthest-first
+    * pass over the ≈2ℓ collected candidates finishes on the driver
+    * (O(|C|·k·dim) driver flops; |C| is ℓ-bounded, not N). Init cost
+    * is a CONSTANT number of Spark jobs (seed + 2×(agg, collect)) —
+    * the previous farthest-first init ran k−1 sequential
+    * orderBy-limit(1) actions, O(k) full scans, a driver-latency wall
+    * once k is corpus-scaled. Then `iters` Lloyd rounds: assign (map)
+    * → per-(cell, dimension) average (posexplode + partial agg); only
+    * k×dim values ever return to the driver. A cell that loses all
+    * members keeps its previous centroid (standard empty-cluster
+    * fallback). */
   def trainCentroids(df: DataFrame, id: String, vec: String, k: Int,
       iters: Int = 5): Array[Array[Float]] = {
     require(k >= 1, "k must be positive")
-    val firstRows = df.orderBy(col(id)).limit(1).select(col(vec)).collect()
+    val firstRows = df.orderBy(col(id)).limit(1)
+      .select(col(id).cast("long"), col(vec)).collect()
     require(firstRows.nonEmpty, "trainCentroids: empty input DataFrame")
-    val chosen = scala.collection.mutable.ArrayBuffer(
-      firstRows(0).getSeq[Float](0).toArray)
-    while (chosen.size < k) {
-      val sofar = chosen.toArray
-      val minD = udf { (v: Seq[Float]) =>
-        if (v == null) -1.0
-        else sofar.map { c =>
-          var d = 0.0; var i = 0
-          val n = math.min(v.length, c.length)
-          while (i < n) { val t = v(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
-          d
-        }.min
+    val seed0 = (firstRows(0).getLong(0), firstRows(0).getSeq[Float](1).toArray)
+    val cand = scala.collection.mutable.LinkedHashMap(seed0)
+    val ell = 4L * k
+    var pass = 1
+    while (pass <= 2) {
+      val minD = minDistUdf(cand.valuesIterator.toArray)
+      val scored = df
+        .select(col(id).cast("long").as("__id"), col(vec).as("__v"))
+        .withColumn("__d", minD(col("__v")))
+        .filter(col("__d") > 0) // null vectors (-1) and exact members (0)
+      val sumRow = scored.agg(sum(col("__d"))).head()
+      val sumD = if (sumRow.isNullAt(0)) 0.0 else sumRow.getDouble(0)
+      if (sumD > 0) {
+        val u = pmod(xxhash64(col("__id"), lit(pass)), lit(1000000L)) / 1000000.0
+        val picked = scored
+          .filter(u < least(lit(1.0), lit(ell.toDouble) * col("__d") / lit(sumD)))
+          .select(col("__id"), col("__v")).collect()
+        picked.sortBy(_.getLong(0)).foreach { r =>
+          cand.getOrElseUpdate(r.getLong(0), r.getSeq[Float](1).toArray)
+        }
       }
-      val far = df.select(col(id), col(vec), minD(col(vec)).as("__d"))
-        .orderBy(desc("__d"), col(id)).limit(1).head()
-      chosen += far.getSeq[Float](1).toArray
+      pass += 1
     }
-    var cents: Array[Array[Float]] = chosen.toArray
+    if (cand.size < k) {
+      // degenerate corpus (fewer sampled candidates than k): top up
+      // with the smallest ids not yet held — one bounded collect
+      df.select(col(id).cast("long").as("__id"), col(vec).as("__v"))
+        .filter(col("__v").isNotNull)
+        .orderBy(col("__id")).limit(k + cand.size).collect()
+        .foreach(r => cand.getOrElseUpdate(r.getLong(0), r.getSeq[Float](1).toArray))
+    }
+    // greedy farthest-first over the candidate pool, seeded at seed0:
+    // deterministic (ties → smaller id), spreads the k picks across
+    // clusters the same way the old per-point farthest-first did
+    // ascending id (seed0 IS the smallest id, so it stays first);
+    // equal-distance ties then resolve to the smaller id
+    val pool = cand.toArray.sortBy(_._1)
+    val chosen = scala.collection.mutable.ArrayBuffer(seed0._2)
+    val inSet = scala.collection.mutable.Set(seed0._1)
+    val best = scala.collection.mutable.HashMap[Long, Double]() // min d² to chosen
+    while (chosen.size < k && inSet.size < pool.length) {
+      val last = chosen.last
+      var pickId = -1L
+      var pickD = -1.0
+      var pickV: Array[Float] = null
+      pool.foreach { case (pid, pv) =>
+        if (!inSet.contains(pid)) {
+          var d = 0.0; var i = 0
+          val n = math.min(pv.length, last.length)
+          while (i < n) { val t = pv(i).toDouble - last(i).toDouble; d += t * t; i += 1 }
+          val m = math.min(best.getOrElse(pid, Double.MaxValue), d)
+          best(pid) = m
+          if (m > pickD) { pickD = m; pickId = pid; pickV = pv }
+        }
+      }
+      if (pickId < 0) inSet ++= pool.map(_._1) // exhausted
+      else { chosen += pickV; inSet += pickId; best.remove(pickId) }
+    }
+    var cents: Array[Array[Float]] =
+      if (chosen.size >= k) chosen.take(k).toArray
+      else Array.tabulate(k)(i => chosen(i % chosen.size).clone())
     var it = 0
     while (it < iters) {
       val assigned = assignCells(df.select(col(vec)), col(vec), cents)

@@ -85,6 +85,32 @@ class IvfSpec extends AnyFunSuite {
     assert(sub > 0 && sub < all)
   }
 
+  test("trainCentroids init runs a constant number of jobs regardless of k") {
+    // the k-means|| style init replaced k-1 sequential farthest-first
+    // orderBy.limit(1) actions — job count must not grow with k
+    val (df, _) = clustered
+    df.cache(); df.count()
+    def jobsFor(k: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Ivf.trainCentroids(df, "vec_id", "embedding", k, iters = 2)
+        Thread.sleep(300) // let the async listener bus drain
+      } finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val j3 = jobsFor(3)
+    val j12 = jobsFor(12)
+    assert(j12 == j3, s"init jobs grew with k: k=3 -> $j3, k=12 -> $j12")
+    df.unpersist()
+  }
+
   test("two-level with coarse = fine degenerates to exact flat assignment") {
     // every fine centroid anchors its own group, so the coarse argmin
     // IS the flat argmin — the approximation gap is exactly the
