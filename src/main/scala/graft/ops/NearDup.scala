@@ -102,18 +102,28 @@ object NearDup {
     *    many arms) materialize the signature table first (write it, or
     *    persist explicitly and unpersist after).
     * Either way nothing leaks into a long-lived session. */
-  def lshCandidatePairs(sigs: DataFrame, id: String,
-      numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+  /** Banded view of a signature table: one row per (doc, band), band
+    * key = band index ++ that band's minhash columns. Shared by the
+    * self-join, incremental, and on-disk-store paths so all three
+    * agree byte-for-byte on band keys. */
+  private[ops] def bandedSignatures(sigs: DataFrame, id: String,
+      numHashes: Int, rowsPerBand: Int, caller: String): DataFrame = {
     require(numHashes % rowsPerBand == 0,
-      s"lshCandidatePairs: numHashes=$numHashes not divisible by " +
+      s"$caller: numHashes=$numHashes not divisible by " +
         s"rowsPerBand=$rowsPerBand — trailing hashes would be silently " +
         "dropped from banding (reduced recall)")
     val nBands = numHashes / rowsPerBand
-    val bands = (0 until nBands).map { b =>
+    (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
       sigs.select(col(id).as("__id"),
         concat_ws("|", lit(b.toString) +: cols: _*).as("__band"))
     }.reduce(_.unionByName(_))
+  }
+
+  def lshCandidatePairs(sigs: DataFrame, id: String,
+      numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val bands = bandedSignatures(sigs, id, numHashes, rowsPerBand,
+      "lshCandidatePairs")
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
@@ -132,18 +142,59 @@ object NearDup {
     * were already emitted by the run that ingested them. */
   def lshCandidatePairsIncremental(corpusSigs: DataFrame, newSigs: DataFrame,
       id: String, numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    require(numHashes % rowsPerBand == 0,
-      s"lshCandidatePairsIncremental: numHashes=$numHashes not divisible " +
-        s"by rowsPerBand=$rowsPerBand — trailing hashes would be silently " +
-        "dropped from banding (reduced recall)")
-    val nBands = numHashes / rowsPerBand
-    def bandsOf(sigs: DataFrame): DataFrame = (0 until nBands).map { b =>
-      val cols = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
-      sigs.select(col(id).as("__id"),
-        concat_ws("|", lit(b.toString) +: cols: _*).as("__band"))
-    }.reduce(_.unionByName(_))
-    val fresh = bandsOf(newSigs)
-    val all = bandsOf(corpusSigs).unionByName(fresh)
+    val fresh = bandedSignatures(newSigs, id, numHashes, rowsPerBand,
+      "lshCandidatePairsIncremental")
+    val all = bandedSignatures(corpusSigs, id, numHashes, rowsPerBand,
+      "lshCandidatePairsIncremental").unionByName(fresh)
+    fresh.as("a").join(all.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("doc_a"),
+        greatest(col("a.__id"), col("b.__id")).as("doc_b"))
+      .distinct()
+  }
+
+  /** Append a batch's BANDED signatures to the on-disk store backing
+    * the incremental dedup loop: one row per (doc, band), laid out
+    * `PARTITION BY band_bucket` where band_bucket = xxhash64(band
+    * key) mod `buckets`. Banding happens once, at ingest (signatures
+    * are map-only to produce); every later probe is a partition-
+    * pruned read of just the buckets the incoming batch touches —
+    * the probe cost scales with the batch, and the corpus store is
+    * never rescanned in full, let alone self-joined. At 100 TB the
+    * store is the usual hash-bucketed parquet layout (`buckets`
+    * sized so one bucket ≈ one task's worth of files). */
+  def appendSignatureStore(sigs: DataFrame, id: String, path: String,
+      numHashes: Int = 4, rowsPerBand: Int = 2, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"appendSignatureStore: buckets=$buckets")
+    bandedSignatures(sigs, id, numHashes, rowsPerBand, "appendSignatureStore")
+      .select(col("__id").as(id), col("__band").as("band"),
+        pmod(xxhash64(col("__band")), lit(buckets.toLong)).as("band_bucket"))
+      .write.mode("append").partitionBy("band_bucket").parquet(path)
+  }
+
+  /** Probe the on-disk signature store with a new batch: candidate
+    * pairs with at least one new-batch side, among store ∪ batch —
+    * `lshCandidatePairsIncremental` semantics with the corpus side
+    * read partition-pruned from disk. The batch's distinct band
+    * buckets (≤ `buckets` ints, driver-bounded by construction) gate
+    * the scan via an `isin` partition filter, so the store read is a
+    * strict file subset whenever the batch doesn't touch every
+    * bucket (spec-asserted, the IvfSpec partition-pruning treatment).
+    * Call `appendSignatureStore` with the same batch AFTER probing —
+    * probe-then-append keeps batch-internal pairs covered by the
+    * `fresh × fresh` side without double-reading them from disk. */
+  def probeSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, newSigs: DataFrame, id: String,
+      numHashes: Int = 4, rowsPerBand: Int = 2, buckets: Int = 64): DataFrame = {
+    val fresh = bandedSignatures(newSigs, id, numHashes, rowsPerBand,
+      "probeSignatureStore")
+      .withColumn("__bucket", pmod(xxhash64(col("__band")), lit(buckets.toLong)))
+    val touched = fresh.select(col("__bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val store = spark.read.parquet(path)
+      .filter(col("band_bucket").isin(touched: _*))
+      .select(col(id).as("__id"), col("band").as("__band"))
+    val all = store.unionByName(fresh.select(col("__id"), col("__band")))
     fresh.as("a").join(all.as("b"),
         col("a.__band") === col("b.__band") && col("a.__id") =!= col("b.__id"))
       .select(least(col("a.__id"), col("b.__id")).as("doc_a"),

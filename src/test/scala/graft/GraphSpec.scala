@@ -112,6 +112,54 @@ class GraphSpec extends AnyFunSuite {
     assert(inc.nonEmpty && inc == full)
   }
 
+  test("on-disk signature store: pruned probe, two ingests tile the full LSH") {
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = graft.ops.NearDup.withMutatedCopies(docs, "doc_id", "text")
+    val copies = base.filter(col("doc_id") >= 1000000)
+    // batch 2 is deliberately tiny (2 docs → ≤4 band keys) so its
+    // bucket set is a strict subset of the store's partitions
+    val b2Ids = copies.select("doc_id").orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0))
+    val b1 = copies.filter(!col("doc_id").isin(b2Ids: _*))
+    val b2 = copies.filter(col("doc_id").isin(b2Ids: _*))
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.NearDup.minhashSignaturesFused(df, "doc_id", col("text"))
+    val dir = s"${TestSpark.tempDir("lshstore")}/sigs"
+    val buckets = 16
+
+    graft.ops.NearDup.appendSignatureStore(sigs(docs), "doc_id", dir, buckets = buckets)
+    val run1 = graft.ops.NearDup.probeSignatureStore(spark, dir, sigs(b1),
+      "doc_id", buckets = buckets).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.NearDup.appendSignatureStore(sigs(b1), "doc_id", dir, buckets = buckets)
+    val probe2 = graft.ops.NearDup.probeSignatureStore(spark, dir, sigs(b2),
+      "doc_id", buckets = buckets)
+    val run2 = probe2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.NearDup.appendSignatureStore(sigs(b2), "doc_id", dir, buckets = buckets)
+
+    // 1) the probe scan is partition-pruned to the batch's buckets...
+    val plan = probe2.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("band_bucket"),
+      plan.take(800))
+    // ...and batch 2's bucket set is a STRICT subset of the stored
+    // partitions (same band-key format and bucket hash as the store)
+    val b2s = sigs(b2)
+    val b2bands = b2s.select(concat_ws("|", lit("0"), col("mh0"), col("mh1")).as("band"))
+      .unionByName(b2s.select(concat_ws("|", lit("1"), col("mh2"), col("mh3")).as("band")))
+    val touched = b2bands.select(pmod(xxhash64(col("band")), lit(buckets.toLong)))
+      .distinct().count()
+    val stored = spark.read.parquet(dir).select("band_bucket").distinct().count()
+    assert(touched < stored, s"touched=$touched stored=$stored")
+
+    // 2) corpus-ingest pairs + run1 + run2 tile the one-shot full LSH
+    val corpusPairs = graft.ops.NearDup.lshCandidatePairs(sigs(docs), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.ops.NearDup.lshCandidatePairs(sigs(base), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run1.nonEmpty && run2.nonEmpty)
+    assert((corpusPairs ++ run1 ++ run2) == full)
+  }
+
   test("unigramLogProb: uniform vocabulary scores ln(V) per token") {
     // 4 equally-frequent tokens -> every token's -ln p = ln 4
     val df = Seq((1L, "a b"), (2L, "c d")).toDF("id", "text")
