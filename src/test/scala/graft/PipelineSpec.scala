@@ -12,6 +12,18 @@ object PipelineSpec {
   val asrCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   val digestCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   val reduceCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val embedCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** HashEmbedder that counts embed() invocations (local-mode static
+    * counter) — proves the CDC refresh embeds only the churn. */
+  final class CountingEmbedder extends graft.vector.Embedder {
+    private val inner = new HashEmbedder(dim = 16)
+    def dim: Int = 16
+    def embed(text: String): Array[Float] = {
+      embedCalls.incrementAndGet()
+      inner.embed(text)
+    }
+  }
 }
 
 /** Golden pipeline tests over miniature council fixtures
@@ -186,5 +198,46 @@ class PipelineSpec extends AnyFunSuite {
     val hit = CouncilPipeline.searchCollection(coll, embedder,
       "budget discussion alpha", 1).head
     assert(hit.getString(0) == "m1.mp4:1:100" && hit.getDouble(1) == 1.0)
+  }
+
+  test("CDC refresh: diff drives selective re-embed + merge + delete") {
+    import graft.pipeline.IncrementalEmbed
+    val state = s"${TestSpark.tempDir("cdcembed")}/vectors"
+    val embedder = new PipelineSpec.CountingEmbedder
+
+    val prev = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"),
+      (4L, "delta text")).toDF("doc_id", "text")
+    PipelineSpec.embedCalls.set(0)
+    val s0 = IncrementalEmbed.refresh(spark, state,
+      prev.limit(0), prev, "doc_id", col("text"), embedder)
+    assert(PipelineSpec.embedCalls.get == 4) // first run embeds everything
+    assert(s0.count() == 4)
+    val beforeBeta = s0.filter(col("doc_id") === 2)
+      .head.getSeq[Float](1)
+    val beforeAlpha = s0.filter(col("doc_id") === 1)
+      .head.getSeq[Float](1)
+
+    // run 2: 1 unchanged, 2 changed, 3 removed, 5 added
+    val curr = Seq((1L, "alpha text"), (2L, "beta text v2"),
+      (4L, "delta text"), (5L, "epsilon text")).toDF("doc_id", "text")
+    PipelineSpec.embedCalls.set(0)
+    val s1 = IncrementalEmbed.refresh(spark, state,
+      prev, curr, "doc_id", col("text"), embedder)
+    // the embedder ran ONLY on the churn: changed (2) + added (5)
+    assert(PipelineSpec.embedCalls.get == 2,
+      s"embedded ${PipelineSpec.embedCalls.get} docs, expected 2")
+    // removed key is gone; survivors + churn present
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L, 5L))
+    // unchanged rows carried their vector over untouched; changed re-embedded
+    val after = s1.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(after(1L) == beforeAlpha)
+    assert(after(2L) != beforeBeta)
+    // end state == a from-scratch embed of curr (bit-for-bit)
+    val scratch = graft.vector.Embed.withEmbedding(curr, col("text"),
+        new HashEmbedder(dim = 16))
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(after == scratch)
   }
 }
