@@ -39,8 +39,9 @@ object Graph {
     * Semantics: rank'(v) = (1-damping)/N + damping * Σ_{u→v} rank(u)/outdeg(u).
     * Nodes with no incoming edges settle at (1-damping)/N. Dangling
     * nodes (no OUT-edges) contribute nothing — their mass leaks, the
-    * common simplification when the graph (like a kNN graph, where
-    * every node emits exactly k edges) has none. */
+    * accepted simplification here. A kNN edge list keeps this small
+    * but not zero: a cell with fewer than k+1 members emits fewer
+    * than k edges, and a singleton-cell vector is absent entirely. */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
       iterations: Int = 5, damping: Double = 0.85,
       roundTo: Int = 9): DataFrame = {

@@ -67,9 +67,9 @@ object Ivf {
     * probes, trained k-means with k ≤ a few hundred). */
   def assignCells(df: DataFrame, vec: Column,
       cents: Array[Array[Float]], as: String = "ivf_cell"): DataFrame = {
-    val f = udf((v: Seq[Float]) =>
-      if (v == null) None else Some(nearestCell(v, cents)))
-    df.withColumn(as, f(vec))
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    df.withColumn(as, ColumnBridge.column(
+      NearestCell(ColumnBridge.expression(vec), cents, null, null)))
   }
 
   /** Coarse-cell count for a k-centroid two-level quantizer: ≈ √k,
@@ -106,6 +106,7 @@ object Ivf {
   def assignCellsTwoLevel(df: DataFrame, vec: Column,
       fine: Array[Array[Float]], coarse: Array[Array[Float]],
       as: String = "ivf_cell"): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
     val groupOf = fineToCoarse(fine, coarse)
     val members: Array[Array[Int]] = {
       val buf = Array.fill(coarse.length)(Vector.newBuilder[Int])
@@ -113,27 +114,8 @@ object Ivf {
       while (f < groupOf.length) { buf(groupOf(f)) += f; f += 1 }
       buf.map(_.result().toArray) // ascending fine ids by construction
     }
-    val fn = udf { (v: Seq[Float]) =>
-      if (v == null) None
-      else {
-        val g = nearestCell(v, coarse)
-        val cand = members(g)
-        var best = -1
-        var bestD = Double.MaxValue
-        var j = 0
-        while (j < cand.length) {
-          val cent = fine(cand(j))
-          var d = 0.0
-          var i = 0
-          val n = math.min(v.length, cent.length)
-          while (i < n) { val t = v(i).toDouble - cent(i).toDouble; d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = cand(j) } // first-wins = smaller fine id
-          j += 1
-        }
-        Some(best)
-      }
-    }
-    df.withColumn(as, fn(vec))
+    df.withColumn(as, ColumnBridge.column(
+      NearestCell(ColumnBridge.expression(vec), fine, coarse, members)))
   }
 
   /** Fully distributed two-level assignment — the 100 TB form: only
@@ -151,15 +133,16 @@ object Ivf {
       fineDf: DataFrame, coarse: Array[Array[Float]],
       as: String = "ivf_cell"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val coarseUdf = udf((v: Seq[Float]) =>
-      if (v == null) None else Some(nearestCell(v, coarse)))
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    def coarseCell(c: Column): Column = ColumnBridge.column(
+      NearestCell(ColumnBridge.expression(c), coarse, null, null))
     // anchor rule: fine centroid cid < |coarse| owns group cid
     val fineG = fineDf
       .withColumn("__gid",
         when(col("cid") < coarse.length, col("cid").cast("int"))
-          .otherwise(coarseUdf(col("cemb"))))
+          .otherwise(coarseCell(col("cemb"))))
       .select(col("cid"), col("cemb"), col("__gid"))
-    val withG = df.withColumn("__gid", coarseUdf(col(vec)))
+    val withG = df.withColumn("__gid", coarseCell(col(vec)))
     val nullVec = withG.filter(col("__gid").isNull)
       .drop("__gid").withColumn(as, lit(null).cast("int"))
     // same left-fold double arithmetic as the UDF path: zip_with in

@@ -162,6 +162,27 @@ class IvfSpec extends AnyFunSuite {
     assert(udfPath(99999L) == -1)
   }
 
+  test("cell assignment is a codegen expression, not a boxed UDF") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fine = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    // fail loudly if the generated code doesn't compile instead of
+    // silently interpreting
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val flat = Ivf.assignCells(emb, col("embedding"), fine)
+      val two = Ivf.assignCellsTwoLevel(emb, col("embedding"), fine, fine.take(4))
+      assert(flat.select("ivf_cell").collect().length == 500)
+      assert(two.select("ivf_cell").collect().length == 500)
+      val plan = two.queryExecution.executedPlan.toString
+      assert(plan.contains("nearest_cell_2l"), plan.take(500))
+      assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("seedCentroids enforces the documented driver-collect cap") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val e = intercept[IllegalArgumentException] {
