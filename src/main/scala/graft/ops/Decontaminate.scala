@@ -69,6 +69,32 @@ object Decontaminate {
       .select(col(id), col("n_train_dups"))
   }
 
+  /** Semantic cross-split leakage: (train_id, test_id, cos_sim) pairs
+    * whose embeddings are cosine-close — the paraphrase/translation
+    * leakage that neither the n-gram report nor the exact-fingerprint
+    * audit can see (a reworded benchmark question shares no 3-gram
+    * and no sha16 with its source). Candidates come from a shared
+    * [[graft.vector.Quantizer]] cell assignment over BOTH splits —
+    * build the quantizer on the union so train and test land in the
+    * same cell space — making this the SemDeDup candidate structure
+    * pointed across a split boundary: one equi-join on the cell id,
+    * pairwise cosine bounded by cell size, never train × test.
+    * Same recall dial as semantic dedup (cells miss boundary pairs;
+    * tighten with smaller cells / multi-probe). Rows with null
+    * vectors drop out (null cell joins nothing). */
+  def semanticLeakage(train: DataFrame, test: DataFrame, id: String,
+      vec: String, quant: graft.vector.Quantizer,
+      threshold: Double): DataFrame = {
+    val a = quant.attach(train.select(col(id), col(vec)), col(vec))
+      .select(col("ivf_cell"), col(id).as("train_id"), col(vec).as("__va"))
+    val b = quant.attach(test.select(col(id), col(vec)), col(vec))
+      .select(col("ivf_cell"), col(id).as("test_id"), col(vec).as("__vb"))
+    val cos = graft.vector.Similarity.cosineSim(col("__va"), col("__vb"))
+    a.join(b, Seq("ivf_cell"))
+      .filter(cos >= threshold)
+      .select(col("train_id"), col("test_id"), round(cos, 6).as("cos_sim"))
+  }
+
   /** Drop contaminated documents outright (anti join on the report).
     * `minShared` tunes aggressiveness: 1 = drop on any overlap. */
   def decontaminate(corpus: DataFrame, id: String, text: Column,

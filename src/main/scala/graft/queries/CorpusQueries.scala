@@ -170,5 +170,40 @@ object CorpusQueries {
       TextAnalysis.vocabCoverage(t(s, d, "documents"), col("text"), k = 20)
         .orderBy(col("rank"))
     },
+
+    // ---- DSIR importance scores (target = src0, raw = the rest) ----
+    // Per-raw-doc avg unigram log-likelihood ratio target-vs-raw with
+    // add-one smoothing over the union vocabulary — the importance
+    // weight behind "select crawl data that looks like the target
+    // domain" (Xie et al. 2023). Rank/threshold selection composes on
+    // top of the scores.
+    Q("q88_dsir_scores",
+      """WITH rawd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |rtok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM rawd),
+        |rtok2 AS (SELECT doc_id, term FROM rtok WHERE term <> ''),
+        |ttok AS (SELECT
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents WHERE source = 'src0'),
+        |ttok2 AS (SELECT term FROM ttok WHERE term <> ''),
+        |fr AS (SELECT term, count(*) AS nr FROM rtok2 GROUP BY term),
+        |ft AS (SELECT term, count(*) AS nt FROM ttok2 GROUP BY term),
+        |v AS (SELECT term, coalesce(nr, 0) AS nr, coalesce(nt, 0) AS nt
+        |      FROM fr FULL OUTER JOIN ft USING (term)),
+        |tots AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+        |         CAST(sum(nt) AS BIGINT) AS tt, count(*) AS v FROM v),
+        |llr AS (SELECT term,
+        |  ln((nt + 1.0) / (tt + v)) - ln((nr + 1.0) / (tr + v)) AS l
+        | FROM v, tots)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(l), 6) AS avg_llr
+        |FROM rtok2 JOIN llr USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.ops.Dsir.importanceScores(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

@@ -292,5 +292,35 @@ object VectorQueries {
         .select(col("vec_id"), col("ivf_cell"))
         .orderBy(col("vec_id"))
     },
+
+    // ---- semantic cross-split leakage (paraphrase decontamination) ----
+    // Embedding-level leakage between an even/odd id split: the
+    // SemDeDup cell structure pointed across the boundary — catches
+    // reworded/translated test content that shares no n-gram (q59)
+    // and no exact fingerprint (q81) with its source. The quantizer
+    // is built on the UNION so both splits share one cell space.
+    Q("q89_semantic_leakage",
+      s"""WITH $twoLevelCellCte,
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM vu GROUP BY vec_id),
+        |p AS (SELECT a.vec_id AS train_id, b.vec_id AS test_id
+        |      FROM cell a JOIN cell b ON a.cid = b.cid
+        |      WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |d AS (SELECT train_id, test_id, SUM(a.x * b.x) AS dot
+        |      FROM p JOIN vu a ON a.vec_id = p.train_id
+        |             JOIN vu b ON b.vec_id = p.test_id AND b.i = a.i
+        |      GROUP BY train_id, test_id)
+        |SELECT train_id, test_id, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        |FROM d JOIN nrm na ON na.vec_id = train_id
+        |       JOIN nrm nb ON nb.vec_id = test_id
+        |WHERE dot / (na.nrm * nb.nrm) >= 0.3
+        |ORDER BY train_id, test_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val quant = corpusQuantizer(emb)
+      graft.ops.Decontaminate.semanticLeakage(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", quant, threshold = 0.3)
+        .orderBy(col("train_id"), col("test_id"))
+    },
   )
 }

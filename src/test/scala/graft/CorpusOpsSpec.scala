@@ -64,6 +64,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       cents, threshold = 0.9).count() == 2)
   }
 
+  // ---- DSIR importance scores ----
+
+  test("dsir: target-like raw docs outscore off-distribution ones") {
+    val target = Seq((100L, "law court judge ruling appeal"),
+      (101L, "court law statute judge")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "judge court ruling law"),   // in-distribution
+      (2L, "pizza recipe cheese oven"), // off-distribution
+      (3L, "law pizza"))                // mixed
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dsir.importanceScores(raw, target, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
+    assert(got(1L)._2 > 0 && got(2L)._2 < 0) // sign = which side it resembles
+    assert(got(1L)._1 == 4 && got(2L)._1 == 4 && got(3L)._1 == 2)
+  }
+
+  // ---- semantic cross-split leakage ----
+
+  test("semanticLeakage reports cross-split pairs only") {
+    val train = Seq((10L, Seq(1f, 0.01f)), (12L, Seq(0.01f, 1f)),
+      (14L, Seq(0.99f, 0.012f))) // near-dup of 10 but SAME split
+      .toDF("vec_id", "embedding")
+    val test_ = Seq((11L, Seq(0.99f, 0.011f)), // leaked paraphrase of 10
+      (21L, Seq(-1f, 0.2f)))                   // clean
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Decontaminate.semanticLeakage(train, test_,
+        "vec_id", "embedding", graft.vector.FlatQuantizer(cents),
+        threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // both train-side near-dups of the leaked vector report; the
+    // train-internal pair (10,14) does NOT
+    assert(got.toSet == Set((10L, 11L), (14L, 11L)))
+  }
+
   // ---- source gating ----
 
   test("filterBySourceQuality keeps only sources passing both gates") {
