@@ -136,6 +136,47 @@ object Streams {
         ()
       }
 
+  /** Streaming near-dup dedup against the on-disk signature store —
+    * the production daily-ingest loop as one `foreachBatch` sink.
+    * Each micro-batch of documents is minhash-signed (map-only),
+    * PROBED against the store (partition-pruned to the batch's band
+    * buckets, `NearDup.probeSignatureStore`), the discovered pairs
+    * append to `pairsPath`, and the batch's signatures append to the
+    * store — so the next batch probes this one too. Per-tick cost is
+    * batch-proportional: the corpus store is read pruned, never
+    * self-joined, and signatures are computed exactly once per
+    * document lifetime. Pairs accumulated over any run sequence tile
+    * the one-shot full LSH of everything ingested (GraphSpec proves
+    * the batch algebra; StreamsSpec drives it through a real stream).
+    */
+  def lshDedupSink(docs: DataFrame, id: String, text: String,
+      storePath: String, pairsPath: String, checkpoint: String,
+      buckets: Int = 64): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val sigs = graft.ops.NearDup
+          .minhashSignaturesFused(batch, id, col(text))
+        // localCheckpoint: sign once, reuse for probe AND append
+        val pinned = sigs.localCheckpoint(true)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val pairs =
+          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+            graft.ops.NearDup.probeSignatureStore(spark, storePath, pinned,
+              id, buckets = buckets)
+          else // first tick: no corpus yet, batch joins only itself
+            graft.ops.NearDup.lshCandidatePairs(pinned, id)
+        pairs.write.mode("append").parquet(pairsPath)
+        graft.ops.NearDup.appendSignatureStore(pinned, id, storePath,
+          buckets = buckets)
+        pinned.unpersist()
+        ()
+      }
+
   /** Drain a streaming query synchronously (test/cron-tick helper). */
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()

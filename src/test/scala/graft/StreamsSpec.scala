@@ -88,6 +88,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(kept == Set(2L)) // docs 1 and 3 share "quick brown fox"
   }
 
+  test("lshDedupSink: streamed ingest ticks tile the one-shot full LSH") {
+    val dir = TestSpark.tempDir("lshstream")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = graft.ops.NearDup.withMutatedCopies(docs, "doc_id", "text")
+      .select("doc_id", "text")
+    // three files → three micro-batches (maxFilesPerTrigger = 1)
+    base.filter(col("doc_id") < 250).coalesce(1).write.parquet(s"$dir/in/f=1")
+    base.filter(col("doc_id") >= 250 && col("doc_id") < 1000000)
+      .coalesce(1).write.parquet(s"$dir/in/f=2")
+    base.filter(col("doc_id") >= 1000000).coalesce(1).write.parquet(s"$dir/in/f=3")
+    val stream = Streams.fileStream(spark, s"$dir/in/*/",
+      base.schema, maxFilesPerTrigger = 1)
+    val q = Streams.lshDedupSink(stream, "doc_id", "text",
+      s"$dir/store", s"$dir/pairs", s"$dir/ckpt", buckets = 16).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(s"$dir/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.ops.NearDup.lshCandidatePairs(
+        graft.ops.NearDup.minhashSignaturesFused(base, "doc_id", col("text")),
+        "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == full)
+    // the store now holds 2 band rows per ingested doc
+    assert(spark.read.parquet(s"$dir/store").count() == base.count() * 2)
+  }
+
   test("dedupStream drops duplicate ids even with differing timestamps") {
     val dir = TestSpark.tempDir("dup")
     // re-arrivals carry a LATER timestamp (re-crawled article) — id-only
