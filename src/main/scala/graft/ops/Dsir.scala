@@ -55,4 +55,34 @@ object Dsir {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("__llr")), 6).as("avg_llr"))
   }
+
+  /** DSIR's sampling step, deterministically: Gumbel-top-k. Sampling
+    * k documents WITHOUT replacement with probability ∝
+    * exp(score / temperature) is equivalent to taking the top k of
+    * score/T + Gumbel noise (the Gumbel-max trick); the noise comes
+    * from a sha256-derived uniform of the document id, so the draw is
+    * reproducible on any engine — no RNG state, no seed plumbing
+    * (same construction as `Sampling`'s hash ordering and the LSH
+    * hyperplanes). u = (h + 1)/(2³² + 1) with h the first 8 hex
+    * digits of sha256("salt:id") keeps u strictly inside (0, 1).
+    *
+    * Scale shape: one map-side projection, then orderBy+limit —
+    * Spark plans TakeOrderedAndProject (per-partition k-heaps, the
+    * driver merges k·partitions rows); no global sort shuffle, no
+    * single-partition window. Output: (id, sel_key) for the k
+    * selected docs, sel_key rounded to 6. */
+  def gumbelTopK(scores: DataFrame, id: String, score: Column, k: Int,
+      temperature: Double = 1.0, salt: String = "dsir"): DataFrame = {
+    require(k >= 1, "gumbelTopK: k must be >= 1")
+    require(temperature > 0, "gumbelTopK: temperature must be > 0")
+    val h = conv(substring(sha2(
+        concat_ws(":", lit(salt), col(id).cast("string")), 256), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + lit(1.0)) / lit(4294967297.0)
+    val key = score / lit(temperature) + -log(-log(u))
+    scores.select(col(id), key.as("__key"))
+      .orderBy(col("__key").desc, col(id))
+      .limit(k)
+      .select(col(id), round(col("__key"), 6).as("sel_key"))
+  }
 }

@@ -205,5 +205,45 @@ object CorpusQueries {
           "doc_id", col("text"))
         .orderBy(col("doc_id"))
     },
+
+    // ---- DSIR Gumbel-top-k selection (the sampling step) ----
+    // Sample-without-replacement ∝ exp(score/T) via the Gumbel-max
+    // trick with sha256-derived noise — both engines reproduce the
+    // identical draw. Base scores are q88's ROUNDED avg_llr so the
+    // two engines agree on the input bits exactly.
+    Q("q90_dsir_select",
+      """WITH rawd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |rtok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM rawd),
+        |rtok2 AS (SELECT doc_id, term FROM rtok WHERE term <> ''),
+        |ttok AS (SELECT
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents WHERE source = 'src0'),
+        |ttok2 AS (SELECT term FROM ttok WHERE term <> ''),
+        |fr AS (SELECT term, count(*) AS nr FROM rtok2 GROUP BY term),
+        |ft AS (SELECT term, count(*) AS nt FROM ttok2 GROUP BY term),
+        |v AS (SELECT term, coalesce(nr, 0) AS nr, coalesce(nt, 0) AS nt
+        |      FROM fr FULL OUTER JOIN ft USING (term)),
+        |tots AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+        |         CAST(sum(nt) AS BIGINT) AS tt, count(*) AS v FROM v),
+        |llr AS (SELECT term,
+        |  ln((nt + 1.0) / (tt + v)) - ln((nr + 1.0) / (tr + v)) AS l
+        | FROM v, tots),
+        |sc AS (SELECT doc_id, round(avg(l), 6) AS avg_llr
+        |       FROM rtok2 JOIN llr USING (term) GROUP BY doc_id),
+        |sel AS (SELECT doc_id, avg_llr / 0.5 + -ln(-ln(
+        |  (('0x' || substr(sha256('dsir:' || doc_id), 1, 8))::UBIGINT + 1.0)
+        |    / 4294967297.0)) AS key
+        | FROM sc)
+        |SELECT doc_id, round(key, 6) AS sel_key FROM sel
+        |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val scores = graft.ops.Dsir.importanceScores(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", col("text"))
+      graft.ops.Dsir.gumbelTopK(scores, "doc_id", col("avg_llr"),
+        k = 50, temperature = 0.5)
+    },
   )
 }

@@ -81,6 +81,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1L)._1 == 4 && got(2L)._1 == 4 && got(3L)._1 == 2)
   }
 
+  test("dsir gumbelTopK: deterministic draw, score dominance, TakeOrdered plan") {
+    val scores = (1L to 100L).map(i => (i, if (i == 5) 50.0 else 0.0))
+      .toDF("doc_id", "avg_llr")
+    val sel = graft.ops.Dsir.gumbelTopK(scores, "doc_id", col("avg_llr"), k = 10)
+    val ids = sel.collect().map(_.getLong(0)).toSeq
+    // a dominant score always survives the noise; the draw reproduces
+    assert(ids.contains(5L))
+    val again = graft.ops.Dsir.gumbelTopK(scores, "doc_id", col("avg_llr"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == ids)
+    // different salt = a different (still deterministic) draw overall
+    val other = graft.ops.Dsir.gumbelTopK(scores, "doc_id", col("avg_llr"),
+      k = 10, salt = "other").collect().map(_.getLong(0)).toSeq
+    assert(other.contains(5L) && other != ids)
+    // distributed top-k, not a global sort or single-partition window
+    assert(sel.queryExecution.executedPlan.toString.contains("TakeOrdered"))
+  }
+
   // ---- semantic cross-split leakage ----
 
   test("semanticLeakage reports cross-split pairs only") {
