@@ -154,7 +154,10 @@ object NearDup {
   }
 
   /** Append a batch's BANDED signatures to the on-disk store backing
-    * the incremental dedup loop: one row per (doc, band), laid out
+    * the incremental dedup loop (the distributed generalization of
+    * the reference's persistent seen-set checkpoint,
+    * newscrawler.py:421-427 — store the dedup key once at ingest,
+    * probe it forever after): one row per (doc, band), laid out
     * `PARTITION BY band_bucket` where band_bucket = xxhash64(band
     * key) mod `buckets`. Banding happens once, at ingest (signatures
     * are map-only to produce); every later probe is a partition-
