@@ -117,6 +117,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSet == Set((10L, 11L), (14L, 11L)))
   }
 
+  test("round-7 ops tolerate degenerate inputs") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val emptyDocs = docs.limit(0)
+    // DSIR with an EMPTY target: add-one smoothing keeps every score
+    // defined (target side contributes -ln(V) uniformly), no throw
+    val s = graft.ops.Dsir.importanceScores(docs, emptyDocs, "doc_id", col("text"))
+      .collect()
+    assert(s.length == 2 && s.forall(r => !r.getDouble(2).isNaN))
+    // gumbelTopK with k beyond the row count returns everything
+    val scores = Seq((1L, 1.0), (2L, 2.0)).toDF("doc_id", "avg_llr")
+    assert(graft.ops.Dsir.gumbelTopK(scores, "doc_id", col("avg_llr"), k = 10)
+      .count() == 2)
+    // semantic leakage with an empty test split reports nothing
+    val emb = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    assert(graft.ops.Decontaminate.semanticLeakage(emb, emb.limit(0),
+      "vec_id", "embedding", graft.vector.FlatQuantizer(cents), 0.5).count() == 0)
+    // probing the store with an empty batch yields no pairs (and the
+    // empty bucket list must not break the isin partition filter)
+    val dir = s"${TestSpark.tempDir("emptyprobe")}/sigs"
+    val sigs = graft.ops.NearDup.minhashSignaturesFused(docs, "doc_id", col("text"))
+    graft.ops.NearDup.appendSignatureStore(sigs, "doc_id", dir, buckets = 8)
+    val emptySigs = sigs.limit(0)
+    assert(graft.ops.NearDup.probeSignatureStore(spark, dir, emptySigs,
+      "doc_id", buckets = 8).count() == 0)
+  }
+
   // ---- source gating ----
 
   test("filterBySourceQuality keeps only sources passing both gates") {
