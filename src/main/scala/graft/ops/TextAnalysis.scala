@@ -212,6 +212,55 @@ object TextAnalysis {
         round(avg(-log(col("__n") / col("__tot"))), 6).as("avg_logprob"))
   }
 
+  /** Bigram language-model scoring with Stupid Backoff (Brants et al.
+    * 2007): train counts on `corpus`, score every `score` document as
+    * the mean log-score of its adjacent token pairs. Seen bigram →
+    * ln(c(w1 w2)/c(w1)); unseen → ln(0.4 · (c(w2)+1)/(N+V)) — the
+    * backoff unigram is add-one smoothed so out-of-vocabulary words
+    * stay finite. The bigram refinement of `unigramLogProb`: docs
+    * whose word ORDER is unlike the training corpus (shuffled text,
+    * template spam with novel transitions) score low even when their
+    * unigram mix looks fine. Output: (id, n_pairs, avg_logprob)
+    * rounded to 6, one row per scored doc with >= 2 tokens.
+    *
+    * Scale shape: pair construction is a map-side array transform
+    * (no window, no self-join); the bigram/unigram count tables are
+    * map-side-combining aggs over the corpus only; the pair stream
+    * meets them in joins whose build side is vocab-sized (AQE
+    * broadcasts at these cardinalities, sort-merge at web scale);
+    * corpus totals broadcast as one row. */
+  def bigramLogProb(score: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame, id: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(id), tokens(text).as("__ws"))
+        .filter(size(col("__ws")) >= 2)
+        .select(col(id), explode(expr(
+          "transform(sequence(0, size(__ws)-2)," +
+            " i -> struct(__ws[i] AS w1, __ws[i+1] AS w2))")).as("__p"))
+        .select(col(id), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val bi = pairs(corpus).groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__bi"))
+    val uni = corpus.select(explode(tokens(text)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__uni"))
+    val tot = uni.agg(sum(col("__uni")).as("__nt"), count(lit(1)).as("__v"))
+    val u1 = uni.select(col("__w").as("__w1"), col("__uni").as("__u1"))
+    val u2 = uni.select(col("__w").as("__w2"), col("__uni").as("__u2"))
+    val lp = when(col("__bi").isNotNull,
+      log(col("__bi").cast("double") / col("__u1")))
+      .otherwise(log(lit(0.4) * (coalesce(col("__u2"), lit(0L)) + lit(1L)) /
+        (col("__nt") + col("__v"))))
+    pairs(score)
+      .join(bi, Seq("__w1", "__w2"), "left")
+      .join(u1, Seq("__w1"), "left")
+      .join(u2, Seq("__w2"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(lp), 6).as("avg_logprob"))
+  }
+
   /** CCNet-style line-level boilerplate removal: drop every line whose
     * exact text occurs in >= `minDocs` DISTINCT documents (headers,
     * footers, navigation chrome — the lines that repeat across a

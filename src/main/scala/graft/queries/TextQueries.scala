@@ -236,5 +236,72 @@ object TextQueries {
           minDocs = 10L)
         .orderBy(col("doc_id"))
     },
+
+    // ---- BM25 lexical top-k retrieval ----
+    // Query ('dup','vector','hash'): 'dup' is rare (df~25 at sf0.01)
+    // so its idf dominates — the ranking is a real relevance signal,
+    // not a length artifact. Constants are spelled as the same
+    // literals on both sides ((1.2+1.0), CAST .5/.25/.75 AS DOUBLE)
+    // so each engine derives bit-identical doubles; scores round to
+    // 6dp BEFORE the top-k cut (the q74 tie-break lesson) and ties
+    // resolve by doc_id.
+    Q("q91_bm25_topk",
+      """WITH dl AS (SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS dl FROM documents),
+        |tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        | WHERE term IN ('dup','vector','hash') GROUP BY doc_id, term),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (SELECT tf.doc_id,
+        |  round(SUM(ln(1.0 + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |    * tf * (CAST(1.2 AS DOUBLE) + 1.0)
+        |    / (tf + CAST(1.2 AS DOUBLE)
+        |       * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS score,
+        |  count(*) AS n_terms
+        | FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), tot
+        | GROUP BY tf.doc_id)
+        |SELECT doc_id, score, n_terms FROM s
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      graft.ops.Bm25.bm25TopK(t(s, d, "documents"), "doc_id", col("text"),
+        Seq("dup", "vector", "hash"), k = 20)
+    },
+
+    // ---- bigram LM scoring with Stupid Backoff ----
+    // Train on the even-doc_id half, score EVERY doc: odd docs hit
+    // unseen bigrams, exercising the 0.4·add-one backoff branch on
+    // real data (a self-trained corpus never backs off). Both engines
+    // build pairs from the same token arrays and the same count
+    // tables; the only floats are the final ln/avg, rounded to 6dp.
+    Q("q96_bigram_lm",
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |u AS (SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i
+        |  FROM w WHERE len(ws) >= 2),
+        |pairs AS (SELECT a.doc_id, a.wd AS w1, b.wd AS w2
+        |  FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |cu AS (SELECT doc_id, wd, i FROM u WHERE doc_id % 2 = 0),
+        |cpairs AS (SELECT a.doc_id, a.wd AS w1, b.wd AS w2
+        |  FROM cu a JOIN cu b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |cbi AS (SELECT w1, w2, count(*) AS bi FROM cpairs GROUP BY w1, w2),
+        |cuni AS (SELECT wd, count(*) AS n FROM
+        |   (SELECT unnest(ws) AS wd FROM w WHERE doc_id % 2 = 0)
+        |  WHERE wd <> '' GROUP BY wd),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, count(*) AS v FROM cuni),
+        |sc AS (SELECT p.doc_id,
+        |  CASE WHEN cbi.bi IS NOT NULL THEN ln(CAST(cbi.bi AS DOUBLE) / u1.n)
+        |       ELSE ln(CAST(0.4 AS DOUBLE) * (coalesce(u2.n, 0) + 1) / (nt + v)) END AS lp
+        | FROM pairs p
+        | LEFT JOIN cbi ON cbi.w1 = p.w1 AND cbi.w2 = p.w2
+        | LEFT JOIN cuni u1 ON u1.wd = p.w1
+        | LEFT JOIN cuni u2 ON u2.wd = p.w2, tot)
+        |SELECT doc_id, count(*) AS n_pairs, round(avg(lp), 6) AS avg_logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextAnalysis.bigramLogProb(docs, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
   )
 }
