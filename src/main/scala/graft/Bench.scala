@@ -23,6 +23,19 @@ import org.apache.spark.sql.SparkSession
   * silently broken query must not read as a speedup. The JSON line is
   * ALSO written to target/bench.json: the driver keeps only a stdout
   * tail, which has truncated the line before.
+  *
+  * Noise sentinel: machine contention has produced phantom
+  * "regressions" in several rounds (same code, same plans, 30%+ wall
+  * shift), and a bare seconds table cannot distinguish a slow engine
+  * from a busy box. So every run carries its own contention context:
+  * a fixed CALIBRATION probe — an in-memory range aggregation that
+  * touches no project code and no disk — is timed at start, middle,
+  * and end of the run (`calib` in the JSON, seconds), and
+  * /proc/loadavg is sampled at the same three points (`loadavg`).
+  * Interpreting a bench now starts with its sentinel: calib steady at
+  * the machine's known-quiet figure → the query numbers are engine
+  * signal; calib inflated or loadavg far above the core count →
+  * the run was contended and should be re-taken, not compared.
   */
 object Bench {
   private val TimedPasses = 2
@@ -35,6 +48,27 @@ object Bench {
     // absorb session/JVM startup before any per-query timing
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
+
+    // --- noise sentinel (see scaladoc) ---
+    // 200M-row in-memory sum across all threads: ~0.1-0.2 s on a quiet
+    // box, CPU-bound, no disk, no project code — pure machine signal.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus)
+        .selectExpr("sum(id * 2) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim.split("\\s+").take(3).mkString(" ")
+        finally src.close()
+      } catch { case _: Throwable => "unavailable" }
+    calibrate() // untimed: codegen-compile the probe itself
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val loads = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sentinel(): Unit = { loads += loadavg(); calibs += calibrate() }
+    sentinel() // start
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
@@ -54,11 +88,15 @@ object Bench {
     }
 
     var coldTotal = 0.0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queryList = SparkEntry.queries.toSeq
+    val midAt = queryList.size / 2
+    val results = queryList.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == midAt && i > 0) sentinel() // middle
       coldTotal += runOnce(name, fn) // untimed warmup (cold) pass
       val timed = Seq.fill(TimedPasses)(runOnce(name, fn))
       name -> timed.min
     }
+    sentinel() // end
     // JSON string escaping: Spark exception messages routinely quote
     // column names ("`col`"), carry backslashes (Windows-style paths in
     // stack frames) and newlines — raw interpolation would produce
@@ -75,14 +113,16 @@ object Bench {
     }
     val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Locale.ROOT: a comma-decimal default locale must not break JSON
     def num(v: Double, prec: Int): String =
       s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+    val calibJson = calibs.map(num(_, 3)).mkString("[", ",", "]")
+    val loadJson = loads.map(jsonStr).mkString("[", ",", "]")
     def line(qs: Iterable[(String, Double)], prec: Int): String = {
       val dict = qs.map { case (k, v) => s"\"" + k + "\":" + num(v, prec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"errors":$errJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"loadavg":$loadJson,"errors":$errJson}"""
     }
     // Full-precision, full-name line goes to a file; stdout gets a line
     // guaranteed to FIT the driver's 2000-char stdout tail (rounds 1-4

@@ -38,9 +38,23 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
 
   /** Local session for tests/mains: `cpus` threads, UI off. */
-  def local(cpus: Int, appName: String = "graft"): SparkSession =
-    tuned(SparkSession.builder().master(s"local[$cpus]").appName(appName),
-      shufflePartitions = cpus)
+  def local(cpus: Int, appName: String = "graft"): SparkSession = {
+    val spark = tuned(
+        SparkSession.builder().master(s"local[$cpus]").appName(appName),
+        shufflePartitions = cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // The CC/PageRank loops localCheckpoint every iteration; each
+    // unpersist then logs a WARN per RDD ("lineage has been truncated
+    // ...") — intended behavior here, and enough spam that the
+    // driver's bounded stdout tail has nearly lost the bench JSON
+    // line to it. Demote that one logger; real warnings elsewhere
+    // stay visible. Must run AFTER session creation: SparkContext
+    // startup re-initializes log4j2 from Spark's default profile,
+    // discarding any level set before it.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    spark
+  }
 }
