@@ -26,14 +26,21 @@ object Bm25 {
     * defaults). Scores are rounded to `roundTo` BEFORE ranking so the
     * order reproduces across engines (the q74 tie-break lesson);
     * ties resolve by id. Output: (id, score, n_terms) where n_terms
-    * is how many distinct query terms the document matched. */
+    * is how many distinct query terms the document matched.
+    *
+    * Query terms are normalized (trim + lowercase, blanks dropped,
+    * duplicates collapsed) to match the lowercased token stream —
+    * a caller passing "Dup" or " dup " must not silently score zero
+    * rows, and a repeated term must not double-count. */
   def bm25TopK(df: DataFrame, id: String, text: Column,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    val terms = queryTerms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty,
+      "bm25TopK: queryTerms must contain at least one non-blank term")
     require(k > 0, "bm25TopK: k must be positive")
     val toks = df.select(col(id), explode(tokens(text)).as("__term"))
-      .filter(col("__term").isin(queryTerms: _*))
+      .filter(col("__term").isin(terms: _*))
     val tf = toks.groupBy(col(id), col("__term"))
       .agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy(col("__term"))

@@ -221,7 +221,12 @@ object TextAnalysis {
     * whose word ORDER is unlike the training corpus (shuffled text,
     * template spam with novel transitions) score low even when their
     * unigram mix looks fine. Output: (id, n_pairs, avg_logprob)
-    * rounded to 6, one row per scored doc with >= 2 tokens.
+    * rounded to 6, one row per scored doc with >= 2 NON-EMPTY tokens.
+    * Empty-string tokens (a leading tab/newline survives `trim`,
+    * which strips spaces only) are dropped BEFORE pairing, mirroring
+    * the unigram filter — otherwise a pair with w1='' carries a NULL
+    * log-prob that silently vanishes from the average while still
+    * counting in n_pairs.
     *
     * Scale shape: pair construction is a map-side array transform
     * (no window, no self-join); the bigram/unigram count tables are
@@ -233,7 +238,8 @@ object TextAnalysis {
       corpus: org.apache.spark.sql.DataFrame, id: String,
       text: Column): org.apache.spark.sql.DataFrame = {
     def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.select(col(id), tokens(text).as("__ws"))
+      df.select(col(id),
+          filter(tokens(text), w => w =!= "").as("__ws"))
         .filter(size(col("__ws")) >= 2)
         .select(col(id), explode(expr(
           "transform(sequence(0, size(__ws)-2)," +

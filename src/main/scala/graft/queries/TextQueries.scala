@@ -274,9 +274,12 @@ object TextQueries {
     // real data (a self-trained corpus never backs off). Both engines
     // build pairs from the same token arrays and the same count
     // tables; the only floats are the final ln/avg, rounded to 6dp.
+    // Empty tokens are filtered BEFORE pairing on both sides (the op
+    // does the same) — see bigramLogProb's scaladoc.
     Q("q96_bigram_lm",
       """WITH w AS (SELECT doc_id,
-        |  string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |              w -> w <> '') AS ws FROM documents),
         |u AS (SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i
         |  FROM w WHERE len(ws) >= 2),
         |pairs AS (SELECT a.doc_id, a.wd AS w1, b.wd AS w2

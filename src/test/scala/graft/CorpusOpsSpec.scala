@@ -143,6 +143,62 @@ class CorpusOpsSpec extends AnyFunSuite {
       "doc_id", buckets = 8).count() == 0)
   }
 
+  test("bm25TopK normalizes query terms and tolerates degenerate inputs") {
+    val docs = Seq(
+      (1L, "dup vector hash dup"),
+      (2L, "vector things"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    // un-normalized terms (' Dup ', 'VECTOR') must match the lowercased
+    // token stream — and a repeated term must not double-count
+    val norm = graft.ops.Bm25.bm25TopK(docs, "doc_id", col("text"),
+      Seq(" Dup ", "VECTOR", "vector"), k = 10).collect()
+    val plain = graft.ops.Bm25.bm25TopK(docs, "doc_id", col("text"),
+      Seq("dup", "vector"), k = 10).collect()
+    assert(norm.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      plain.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(norm.length == 2) // doc 3 matches nothing
+    // no matching terms anywhere -> 0 rows, not a throw
+    assert(graft.ops.Bm25.bm25TopK(docs, "doc_id", col("text"),
+      Seq("zzzz"), k = 5).count() == 0)
+    // k larger than the corpus returns what exists
+    assert(graft.ops.Bm25.bm25TopK(docs, "doc_id", col("text"),
+      Seq("vector"), k = 99).count() == 2)
+    // guards: all-blank terms and k <= 0
+    intercept[IllegalArgumentException] {
+      graft.ops.Bm25.bm25TopK(docs, "doc_id", col("text"), Seq("  ", ""), 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Bm25.bm25TopK(docs, "doc_id", col("text"), Seq("dup"), 0)
+    }
+  }
+
+  test("bigramLogProb handles empty/1-token docs, empty-token filtering, empty corpus") {
+    val corpus = Seq(
+      (10L, "the quick fox"),
+      (11L, "the quick dog")).toDF("doc_id", "text")
+    // 1-token and whitespace-only docs have no pairs -> no output row;
+    // a leading tab survives Spark's trim (spaces only) as an empty
+    // token, which must NOT create a ('', w) pair: doc 4 scores
+    // identically to its clean twin doc 1
+    val score = Seq(
+      (1L, "the quick fox"),
+      (2L, "single"),
+      (3L, "   "),
+      (4L, "\tthe quick fox")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(score, corpus, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(got(0).getLong(1) == 2 && got(1).getLong(1) == 2) // n_pairs
+    assert(got(0).getDouble(2) == got(1).getDouble(2))
+    // empty corpus: every pair is unseen and the backoff denominator
+    // nt+v collapses to NULL (sum over zero rows) -> avg_logprob NULL,
+    // n_pairs still counted. Pinned so the semantics stay deliberate.
+    val none = TextAnalysis.bigramLogProb(score, corpus.limit(0),
+      "doc_id", col("text")).orderBy("doc_id").collect()
+    assert(none.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(none.forall(r => r.getLong(1) == 2 && r.isNullAt(2)))
+  }
+
   // ---- source gating ----
 
   test("filterBySourceQuality keeps only sources passing both gates") {

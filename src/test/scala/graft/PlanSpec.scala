@@ -51,6 +51,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("gumbelTopK selection plans as TakeOrderedAndProject, not global sort") {
+    // same treatment as q34/q74/q91: orderBy+limit must stay a
+    // per-partition k-heap merge, never an exchange-backed full sort
+    val p = plan("q90_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(800))
+  }
+
   test("cosine kernel and rolling hash run inside whole-stage codegen") {
     // `*(n)` prefixes mark operators fused into a WholeStageCodegen stage
     val topk = plan("q18_cosine_topk")
