@@ -16,11 +16,12 @@ object Sinks {
     * the staging swap also makes a crashed job leave the old state
     * intact (the reference's crash-safety property). */
   def overwriteInPlace(df: DataFrame, path: String,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet", partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val staging = path + ".staging"
     val backup = path + ".old"
-    df.write.mode(SaveMode.Overwrite).format(format).save(staging)
+    val w = df.write.mode(SaveMode.Overwrite).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(staging)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(path)
     val b = new Path(backup)

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental connected components over an accumulating candidate-
+  * pairs stream — the persisted label table that completes the
+  * streaming dedup loop the on-disk signature store started
+  * (`NearDup.appendSignatureStore` / `Streams.lshDedupSink`).
+  *
+  * The problem it solves: the signature store makes PAIR DISCOVERY
+  * batch-proportional, but turning the accumulated pairs into
+  * keep/drop decisions previously required a full
+  * `NearDup.connectedComponents` recompute over every pair ever
+  * emitted — the one stage of the daily-ingest loop whose cost grew
+  * with the corpus rather than the batch. (Reference analog: the
+  * crawler's seen-set is persistent state consulted per run, not
+  * rebuilt from history — newscrawler.py:125-127.)
+  *
+  * The fix rests on one invariant: a min-id label table IS a
+  * connectivity-preserving contraction of everything merged so far.
+  * Treating each stored row (node → component) as a star edge, two
+  * nodes are connected in (all pairs ever) iff they are connected in
+  * (star edges ∪ new batch's pairs). So a batch merge never replays
+  * old pairs:
+  *
+  *  1. look up the stored components of the batch's nodes — the
+  *     TOUCHED components (one read of the store, the batch side
+  *     small enough for a broadcast hash join);
+  *  2. pull the star edges of just those components — the store is
+  *     laid out `PARTITION BY comp_bucket = xxhash64(component) mod
+  *     buckets`, and all members of a component share a bucket, so
+  *     this read is partition-pruned to the ≤`buckets` bucket ids the
+  *     batch touches (the `probeSignatureStore` treatment);
+  *  3. re-converge ONLY that subgraph: `connectedComponents` over
+  *     (touched stars ∪ new pairs) — iterative work proportional to
+  *     the batch and the components it touches, never the corpus;
+  *  4. merge: untouched rows pass through (an anti join whose build
+  *     side is the re-labeled subgraph's node set), re-labeled rows
+  *     replace, and the result swaps in via the K1 staging rename —
+  *     a crashed merge leaves the previous labels intact, and
+  *     re-running the same batch is idempotent (star edges of
+  *     already-merged components re-converge to the same labels).
+  *
+  * Per-batch cost: the touched-subgraph CC plus linear, shuffle-free
+  * passes over the label table (lookup scan, pruned star pull,
+  * pass-through rewrite). The label table is two longs per corpus
+  * document — orders smaller than the pairs log it contracts. At
+  * 100 TB the remaining linear term is the rewrite; a table format
+  * with partition-level commits (or dynamic partition overwrite
+  * fronted by a manifest) would cut that to the touched buckets, at
+  * the price of the multi-partition crash-consistency machinery this
+  * engine deliberately keeps behind the single K1 swap.
+  */
+object LabelStore {
+
+  /** Merge a batch of candidate pairs into the label store at `path`,
+    * creating it if absent. After the call, `read(spark, path)` holds
+    * one row per node ever seen in a merged pair, labeled with the
+    * min id reachable across ALL merged pairs — byte-equal to a
+    * one-shot `connectedComponents` over the union of every batch
+    * (spec-asserted tiling, the signature-store treatment).
+    *
+    * `buckets` must stay constant across the store's lifetime (same
+    * contract as the signature store's `band_bucket`). */
+  def merge(spark: SparkSession, path: String, newPairs: DataFrame,
+      colA: String = "doc_a", colB: String = "doc_b",
+      buckets: Int = 64, maxIterations: Int = 20): Unit = {
+    require(buckets >= 1, s"LabelStore.merge: buckets=$buckets")
+    val existing = graft.io.Sinks.readStateOrBackup(spark, path)
+    val labels = existing match {
+      case None =>
+        NearDup.connectedComponents(newPairs, colA, colB, maxIterations)
+          .select(col("node"), col("component"))
+      case Some(storedRaw) =>
+        val stored = storedRaw.select(col("node"), col("component"),
+          col("comp_bucket"))
+        val batchNodes = newPairs.select(col(colA).as("node"))
+          .unionByName(newPairs.select(col(colB).as("node")))
+          .distinct()
+        // 1. touched components: map-side scan of the store against
+        // the (broadcastable) batch node set. Distinct keeps the
+        // relation at component cardinality for the semi join below.
+        val touched = stored.join(batchNodes, Seq("node"))
+          .select(col("component")).distinct()
+          .localCheckpoint() // consumed twice: bucket ids + star pull
+        // 2. the touched components' bucket ids — ≤ `buckets` longs,
+        // driver-bounded by construction (probeSignatureStore shape)
+        val touchedBuckets = touched
+          .select(pmod(xxhash64(col("component")), lit(buckets.toLong)))
+          .distinct().collect().map(_.getLong(0))
+        val star = stored
+          .filter(col("comp_bucket").isin(touchedBuckets: _*))
+          .join(touched, Seq("component"), "left_semi")
+          .select(col("node").as(colA), col("component").as(colB))
+        // 3. re-converge the touched subgraph only
+        val sub = NearDup.connectedComponents(
+          star.unionByName(newPairs.select(col(colA), col(colB))),
+          colA, colB, maxIterations)
+        // 4. untouched rows pass through; every re-labeled node's old
+        // row (if any) sat in a touched component, so the anti join
+        // fully covers the replacements
+        val untouched = stored.select(col("node"), col("component"))
+          .join(sub.select(col("node")), Seq("node"), "left_anti")
+        untouched.unionByName(sub.select(col("node"), col("component")))
+    }
+    graft.io.Sinks.overwriteInPlace(
+      labels.withColumn("comp_bucket",
+        pmod(xxhash64(col("component")), lit(buckets.toLong))),
+      path, partitionBy = Seq("comp_bucket"))
+  }
+
+  /** The current labels: (node, component), crash-recovering through
+    * the K1 backup like any swap-managed state. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    graft.io.Sinks.readStateOrBackup(spark, path)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"LabelStore.read: no label store at $path"))
+      .select(col("node"), col("component"))
+}

@@ -148,10 +148,15 @@ object Streams {
     * document lifetime. Pairs accumulated over any run sequence tile
     * the one-shot full LSH of everything ingested (GraphSpec proves
     * the batch algebra; StreamsSpec drives it through a real stream).
-    */
+    *
+    * With `labelsPath` set, each tick ALSO folds its pairs into the
+    * incremental component-label store (`LabelStore.merge`) — the
+    * keep/drop decision table stays current per batch without ever
+    * re-running connected components over the full pairs log, closing
+    * the last corpus-proportional stage of the loop. */
   def lshDedupSink(docs: DataFrame, id: String, text: String,
       storePath: String, pairsPath: String, checkpoint: String,
-      buckets: Int = 64): DataStreamWriter[Row] =
+      buckets: Int = 64, labelsPath: Option[String] = None): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -170,9 +175,17 @@ object Streams {
               id, buckets = buckets)
           else // first tick: no corpus yet, batch joins only itself
             graft.ops.NearDup.lshCandidatePairs(pinned, id)
-        pairs.write.mode("append").parquet(pairsPath)
+        // pin: consumed by the pairs-log append and (optionally) the
+        // label merge — the probe join must not run twice
+        val pinnedPairs = pairs.localCheckpoint(true)
+        pinnedPairs.write.mode("append").parquet(pairsPath)
+        labelsPath.foreach { lp =>
+          graft.ops.LabelStore.merge(spark, lp, pinnedPairs,
+            buckets = buckets)
+        }
         graft.ops.NearDup.appendSignatureStore(pinned, id, storePath,
           buckets = buckets)
+        pinnedPairs.unpersist()
         pinned.unpersist()
         ()
       }

@@ -160,6 +160,67 @@ class GraphSpec extends AnyFunSuite {
     assert((corpusPairs ++ run1 ++ run2) == full)
   }
 
+  test("label store: batch merges tile one-shot connected components") {
+    val path = s"${TestSpark.tempDir("labelstore")}/labels"
+    def pairsDf(ps: Seq[(Long, Long)]) = ps.toDF("doc_a", "doc_b")
+    // batch 1: two separate components {1,2,3} and {10,11}
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    // batch 2: an unrelated component {20,21,22}
+    val b2 = Seq((20L, 21L), (21L, 22L))
+    // batch 3: BRIDGES the two batch-1/2-era components (3-20) and
+    // brings brand-new nodes (30,31) — the merge must pull the full
+    // membership of both touched components, not just the batch nodes
+    val b3 = Seq((3L, 20L), (30L, 31L))
+    val batches = Seq(b1, b2, b3)
+    batches.foreach(b => graft.ops.LabelStore.merge(spark, path, pairsDf(b),
+      buckets = 8))
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = labelSet(graft.ops.LabelStore.read(spark, path))
+    val oneShot = labelSet(graft.ops.NearDup.connectedComponents(
+      pairsDf(batches.flatten)))
+    assert(got == oneShot)
+    assert(got((22L, 1L)) && got((11L, 10L)) && got((31L, 30L)))
+
+    // idempotence: re-merging an already-merged batch changes nothing
+    graft.ops.LabelStore.merge(spark, path, pairsDf(b3), buckets = 8)
+    assert(labelSet(graft.ops.LabelStore.read(spark, path)) == oneShot)
+    // empty batch: a no-op, not a throw (and not a wipe)
+    graft.ops.LabelStore.merge(spark, path, pairsDf(Seq.empty), buckets = 8)
+    assert(labelSet(graft.ops.LabelStore.read(spark, path)) == oneShot)
+
+    // layout supports pruned star pulls: store is partitioned by
+    // comp_bucket, and reading one component's bucket scans a strict
+    // file subset (the probeSignatureStore treatment). inputFiles
+    // ignores pruning, so read the scan's own numFiles metric.
+    val all = spark.read.parquet(path)
+    val oneBucket = all.filter(col("comp_bucket") ===
+      pmod(xxhash64(lit(1L)), lit(8L)))
+    assert(oneBucket.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+    oneBucket.collect() // run THIS queryExecution so its metrics fill
+    val scanned = oneBucket.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+    assert(scanned > 0 && scanned < all.inputFiles.length,
+      s"scanned=$scanned of ${all.inputFiles.length}")
+  }
+
+  test("label store: component count shrinks as batches connect the graph") {
+    // a chain merged one edge at a time — every merge touches the
+    // previous component and extends it; labels stay min-id throughout
+    val path = s"${TestSpark.tempDir("labelchain")}/labels"
+    for (i <- 0 until 5) {
+      graft.ops.LabelStore.merge(spark, path,
+        Seq((i.toLong, i + 1L)).toDF("doc_a", "doc_b"), buckets = 4)
+      val labels = graft.ops.LabelStore.read(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(labels.length == i + 2)
+      assert(labels.forall(_._2 == 0L), labels.mkString(","))
+    }
+  }
+
   test("unigramLogProb: uniform vocabulary scores ln(V) per token") {
     // 4 equally-frequent tokens -> every token's -ln p = ln 4
     val df = Seq((1L, "a b"), (2L, "c d")).toDF("id", "text")

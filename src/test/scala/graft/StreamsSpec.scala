@@ -101,7 +101,8 @@ class StreamsSpec extends AnyFunSuite {
     val stream = Streams.fileStream(spark, s"$dir/in/*/",
       base.schema, maxFilesPerTrigger = 1)
     val q = Streams.lshDedupSink(stream, "doc_id", "text",
-      s"$dir/store", s"$dir/pairs", s"$dir/ckpt", buckets = 16).start()
+      s"$dir/store", s"$dir/pairs", s"$dir/ckpt", buckets = 16,
+      labelsPath = Some(s"$dir/labels")).start()
     q.processAllAvailable(); q.stop()
     val streamed = spark.read.parquet(s"$dir/pairs")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -112,6 +113,15 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == full)
     // the store now holds 2 band rows per ingested doc
     assert(spark.read.parquet(s"$dir/store").count() == base.count() * 2)
+    // the per-tick label merges end at the same labels a one-shot
+    // connected components over the full pairs log produces — the
+    // keep/drop table stayed current without ever replaying the log
+    val labels = graft.ops.LabelStore.read(spark, s"$dir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.ops.NearDup.connectedComponents(
+        spark.read.parquet(s"$dir/pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels == oneShot && labels.nonEmpty)
   }
 
   test("dedupStream drops duplicate ids even with differing timestamps") {
