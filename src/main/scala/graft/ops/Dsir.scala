@@ -10,11 +10,13 @@ import NearDup.tokens
   * unigram distribution than under the raw corpus's own — the
   * hashed-n-gram importance weight that selects "looks like the
   * target domain" training data from a general crawl. The engine
-  * keeps the estimator at unigrams over the shared vocabulary with
-  * add-one smoothing (deterministic, engine-reproducible; DSIR's
-  * hashed bigrams are one `tokens` swap away) and returns the
-  * per-document average log-likelihood ratio — rank/threshold/
-  * Gumbel-top-k selection composes downstream.
+  * ships two estimators over the same LLR core: plain unigrams
+  * (`importanceScores`) and the paper's actual feature space —
+  * HASHED unigram+bigram features over a fixed bucket count
+  * (`importanceScoresHashed`), which bounds the vocabulary joins at
+  * any corpus size. Both are deterministic and engine-reproducible,
+  * returning the per-document average log-likelihood ratio —
+  * rank/threshold/Gumbel-top-k selection composes downstream.
   *
   * Scale shape (the `unigramLogProb` family, TextAnalysis.scala):
   * two map-side-combining frequency aggs (raw, target), one
@@ -35,24 +37,74 @@ object Dsir {
     */
   def importanceScores(raw: DataFrame, target: DataFrame, id: String,
       text: Column): DataFrame = {
-    val rtok = raw.select(col(id), explode(tokens(text)).as("term"))
-      .filter(col("term") =!= "")
-    val ttok = target.select(explode(tokens(text)).as("term"))
-      .filter(col("term") =!= "")
-    val fr = rtok.groupBy(col("term")).agg(count(lit(1)).as("__nr"))
-    val ft = ttok.groupBy(col("term")).agg(count(lit(1)).as("__nt"))
-    val vocab = fr.join(ft, Seq("term"), "full_outer")
+    val rtok = raw.select(col(id), explode(tokens(text)).as("__feat"))
+      .filter(col("__feat") =!= "")
+    val ttok = target.select(explode(tokens(text)).as("__feat"))
+      .filter(col("__feat") =!= "")
+    llrScores(rtok, ttok, id, nName = "n_tokens")
+  }
+
+  /** DSIR's hashed n-gram estimator (the paper's §2 feature space):
+    * a document's features are its non-empty tokens PLUS its adjacent
+    * bigrams ("w1 w2"), each hashed into one of `buckets` ids — so
+    * the vocabulary relation is bounded at `buckets` rows no matter
+    * how large the corpus, and word ORDER matters (a doc must match
+    * the target's phrasing, not just its word mix, to score high).
+    * The hash is the engine's cross-engine construction (first 8
+    * sha256 hex digits mod buckets — the split-hash / Gumbel-noise
+    * pattern), so scores are bit-reproducible on any engine.
+    * Output: (id, n_feats, avg_llr) — n_feats = tokens + bigrams,
+    * i.e. 2·n_tokens − 1 for a clean doc.
+    *
+    * Scale shape: identical to `importanceScores` except BOTH
+    * frequency tables and the score join now key on a bucket id with
+    * a hard `buckets` cardinality cap: the vocab full-outer join and
+    * the scored-vocab build side stay broadcastable forever, where
+    * raw token vocabularies grow with the crawl. */
+  def importanceScoresHashed(raw: DataFrame, target: DataFrame, id: String,
+      text: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"importanceScoresHashed: buckets=$buckets")
+    val rfeat = raw.select(col(id),
+      explode(hashedNgramFeatures(text, buckets)).as("__feat"))
+    val tfeat = target.select(
+      explode(hashedNgramFeatures(text, buckets)).as("__feat"))
+    llrScores(rfeat, tfeat, id, nName = "n_feats")
+  }
+
+  /** Hashed unigram+bigram feature ids of `text` as an array column:
+    * non-empty tokens, then adjacent pairs joined with one space,
+    * each mapped to pmod(first-8-sha256-hex-digits, buckets). */
+  def hashedNgramFeatures(text: Column, buckets: Int): Column = {
+    val ws = filter(tokens(text), w => w =!= "")
+    val bigrams = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(ws, bigrams), f =>
+      pmod(conv(substring(sha2(f, 256), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+  }
+
+  /** Shared LLR core: `rfeat` = (id, __feat) feature instances of the
+    * raw side, `tfeat` = (__feat) of the target side. Add-one
+    * smoothing over the union feature space; one broadcast totals
+    * row; per-doc mean LLR rounded to 6. */
+  private def llrScores(rfeat: DataFrame, tfeat: DataFrame, id: String,
+      nName: String): DataFrame = {
+    val fr = rfeat.groupBy(col("__feat")).agg(count(lit(1)).as("__nr"))
+    val ft = tfeat.groupBy(col("__feat")).agg(count(lit(1)).as("__nt"))
+    val vocab = fr.join(ft, Seq("__feat"), "full_outer")
       .na.fill(0L, Seq("__nr", "__nt"))
     val tots = vocab.agg(sum(col("__nr")).as("__tr"),
       sum(col("__nt")).as("__tt"), count(lit(1)).as("__v"))
     val scored = vocab.crossJoin(broadcast(tots))
-      .select(col("term"),
+      .select(col("__feat"),
         (log((col("__nt") + lit(1.0)) / (col("__tt") + col("__v"))) -
           log((col("__nr") + lit(1.0)) / (col("__tr") + col("__v"))))
           .as("__llr"))
-    rtok.join(scored, Seq("term"))
+    rfeat.join(scored, Seq("__feat"))
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_tokens"),
+      .agg(count(lit(1)).as(nName),
         round(avg(col("__llr")), 6).as("avg_llr"))
   }
 

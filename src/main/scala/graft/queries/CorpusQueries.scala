@@ -245,5 +245,48 @@ object CorpusQueries {
       graft.ops.Dsir.gumbelTopK(scores, "doc_id", col("avg_llr"),
         k = 50, temperature = 0.5)
     },
+
+    // ---- DSIR hashed n-gram estimator (the paper's feature space) ----
+    // Features = non-empty unigrams + adjacent bigrams, each hashed to
+    // one of 512 buckets via the cross-engine sha256-prefix hash (the
+    // q50/q90 construction) — the vocabulary joins are bounded at the
+    // bucket count at any corpus size, and word ORDER now matters.
+    // Same add-one LLR core and target split as q88.
+    Q("q92_dsir_hashed",
+      """WITH rawd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |tgtd AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |rw AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM rawd),
+        |tw AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM tgtd),
+        |rf AS (SELECT doc_id, unnest(list_concat(ws,
+        |  CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1]) ELSE [] END)) AS f FROM rw),
+        |tf AS (SELECT doc_id, unnest(list_concat(ws,
+        |  CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1]) ELSE [] END)) AS f FROM tw),
+        |rh AS (SELECT doc_id,
+        |  ('0x' || substr(sha256(f), 1, 8))::UBIGINT % 512 AS feat FROM rf),
+        |th AS (SELECT
+        |  ('0x' || substr(sha256(f), 1, 8))::UBIGINT % 512 AS feat FROM tf),
+        |fr AS (SELECT feat, count(*) AS nr FROM rh GROUP BY feat),
+        |ft AS (SELECT feat, count(*) AS nt FROM th GROUP BY feat),
+        |v AS (SELECT feat, coalesce(nr, 0) AS nr, coalesce(nt, 0) AS nt
+        |      FROM fr FULL OUTER JOIN ft USING (feat)),
+        |tots AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+        |         CAST(sum(nt) AS BIGINT) AS tt, count(*) AS v FROM v),
+        |llr AS (SELECT feat,
+        |  ln((nt + 1.0) / (tt + v)) - ln((nr + 1.0) / (tr + v)) AS l
+        | FROM v, tots)
+        |SELECT doc_id, count(*) AS n_feats, round(avg(l), 6) AS avg_llr
+        |FROM rh JOIN llr USING (feat)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.ops.Dsir.importanceScoresHashed(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", col("text"), buckets = 512)
+        .orderBy(col("doc_id"))
+    },
   )
 }

@@ -81,6 +81,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1L)._1 == 4 && got(2L)._1 == 4 && got(3L)._1 == 2)
   }
 
+  test("dsir hashed n-grams: word order matters, feature counts, sign") {
+    // 2^20 buckets in-test: collisions would blur the sign/ordering
+    // assertions (512 is the q92 demo size, not a fidelity claim)
+    val B = 1 << 20
+    val target = Seq(
+      (100L, "law court judge ruling appeal"),
+      (101L, "law court statute judge ruling")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "law court judge ruling"),    // target's words, target's ORDER
+      (2L, "ruling judge court law"),    // same unigrams, alien bigrams
+      (3L, "pizza recipe cheese oven"),  // off-distribution entirely
+      (4L, "law"),                       // 1 token: unigram feature only
+      (5L, "\t \n"))                     // whitespace-only: no features
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dsir.importanceScoresHashed(raw, target, "doc_id",
+        col("text"), buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the unigram estimator CANNOT tell docs 1 and 2 apart; the
+    // hashed-bigram one must rank the order-preserving doc higher
+    val uni = graft.ops.Dsir.importanceScores(raw, target, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L))
+    assert(got(1L)._2 > got(2L)._2)
+    assert(got(2L)._2 > got(3L)._2) // shared unigrams still beat nothing shared
+    assert(got(1L)._2 > 0 && got(3L)._2 < 0)
+    // n_feats = tokens + bigrams = 2n-1 on clean docs; 1-token doc has
+    // its unigram only; no-token doc is absent (same as q88 semantics)
+    assert(got(1L)._1 == 7 && got(4L)._1 == 1 && !got.contains(5L))
+    // empty target: add-one smoothing keeps every score defined
+    val s = graft.ops.Dsir.importanceScoresHashed(raw, target.limit(0),
+      "doc_id", col("text"), buckets = B).collect()
+    assert(s.length == 4 && s.forall(r => !r.getDouble(2).isNaN))
+  }
+
   test("dsir gumbelTopK: deterministic draw, score dominance, TakeOrdered plan") {
     val scores = (1L to 100L).map(i => (i, if (i == 5) 50.0 else 0.0))
       .toDF("doc_id", "avg_llr")
