@@ -39,8 +39,10 @@ object ScaleSmoke {
     spark.read.parquet(s"$d/lineitem.parquet").count() // warmup
 
     // `runMain graft.tools.ScaleSmoke assign` → only the centroid-
-    // assignment scaling section (dev loop for the quantizer work)
-    val sections = if (a.isEmpty) Set("replicate", "assign") else a.toSet
+    // assignment scaling section (dev loop for the quantizer work);
+    // `recall` → only the ANN recall report
+    val sections =
+      if (a.isEmpty) Set("replicate", "assign", "recall") else a.toSet
 
     for (scale <- Seq(1, 10) if sections("replicate")) {
       val doc = replicate(docs.select("doc_id", "text"), "doc_id", scale, 10000000L)
@@ -209,6 +211,36 @@ object ScaleSmoke {
         }
       }
       embF.unpersist()
+    }
+
+    // ---- ANN recall report at sf0.1: the eval a user runs before
+    // trusting approximate retrieval — recall@10 of the LSH and IVF
+    // paths vs exact brute force over a 32-query sample, printed as
+    // the mean and min across queries. Numbers are data-dependent by
+    // nature (this is the point of measuring), so this section
+    // REPORTS rather than asserts; the hard thresholds live in
+    // SimilaritySpec's planted-cluster tests.
+    if (sections("recall")) {
+      import graft.vector.{Ivf, RecallReport}
+      val queries = emb.filter(col("vec_id") % 157 === 3)
+        .limit(32).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def stats(rep: DataFrame): (Double, Double) = {
+        val rs = rep.select("recall").collect().map(_.getDouble(0))
+        (rs.sum / rs.length, rs.min)
+      }
+      T("recall_lsh_multiprobe") {
+        val (mean, min) = stats(RecallReport.lshRecallAtK(emb, "vec_id",
+          "embedding", queries, "qid", "qvec", k = 10, nPlanes = 8))
+        println(f"RECALL lsh@10 mean=$mean%.3f min=$min%.3f"); 0L
+      }
+      val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 2)
+      for (nProbe <- Seq(2, 4)) {
+        T(s"recall_ivf nProbe=$nProbe") {
+          val (mean, min) = stats(RecallReport.ivfRecallAtK(emb, "vec_id",
+            "embedding", queries, "qid", "qvec", k = 10, cents, nProbe))
+          println(f"RECALL ivf@10 nProbe=$nProbe mean=$mean%.3f min=$min%.3f"); 0L
+        }
+      }
     }
     spark.stop()
   }

@@ -68,6 +68,73 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.nonEmpty && a.head._1 == 0L && a.head._2 == 1.0)
   }
 
+  test("recall report rows equal the single-query ann/ivf paths; full-probe ivf is exact") {
+    import graft.vector.{Ivf, RecallReport}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(3L, 17L, 42L, 101L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val k = 10
+    val lshRep = RecallReport.lshRecallAtK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k, nPlanes = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val ivfRep = RecallReport.ivfRecallAtK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k, cents, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(lshRep.keySet == qids.toSet && ivfRep.keySet == qids.toSet)
+    // every report row must reproduce exactly what the production
+    // single-query path returns for that query — same rounding, same
+    // tie-break, same probe set
+    for (q <- qids) {
+      val qv = emb.filter(col("vec_id") === q).head.getSeq[Float](1).toArray
+      val exact = Similarity.topK(emb, "vec_id", "embedding", qv, k)
+        .collect().map(_.getLong(0)).toSet
+      val ann = Similarity.annTopK(emb, "vec_id", "embedding", qv, k, nPlanes = 4)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = Ivf.ivfTopK(emb, "vec_id", "embedding", qv, k, cents, nProbe = 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(lshRep(q)._1 == exact.size && lshRep(q)._2 == (exact & ann).size,
+        s"lsh mismatch for qid=$q")
+      assert(ivfRep(q)._1 == exact.size && ivfRep(q)._2 == (exact & ivf).size,
+        s"ivf mismatch for qid=$q")
+      // self-query: the query vector is a corpus member, so both
+      // approximate paths must at least find the query itself
+      assert(ann.contains(q) && ivf.contains(q))
+    }
+    // probing EVERY cell degenerates to brute force: recall 1.0 across
+    // the board — the calibration anchor of the report
+    val full = RecallReport.ivfRecallAtK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k, cents, nProbe = cents.length)
+    assert(full.collect().forall(_.getDouble(3) == 1.0))
+  }
+
+  test("recall report on planted clusters: multiprobe LSH clears 0.8") {
+    import graft.vector.RecallReport
+    // 4 tight clusters among distractors; queries at the cluster bases —
+    // recall here is a real retrieval claim, not seed luck (the annTopK
+    // planted-neighbor treatment, extended to the report operator)
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val bases = Array.fill(4)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    def perturb(b: Array[Float], eps: Float) =
+      b.map(x => x + (rnd.nextFloat() * 2 - 1) * eps)
+    val rows: Seq[(Long, Array[Float])] =
+      bases.zipWithIndex.flatMap { case (b, c) =>
+        (0 until 10).map(i => ((c * 10 + i).toLong, perturb(b, 0.05f)))
+      }.toSeq ++
+      (100L until 300L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = bases.zipWithIndex.map { case (b, c) => (c.toLong, b) }
+      .toSeq.toDF("qid", "qvec")
+    val rep = RecallReport.lshRecallAtK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 10, nPlanes = 4).collect()
+    assert(rep.length == 4)
+    val mean = rep.map(_.getDouble(3)).sum / rep.length
+    assert(mean >= 0.8, s"mean multiprobe recall $mean < 0.8: " +
+      rep.map(r => s"${r.getLong(0)}=${r.getDouble(3)}").mkString(", "))
+  }
+
   test("filteredTopK applies the metadata predicate before scoring") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1).toArray
