@@ -267,6 +267,62 @@ object TextAnalysis {
         round(avg(lp), 6).as("avg_logprob"))
   }
 
+  /** Gopher-style repetition/quality gate (Rae et al. 2021, arXiv:
+    * 2112.11446, Table A1 spirit): per document —
+    *  - mean word length (garbled text skews short or long),
+    *  - fraction of words containing an alphabetic character
+    *    (symbol/number spam),
+    *  - most-common-word share of all tokens and most-common-bigram
+    *    share of all bigrams (template/repetition spam — the
+    *    "fraction in top n-gram" family),
+    * plus the boolean `keep` gate over the documented thresholds.
+    * Empty tokens are excluded (the bigramLogProb discipline); docs
+    * with no non-empty tokens are absent from the output. All inputs
+    * to the gate are exact-integer ratios evaluated in double — the
+    * 6dp rounding is display-only, so the gate cannot flip across
+    * engines. Output: (id, n_tokens, mean_word_len, frac_alpha_words,
+    * top_word_frac, top_bigram_frac, keep).
+    *
+    * Scale shape: one token explode into a (id, word)-keyed map-side-
+    * combining agg, one bigram transform (no self-join) into the same
+    * shape, one per-doc hash agg each, one per-doc join — every term
+    * linear in tokens, no windows, no driver state. */
+  def gopherReport(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column, minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, maxTopWordFrac: Double = 0.2,
+      maxTopBigramFrac: Double = 0.18): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(id),
+      explode(filter(tokens(text), w => w =!= "")).as("__w"))
+    val wordAgg = toks.groupBy(col(id), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(id))
+      .agg(sum(col("__c")).as("n_tokens"),
+        (sum(length(col("__w")) * col("__c")) /
+          sum(col("__c")).cast("double")).as("__mwl"),
+        (sum(when(col("__w").rlike("[a-z]"), col("__c")).otherwise(0L)) /
+          sum(col("__c")).cast("double")).as("__fa"),
+        (max(col("__c")) / sum(col("__c")).cast("double")).as("__twf"))
+    val pairs = df.select(col(id),
+        filter(tokens(text), w => w =!= "").as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col(id), explode(expr(
+        "transform(sequence(0, size(__ws)-2)," +
+          " i -> concat(__ws[i], ' ', __ws[i+1]))")).as("__bg"))
+    val bigramAgg = pairs.groupBy(col(id), col("__bg"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(id))
+      .agg((max(col("__c")) / sum(col("__c")).cast("double")).as("__tbf"))
+    wordAgg.join(bigramAgg, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        round(col("__mwl"), 6).as("mean_word_len"),
+        round(col("__fa"), 6).as("frac_alpha_words"),
+        round(col("__twf"), 6).as("top_word_frac"),
+        round(coalesce(col("__tbf"), lit(0.0)), 6).as("top_bigram_frac"),
+        (col("__mwl").between(minMeanWordLen, maxMeanWordLen) &&
+          col("__fa") >= minAlphaFrac && col("__twf") <= maxTopWordFrac &&
+          coalesce(col("__tbf"), lit(0.0)) <= maxTopBigramFrac).as("keep"))
+  }
+
   /** CCNet-style line-level boilerplate removal: drop every line whose
     * exact text occurs in >= `minDocs` DISTINCT documents (headers,
     * footers, navigation chrome — the lines that repeat across a

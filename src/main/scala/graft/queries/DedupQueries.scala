@@ -414,6 +414,82 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- signature-agreement Jaccard estimate for candidate pairs ----
+    // est = agreeing-minhash fraction, the unbiased minhash estimator:
+    // candidate pairs get a similarity confidence from the 40-byte
+    // signature rows alone — no re-read of any document text (the
+    // post-LSH refine stops touching the corpus). 4 hashes → the
+    // estimate is quartile-coarse {0.25, 0.5, 0.75, 1.0}; mutated
+    // copies (20 chars dropped) land at 0.75/1.0, unrelated bucket
+    // collisions at 0.25 — the 0.5 floor keeps the plausible pairs.
+    Q("q95_jaccard_estimate",
+      s"""WITH $mutatedBase,
+         |${minhashSql("base")},
+         |bands AS (
+         | SELECT doc_id, '0|' || mh0 || '|' || mh1 AS band FROM sig
+         | UNION ALL
+         | SELECT doc_id, '1|' || mh2 || '|' || mh3 AS band FROM sig),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT p.doc_a, p.doc_b,
+         | round(((a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT +
+         |        (a.mh2 = b.mh2)::INT + (a.mh3 = b.mh3)::INT) / 4.0, 6)
+         |   AS est_jaccard
+         |FROM pairs p
+         |JOIN sig a ON a.doc_id = p.doc_a
+         |JOIN sig b ON b.doc_id = p.doc_b
+         |WHERE ((a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT +
+         |       (a.mh2 = b.mh2)::INT + (a.mh3 = b.mh3)::INT) / 4.0 >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val base = NearDup.withMutatedCopies(t(s, d, "documents"), "doc_id", "text")
+      val sigs = NearDup.minhashSignaturesFused(base, "doc_id", col("text"))
+      NearDup.estimatedJaccardPairs(sigs, "doc_id", minEstimate = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- incremental label store: 2-batch merge ≡ one-shot CC ----
+    // The q64 component semantics driven through ops/LabelStore: a
+    // synthetic id graph (chains within each decade + long-range
+    // bridges) split into two batches by doc_a parity, merged
+    // sequentially into an on-disk label store, final labels read
+    // back. The oracle computes the same components one-shot via the
+    // recursive-CTE walk — so the store's batch algebra (touched-
+    // component star contraction) is hash-checked against ground
+    // truth, not just spec-asserted. State lives under target/tmp,
+    // wiped per invocation (each run is self-contained).
+    Q("q94_label_store",
+      """WITH RECURSIVE pairs AS (
+        | SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+        |  WHERE doc_id % 10 < 3
+        | UNION ALL
+        | SELECT doc_id AS doc_a, doc_id + 100 AS doc_b FROM documents
+        |  WHERE doc_id % 37 = 0),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION
+        | SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |walk AS (
+        | SELECT src AS node, dst AS reach FROM edges
+        | UNION
+        | SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+        |SELECT node, least(node, min(reach)) AS component
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val pairs = ids.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+        .unionByName(ids.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 100).as("doc_b")))
+      val dir = "target/tmp/q94_state"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val store = s"$dir/labels"
+      graft.ops.LabelStore.merge(s, store, pairs.filter(col("doc_a") % 2 === 0))
+      graft.ops.LabelStore.merge(s, store, pairs.filter(col("doc_a") % 2 =!= 0))
+      graft.ops.LabelStore.read(s, store).orderBy(col("node"))
+    },
+
     // ---- embedding-cosine near-dup pairs on a bounded candidate set ----
     Q("q17_embed_neardup",
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

@@ -268,6 +268,43 @@ object TextQueries {
         Seq("dup", "vector", "hash"), k = 20)
     },
 
+    // ---- Gopher-style repetition/quality gate ----
+    // Rae et al. 2021 Table-A1-spirit per-doc stats: mean word length,
+    // alpha-word fraction, most-common word/bigram shares, and the
+    // boolean keep gate. Gate inputs are exact-integer ratios in
+    // double (rounding is display-only), so keep cannot flip across
+    // engines.
+    Q("q93_gopher_gate",
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
+        |u AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+        |wc AS (SELECT doc_id, wd, count(*) AS c FROM u GROUP BY doc_id, wd),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  sum(length(wd) * c) / CAST(sum(c) AS DOUBLE) AS mwl,
+        |  sum(CASE WHEN regexp_matches(wd, '[a-z]') THEN c ELSE 0 END)
+        |    / CAST(sum(c) AS DOUBLE) AS fa,
+        |  max(c) / CAST(sum(c) AS DOUBLE) AS twf
+        | FROM wc GROUP BY doc_id),
+        |p AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM
+        |  (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |   FROM w WHERE len(ws) >= 2)),
+        |pc AS (SELECT doc_id, bg, count(*) AS c FROM p GROUP BY doc_id, bg),
+        |bagg AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS tbf
+        | FROM pc GROUP BY doc_id)
+        |SELECT a.doc_id, n_tokens,
+        | round(mwl, 6) AS mean_word_len,
+        | round(fa, 6) AS frac_alpha_words,
+        | round(twf, 6) AS top_word_frac,
+        | round(coalesce(tbf, 0), 6) AS top_bigram_frac,
+        | (mwl BETWEEN 3 AND 10 AND fa >= 0.8 AND twf <= 0.2
+        |  AND coalesce(tbf, 0) <= 0.18) AS keep
+        |FROM agg a LEFT JOIN bagg b USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.gopherReport(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- bigram LM scoring with Stupid Backoff ----
     // Train on the even-doc_id half, score EVERY doc: odd docs hit
     // unseen bigrams, exercising the 0.4·add-one backoff branch on

@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.NearDup
+
+/** sf10 datum for the ITERATIVE families — the two-orders-above-
+  * correctness-sf check that the loop disciplines hold where the
+  * small benches cannot see them break:
+  *
+  *  - q64/q66 (connected components): iteration count must stay
+  *    ~log(component diameter) as the graph grows 100× — a linear
+  *    creep would mean the pointer jump stopped compounding.
+  *  - q83 (kNN + PageRank): k grows with N (cellCountFor), so the
+  *    edge build must ride the two-level quantizer, and the
+  *    per-iteration join+agg must stay row-linear.
+  *  - q85 / signature store: probing a FIXED-size batch must cost
+  *    the same against a 100× corpus store as against a 1× store —
+  *    the partition-pruned probe is the whole point of the store.
+  *
+  * Generates documents/embeddings at 100× sf0.1 under target/sf10
+  * (GenScale's tagging discipline: per-copy word prefixes keep copies
+  * shingle-disjoint, per-copy embedding perturbation breaks top-k
+  * ties; ~140 MB, inside the repo). Run with GRAFT_CC_DEBUG=1 to see
+  * CC iterations-to-fixpoint per run:
+  * `GRAFT_CC_DEBUG=1 sbt "runMain graft.tools.Sf10Probe"`.
+  */
+object Sf10Probe {
+
+  def main(a: Array[String]): Unit = {
+    val copies = a.headOption.map(_.toInt).getOrElse(100)
+    val out = "target/sf10"
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def T(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      spark.catalog.clearCache()
+    }
+
+    val docs1 = spark.read.parquet(s"$src/documents.parquet")
+      .select("doc_id", "text")
+    val emb1 = spark.read.parquet(s"$src/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // per-copy id offset far above the mutated-copy +1e6 convention
+    val off = 10000000L
+    T(s"gen documents x$copies") {
+      // copy 0 stays UNtagged (identical to sf0.1): the fixed-batch
+      // store probe below must find its real neighborhood inside the
+      // 100× store, not be shingle-disjoint from all of it
+      (0 until copies).map { k =>
+        val shifted = docs1.select(
+          (col("doc_id") + lit(k * off)).as("doc_id"), col("text"))
+        if (k == 0) shifted
+        else shifted.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"c$k$$1"))
+      }.reduce(_.unionByName(_))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      0L
+    }
+    T(s"gen embeddings x$copies") {
+      (0 until copies).map { k =>
+        emb1.select((col("vec_id") + lit(k * off)).as("vec_id"),
+          transform(col("embedding"), x => x + lit(k * 0.001f)).as("embedding"))
+      }.reduce(_.unionByName(_))
+        .repartition(16).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      0L
+    }
+    val docs100 = spark.read.parquet(s"$out/documents.parquet")
+    val emb100 = spark.read.parquet(s"$out/embeddings.parquet")
+
+    // ---- q64/q66: connected components at 1× and 100× ----
+    def ccRun(docs: DataFrame, tag: String): Unit = {
+      val base = NearDup.withMutatedCopies(docs, "doc_id", "text")
+      val pairs = NearDup.lshCandidatePairs(
+        NearDup.minhashSignaturesFused(base, "doc_id", col("text")), "doc_id")
+        .localCheckpoint()
+      val nPairs = pairs.count()
+      T(s"cc $tag ($nPairs pairs)") {
+        NearDup.connectedComponents(pairs).count()
+      }
+      T(s"keep_best $tag") {
+        NearDup.dropNearDuplicatesTransitive(base, "doc_id", pairs).count()
+      }
+      pairs.unpersist()
+    }
+    ccRun(docs1, "x1")
+    ccRun(docs100, s"x$copies")
+
+    // ---- q83: corpus-scaled kNN edges + PageRank at 1× and 100× ----
+    def prRun(emb: DataFrame, tag: String): Unit = {
+      val n = emb.count()
+      val k = graft.vector.SemDedup.cellCountFor(n)
+      val fine = graft.vector.Ivf.seedCentroids(emb, "vec_id", "embedding", k)
+      val quant = graft.vector.TwoLevelQuantizer(
+        fine, fine.take(graft.vector.Ivf.coarseCountFor(k)))
+      T(s"knn_pagerank $tag (n=$n k=$k)") {
+        val knn = graft.vector.SemDedup.knnGraph(emb, "vec_id", "embedding",
+          quant, k = 3)
+        graft.ops.Graph.pageRank(
+          knn.select(col("vec_id").as("src"), col("neighbor").as("dst")),
+          iterations = 5, damping = 0.85).count()
+      }
+    }
+    prRun(emb1, "x1")
+    prRun(emb100, s"x$copies")
+
+    // ---- q85 / signature store: fixed batch, growing corpus ----
+    // The SAME ~5k-doc batch (mutated copies of copy 0) probes a 1×
+    // store and a 100× store; batch-proportionality = both probes in
+    // the same ballpark despite the 100× corpus behind the second.
+    val batch = NearDup.withMutatedCopies(docs1, "doc_id", "text")
+      .filter(col("doc_id") >= 1000000)
+    val batchSigs = NearDup.minhashSignaturesFused(batch, "doc_id", col("text"))
+      .localCheckpoint()
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((corpus, tag) <- Seq((docs1, "x1"), (docs100, s"x$copies"))) {
+      val store = s"$out/sigstore_$tag"
+      hfs.delete(new org.apache.hadoop.fs.Path(store), true) // fresh ingest
+      T(s"store_ingest $tag") {
+        NearDup.appendSignatureStore(
+          NearDup.minhashSignaturesFused(corpus, "doc_id", col("text")),
+          "doc_id", store)
+        0L
+      }
+      T(s"store_probe_fixed_batch vs $tag corpus") {
+        NearDup.probeSignatureStore(spark, store, batchSigs, "doc_id").count()
+      }
+    }
+    batchSigs.unpersist()
+    spark.stop()
+  }
+}
