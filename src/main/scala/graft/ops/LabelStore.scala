@@ -104,9 +104,16 @@ object LabelStore {
           .join(sub.select(col("node")), Seq("node"), "left_anti")
         untouched.unionByName(sub.select(col("node"), col("component")))
     }
+    // One writer task per bucket: without this, every shuffle task
+    // writes a sliver file into every bucket dir it touches (tasks ×
+    // buckets tiny files per merge — measured 4× the merge wall at
+    // demo sizes, and a file-count explosion at any size). Callers
+    // size `buckets` so one bucket ≈ one task's worth of rows, the
+    // same contract as the signature store's band_bucket.
     graft.io.Sinks.overwriteInPlace(
       labels.withColumn("comp_bucket",
-        pmod(xxhash64(col("component")), lit(buckets.toLong))),
+          pmod(xxhash64(col("component")), lit(buckets.toLong)))
+        .repartition(buckets, col("comp_bucket")),
       path, partitionBy = Seq("comp_bucket"))
   }
 

@@ -485,8 +485,13 @@ object DedupQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       val store = s"$dir/labels"
-      graft.ops.LabelStore.merge(s, store, pairs.filter(col("doc_a") % 2 === 0))
-      graft.ops.LabelStore.merge(s, store, pairs.filter(col("doc_a") % 2 =!= 0))
+      // buckets=8 at demo scale (one bucket ≈ one task's rows — the
+      // LabelStore sizing contract; pruning behavior is spec-pinned
+      // in GraphSpec, it does not need 64 dirs here)
+      graft.ops.LabelStore.merge(s, store,
+        pairs.filter(col("doc_a") % 2 === 0), buckets = 8)
+      graft.ops.LabelStore.merge(s, store,
+        pairs.filter(col("doc_a") % 2 =!= 0), buckets = 8)
       graft.ops.LabelStore.read(s, store).orderBy(col("node"))
     },
 
