@@ -103,4 +103,68 @@ class EndToEndSpec extends AnyFunSuite {
     assert(CouncilPipeline.transcribePending(meetingsBack, inventory,
       () => new Enricher.StubTranscriber(1)).count() == 0)
   }
+
+  test("daily-ingest dedup loop: stream → signature store → label store → survivors → packed sequences") {
+    // The round-8 production loop end to end, with NOTHING recomputed
+    // from history at decision time: three daily batches stream
+    // through the LSH dedup sink (signing once, probing the pruned
+    // signature store, folding pairs into the label store per tick);
+    // keep/drop decisions then come from the PERSISTED label table
+    // alone, and the surviving docs pack into token-budget sequences.
+    // Ground truth: the one-shot pipeline (full LSH → one-shot CC →
+    // min-id survivor per component) over everything ever ingested.
+    val dir = TestSpark.tempDir("dailyloop")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val all = graft.ops.NearDup.withMutatedCopies(docs, "doc_id", "text")
+      .select("doc_id", "text")
+    // three "days": originals, then two waves of near-dup arrivals
+    all.filter(col("doc_id") < 1000000).coalesce(1)
+      .write.parquet(s"$dir/in/day=1")
+    all.filter(col("doc_id") >= 1000000 && col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$dir/in/day=2")
+    all.filter(col("doc_id") >= 1000000 && col("doc_id") % 2 =!= 0)
+      .coalesce(1).write.parquet(s"$dir/in/day=3")
+    val stream = graft.streaming.Streams.fileStream(spark, s"$dir/in/*/",
+      all.schema, maxFilesPerTrigger = 1)
+    val q = graft.streaming.Streams.lshDedupSink(stream, "doc_id", "text",
+      s"$dir/store", s"$dir/pairs", s"$dir/ckpt", buckets = 16,
+      labelsPath = Some(s"$dir/labels")).start()
+    q.processAllAvailable(); q.stop()
+
+    // keep/drop from the persisted labels ONLY: a doc drops iff it is
+    // a non-representative member of its component
+    val labels = graft.ops.LabelStore.read(spark, s"$dir/labels")
+    val survivors = all.join(
+        labels.filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val got = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // ground truth: one-shot over the full corpus
+    val oneShotPairs = graft.ops.NearDup.lshCandidatePairs(
+      graft.ops.NearDup.minhashSignaturesFused(all, "doc_id", col("text")),
+      "doc_id")
+    val expected = graft.ops.NearDup
+      .dropNearDuplicatesTransitive(all, "doc_id", oneShotPairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty && got.size < all.count())
+
+    // survivors pack into 512-token sequences: every survivor exactly
+    // once, prefix sums consistent with pack boundaries
+    val toks = survivors.select(col("doc_id"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+    val packed = graft.ops.Packing.packByTokenBudget(toks,
+      Seq(col("doc_id")), col("n_tokens"), 512L)
+    assert(packed.count() == got.size)
+    assert(packed.select("doc_id").distinct().count() == got.size)
+    // the global prefix sum is gapless: the furthest prefix+tokens
+    // equals the total token mass (docs straddling a 512 boundary
+    // stay in the pack where they start — the packByTokenBudget
+    // contract), and pack ids follow the prefix exactly
+    val total = toks.agg(sum("n_tokens")).head.getLong(0)
+    assert(packed.agg(max(col("prefix_tokens") + col("n_tokens")))
+      .head.getLong(0) == total)
+    assert(packed.filter(col("pack_id") =!=
+      (col("prefix_tokens") / 512).cast("long")).count() == 0)
+  }
 }
