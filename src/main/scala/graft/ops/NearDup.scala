@@ -562,12 +562,9 @@ object NearDup {
     * witnessing pairs were pruned (LSH reports a candidate SAMPLE of
     * each cluster's pairs, not its closure). */
   def dropNearDuplicatesTransitive(df: DataFrame, id: String,
-      pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val losers = connectedComponents(pairs, maxIterations = maxIterations)
-      .filter(col("node") =!= col("component"))
-      .select(col("node").as(id))
-    df.join(losers, Seq(id), "left_anti")
-  }
+      pairs: DataFrame, maxIterations: Int = 20): DataFrame =
+    dropNearDuplicatesFromLabels(df, id,
+      connectedComponents(pairs, maxIterations = maxIterations))
 
   /** Transitive dedup with a cluster-representative POLICY: instead of
     * min-id, keep the row maximizing `keepBy` within each duplicate
@@ -580,10 +577,37 @@ object NearDup {
     * clusters. */
   def dropNearDuplicatesTransitiveBy(df: DataFrame, id: String,
       pairs: DataFrame, keepBy: Column,
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20): DataFrame =
+    dropNearDuplicatesFromLabelsBy(df, id,
+      connectedComponents(pairs, maxIterations = maxIterations), keepBy)
+
+  /** Apply PERSISTED component labels (`LabelStore.read`) as the dedup
+    * decision: keep each component's representative (node ==
+    * component, the min id), drop the other members; docs absent from
+    * the labels are singletons and always survive. The decision-time
+    * counterpart of `dropNearDuplicatesTransitive` for the streaming
+    * loop — one anti join against the label table, no pair replay, no
+    * CC run (the labels already encode every merge ever folded in).
+    */
+  def dropNearDuplicatesFromLabels(df: DataFrame, id: String,
+      labels: DataFrame): DataFrame = {
+    val losers = labels
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
+
+  /** Label-driven dedup with a cluster-representative POLICY: keep the
+    * row maximizing `keepBy` within each labeled component (ties to
+    * the smaller id). Same decision-from-the-store shape as
+    * `dropNearDuplicatesFromLabels`, one extra per-component window
+    * (window state = component members — small, components are dup
+    * clusters). Also the shared tail of the one-shot
+    * `dropNearDuplicatesTransitiveBy`. */
+  def dropNearDuplicatesFromLabelsBy(df: DataFrame, id: String,
+      labels: DataFrame, keepBy: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cc = connectedComponents(pairs, maxIterations = maxIterations)
-      .withColumnRenamed("node", id)
+    val cc = labels.withColumnRenamed("node", id)
     val w = Window
       .partitionBy(coalesce(col("component"), col(id)))
       .orderBy(keepBy.desc, col(id).asc)

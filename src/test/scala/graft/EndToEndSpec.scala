@@ -134,10 +134,8 @@ class EndToEndSpec extends AnyFunSuite {
     // keep/drop from the persisted labels ONLY: a doc drops iff it is
     // a non-representative member of its component
     val labels = graft.ops.LabelStore.read(spark, s"$dir/labels")
-    val survivors = all.join(
-        labels.filter(col("node") =!= col("component"))
-          .select(col("node").as("doc_id")),
-        Seq("doc_id"), "left_anti")
+    val survivors = graft.ops.NearDup
+      .dropNearDuplicatesFromLabels(all, "doc_id", labels)
     val got = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
 
     // ground truth: one-shot over the full corpus

@@ -207,6 +207,31 @@ class GraphSpec extends AnyFunSuite {
       s"scanned=$scanned of ${all.inputFiles.length}")
   }
 
+  test("label-driven dedup policies equal the one-shot pair-driven ones") {
+    val path = s"${TestSpark.tempDir("labelpolicy")}/labels"
+    val docs = Seq(
+      (1L, "short"), (2L, "the longest text of the cluster"), (3L, "mid text"),
+      (10L, "solo"), (20L, "a"), (21L, "bb")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("doc_a", "doc_b")
+    // two-batch store vs one-shot pairs — decisions must agree
+    graft.ops.LabelStore.merge(spark, path,
+      pairs.filter(col("doc_a") === 1L), buckets = 4)
+    graft.ops.LabelStore.merge(spark, path,
+      pairs.filter(col("doc_a") =!= 1L), buckets = 4)
+    val labels = graft.ops.LabelStore.read(spark, path)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(graft.ops.NearDup.dropNearDuplicatesFromLabels(docs, "doc_id",
+        labels)) ==
+      ids(graft.ops.NearDup.dropNearDuplicatesTransitive(docs, "doc_id", pairs)))
+    val byLen = ids(graft.ops.NearDup.dropNearDuplicatesFromLabelsBy(docs,
+      "doc_id", labels, length(col("text"))))
+    assert(byLen ==
+      ids(graft.ops.NearDup.dropNearDuplicatesTransitiveBy(docs, "doc_id",
+        pairs, length(col("text")))))
+    assert(byLen == Set(2L, 10L, 21L)) // longest per cluster + singleton
+  }
+
   test("label store: component count shrinks as batches connect the graph") {
     // a chain merged one edge at a time — every merge touches the
     // previous component and extends it; labels stay min-id throughout
