@@ -521,13 +521,21 @@ object NearDup {
         val viaJump = labels.as("x")
           .join(labels.as("y"), col("x.component") === col("y.node"))
           .select(col("x.node").as("node"), col("y.component").as("__cand"))
-        val cand = viaEdges.unionByName(viaJump)
-          .groupBy(col("node")).agg(min(col("__cand")).as("__cand"))
-        val computed = labels.join(cand, Seq("node"), "left")
-          .select(col("node"),
-            least(col("component"), coalesce(col("__cand"), col("component")))
-              .as("component"),
-            col("component").as("__prev"))
+        // the node's CURRENT label rides the same aggregation as a
+        // flagged candidate — min over {edge cands, jump cands, self}
+        // is the new label, and the flagged row recovers the previous
+        // one. This folds the old labels-join (a fourth shuffle per
+        // iteration, there only to fetch prev for the change count)
+        // into the groupBy that already runs. Every node has its self
+        // row, so no node can drop out of the label table.
+        val viaSelf = labels
+          .select(col("node"), col("component").as("__cand"))
+        val computed = viaEdges.withColumn("__self", lit(0))
+          .unionByName(viaJump.withColumn("__self", lit(0)))
+          .unionByName(viaSelf.withColumn("__self", lit(1)))
+          .groupBy(col("node"))
+          .agg(min(col("__cand")).as("component"),
+            max(when(col("__self") === 1, col("__cand"))).as("__prev"))
         val changed = spark.sparkContext.longAccumulator("cc_changed")
         val counted = computed.mapPartitions { rows =>
           rows.map { r => if (r.get(1) != r.get(2)) changed.add(1L); r }
