@@ -35,7 +35,11 @@ object Bm25 {
   def bm25TopK(df: DataFrame, id: String, text: Column,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
-    val terms = queryTerms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    // Locale.ROOT: Spark's lower() is locale-independent; a Turkish
+    // default locale would otherwise turn "TITLE" into dotless-ı
+    // "tıtle" and silently match nothing (the Bench.num discipline)
+    val terms = queryTerms.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct
     require(terms.nonEmpty,
       "bm25TopK: queryTerms must contain at least one non-blank term")
     require(k > 0, "bm25TopK: k must be positive")

@@ -70,8 +70,17 @@ object LabelStore {
     val existing = graft.io.Sinks.readStateOrBackup(spark, path)
     val labels = existing match {
       case None =>
-        NearDup.connectedComponents(newPairs, colA, colB, maxIterations)
+        val boot = NearDup.connectedComponents(newPairs, colA, colB,
+            maxIterations)
           .select(col("node"), col("component"))
+        // A pair-less first batch must NOT create the store: a
+        // partitioned parquet write of zero rows emits only _SUCCESS,
+        // and every later read of the then-existing path would die on
+        // schema inference — bricking the streaming sink until the
+        // dir is hand-deleted. No pairs yet ⇒ no labels yet; the
+        // first real batch bootstraps.
+        if (boot.isEmpty) return
+        boot
       case Some(storedRaw) =>
         val stored = storedRaw.select(col("node"), col("component"),
           col("comp_bucket"))
@@ -93,10 +102,14 @@ object LabelStore {
           .filter(col("comp_bucket").isin(touchedBuckets: _*))
           .join(touched, Seq("component"), "left_semi")
           .select(col("node").as(colA), col("component").as(colB))
-        // 3. re-converge the touched subgraph only
+        // 3. re-converge the touched subgraph only. CC checkpoints its
+        // edge list eagerly on entry, so `star` (and with it the
+        // `touched` pin) is fully consumed once this returns — release
+        // the pin here rather than leaking one per streaming tick.
         val sub = NearDup.connectedComponents(
           star.unionByName(newPairs.select(col(colA), col(colB))),
           colA, colB, maxIterations)
+        touched.unpersist()
         // 4. untouched rows pass through; every re-labeled node's old
         // row (if any) sat in a touched component, so the anti join
         // fully covers the replacements

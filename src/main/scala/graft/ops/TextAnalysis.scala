@@ -299,7 +299,10 @@ object TextAnalysis {
       .agg(sum(col("__c")).as("n_tokens"),
         (sum(length(col("__w")) * col("__c")) /
           sum(col("__c")).cast("double")).as("__mwl"),
-        (sum(when(col("__w").rlike("[a-z]"), col("__c")).otherwise(0L)) /
+        // \p{L}: any Unicode letter — Gopher's "word contains an
+        // alphabetic character" is script-agnostic; an ASCII [a-z]
+        // test would gate out entire non-Latin languages
+        (sum(when(col("__w").rlike("\\p{L}"), col("__c")).otherwise(0L)) /
           sum(col("__c")).cast("double")).as("__fa"),
         (max(col("__c")) / sum(col("__c")).cast("double")).as("__twf"))
     val pairs = df.select(col(id),

@@ -282,7 +282,7 @@ object TextQueries {
         |wc AS (SELECT doc_id, wd, count(*) AS c FROM u GROUP BY doc_id, wd),
         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
         |  sum(length(wd) * c) / CAST(sum(c) AS DOUBLE) AS mwl,
-        |  sum(CASE WHEN regexp_matches(wd, '[a-z]') THEN c ELSE 0 END)
+        |  sum(CASE WHEN regexp_matches(wd, '\p{L}') THEN c ELSE 0 END)
         |    / CAST(sum(c) AS DOUBLE) AS fa,
         |  max(c) / CAST(sum(c) AS DOUBLE) AS twf
         | FROM wc GROUP BY doc_id),

@@ -175,17 +175,20 @@ object Streams {
               id, buckets = buckets)
           else // first tick: no corpus yet, batch joins only itself
             graft.ops.NearDup.lshCandidatePairs(pinned, id)
-        // pin: consumed by the pairs-log append and (optionally) the
-        // label merge — the probe join must not run twice
-        val pinnedPairs = pairs.localCheckpoint(true)
+        // pin only when the label merge makes pairs dual-consumer —
+        // the probe join must not run twice, but a labels-off sink
+        // has a single consumer and should not pay eager
+        // materialization + block-manager pinning per tick
+        val pinnedPairs =
+          if (labelsPath.isDefined) pairs.localCheckpoint(true) else pairs
         pinnedPairs.write.mode("append").parquet(pairsPath)
         labelsPath.foreach { lp =>
           graft.ops.LabelStore.merge(spark, lp, pinnedPairs,
             buckets = buckets)
+          pinnedPairs.unpersist()
         }
         graft.ops.NearDup.appendSignatureStore(pinned, id, storePath,
           buckets = buckets)
-        pinnedPairs.unpersist()
         pinned.unpersist()
         ()
       }

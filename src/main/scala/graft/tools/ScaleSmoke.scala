@@ -224,23 +224,30 @@ object ScaleSmoke {
       import graft.vector.{Ivf, RecallReport}
       val queries = emb.filter(col("vec_id") % 157 === 3)
         .limit(32).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // the Q·N exact ground truth is the dominant cost and identical
+      // across the three reports — compute it once, pin, share
+      val exact = RecallReport.exactTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10).localCheckpoint(true)
       def stats(rep: DataFrame): (Double, Double) = {
         val rs = rep.select("recall").collect().map(_.getDouble(0))
         (rs.sum / rs.length, rs.min)
       }
       T("recall_lsh_multiprobe") {
         val (mean, min) = stats(RecallReport.lshRecallAtK(emb, "vec_id",
-          "embedding", queries, "qid", "qvec", k = 10, nPlanes = 8))
+          "embedding", queries, "qid", "qvec", k = 10, nPlanes = 8,
+          exact = Some(exact)))
         println(f"RECALL lsh@10 mean=$mean%.3f min=$min%.3f"); 0L
       }
       val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 2)
       for (nProbe <- Seq(2, 4)) {
         T(s"recall_ivf nProbe=$nProbe") {
           val (mean, min) = stats(RecallReport.ivfRecallAtK(emb, "vec_id",
-            "embedding", queries, "qid", "qvec", k = 10, cents, nProbe))
+            "embedding", queries, "qid", "qvec", k = 10, cents, nProbe,
+            exact = Some(exact)))
           println(f"RECALL ivf@10 nProbe=$nProbe mean=$mean%.3f min=$min%.3f"); 0L
         }
       }
+      exact.unpersist()
     }
     spark.stop()
   }

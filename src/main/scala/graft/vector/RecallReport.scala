@@ -40,8 +40,11 @@ object RecallReport {
       .select(col(qid), col(id))
   }
 
-  /** Exact ground truth: score every (query, corpus) pair. */
-  private def exactTopK(corpus: DataFrame, id: String, vec: String,
+  /** Exact ground truth: score every (query, corpus) pair. Public so
+    * a caller evaluating SEVERAL methods/parameter points against the
+    * same (corpus, queries, k) computes the expensive Q·N pass once
+    * and feeds it to each report via `exact`. */
+  def exactTopK(corpus: DataFrame, id: String, vec: String,
       queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame =
     perQueryTopK(
       corpus.crossJoin(broadcast(queries.select(col(qid), col(qvec))))
@@ -66,8 +69,8 @@ object RecallReport {
     * sample: (qid, n_exact, n_hits, recall), one row per query. */
   def lshRecallAtK(corpus: DataFrame, id: String, vec: String,
       queries: DataFrame, qid: String, qvec: String, k: Int,
-      nPlanes: Int = 8, seed: Long = 42L,
-      multiProbe: Boolean = true): DataFrame = {
+      nPlanes: Int = 8, seed: Long = 42L, multiProbe: Boolean = true,
+      exact: Option[DataFrame] = None): DataFrame = {
     require(k > 0, "lshRecallAtK: k must be positive")
     val bucketed = Similarity.withLshBucket(corpus, vec, nPlanes, seed)
     // each query explodes to the same probe set annTopK visits:
@@ -84,14 +87,16 @@ object RecallReport {
         .select(col(qid), col(id),
           round(Similarity.cosineSim(col(vec), col(qvec)), 6).as("__score")),
       qid, id, k)
-    reportOf(exactTopK(corpus, id, vec, queries, qid, qvec, k), approx, qid, id)
+    reportOf(exact.getOrElse(exactTopK(corpus, id, vec, queries, qid, qvec, k)),
+      approx, qid, id)
   }
 
   /** Recall@k of the IVF path (`Ivf.ivfTopK`) over a query sample:
     * (qid, n_exact, n_hits, recall), one row per query. */
   def ivfRecallAtK(corpus: DataFrame, id: String, vec: String,
       queries: DataFrame, qid: String, qvec: String, k: Int,
-      cents: Array[Array[Float]], nProbe: Int = 2): DataFrame = {
+      cents: Array[Array[Float]], nProbe: Int = 2,
+      exact: Option[DataFrame] = None): DataFrame = {
     require(k > 0, "ivfRecallAtK: k must be positive")
     val assigned = Ivf.assignCells(corpus, col(vec), cents)
     val cellsOf = udf { (v: Seq[Float]) =>
@@ -104,6 +109,7 @@ object RecallReport {
         .select(col(qid), col(id),
           round(Similarity.cosineSim(col(vec), col(qvec)), 6).as("__score")),
       qid, id, k)
-    reportOf(exactTopK(corpus, id, vec, queries, qid, qvec, k), approx, qid, id)
+    reportOf(exact.getOrElse(exactTopK(corpus, id, vec, queries, qid, qvec, k)),
+      approx, qid, id)
   }
 }

@@ -207,6 +207,23 @@ class GraphSpec extends AnyFunSuite {
       s"scanned=$scanned of ${all.inputFiles.length}")
   }
 
+  test("label store: a pair-less FIRST merge does not create a broken store") {
+    // an empty partitioned parquet write emits only _SUCCESS; if the
+    // first (bootstrap) merge wrote it, every later read would die on
+    // schema inference and brick the streaming sink. No pairs ⇒ no
+    // store; the first real batch bootstraps cleanly.
+    val path = s"${TestSpark.tempDir("labelboot")}/labels"
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    graft.ops.LabelStore.merge(spark, path, none, buckets = 4)
+    intercept[java.util.NoSuchElementException] {
+      graft.ops.LabelStore.read(spark, path)
+    }
+    graft.ops.LabelStore.merge(spark, path,
+      Seq((5L, 6L)).toDF("doc_a", "doc_b"), buckets = 4)
+    assert(graft.ops.LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 5L), (6L, 5L)))
+  }
+
   test("label-driven dedup policies equal the one-shot pair-driven ones") {
     val path = s"${TestSpark.tempDir("labelpolicy")}/labels"
     val docs = Seq(
