@@ -249,6 +249,26 @@ class GraphSpec extends AnyFunSuite {
     assert(byLen == Set(2L, 10L, 21L)) // longest per cluster + singleton
   }
 
+  test("label store: merge is order-invariant across batch permutations") {
+    // min-id labels are a lattice meet — folding the same batches in
+    // any order must converge to identical labels (the property that
+    // makes out-of-order / replayed ingest safe)
+    val b1 = Seq((1L, 2L), (10L, 11L))
+    val b2 = Seq((2L, 3L), (20L, 21L))
+    val b3 = Seq((3L, 20L), (30L, 31L))
+    def runOrder(order: Seq[Seq[(Long, Long)]], tag: String) = {
+      val path = s"${TestSpark.tempDir(s"labelperm$tag")}/labels"
+      order.foreach(b => graft.ops.LabelStore.merge(spark, path,
+        b.toDF("doc_a", "doc_b"), buckets = 4))
+      graft.ops.LabelStore.read(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val a = runOrder(Seq(b1, b2, b3), "a")
+    val b = runOrder(Seq(b3, b1, b2), "b")
+    val c = runOrder(Seq(b2, b3, b1), "c")
+    assert(a == b && b == c && a.nonEmpty)
+  }
+
   test("label store: component count shrinks as batches connect the graph") {
     // a chain merged one edge at a time — every merge touches the
     // previous component and extends it; labels stay min-id throughout
