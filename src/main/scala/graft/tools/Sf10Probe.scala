@@ -132,7 +132,33 @@ object Sf10Probe {
         NearDup.probeSignatureStore(spark, store, batchSigs, "doc_id").count()
       }
     }
+    // ---- label store: fixed batch merged into 1× vs 100× labels ----
+    // Bootstrap each store from its corpus's full pair set, then merge
+    // the SAME fixed batch of new pairs (one doc slice bridged to its
+    // mutated copies). The claim under test: the touched-subgraph
+    // re-converge is batch-proportional — only the pass-through
+    // rewrite is corpus-linear (shuffle-free, documented) — so the
+    // 100× merge should cost far less than 100× the 1× merge.
+    val batchPairs = NearDup.lshCandidatePairs(batchSigs, "doc_id")
+      .localCheckpoint(true) // eager: materialize before batchSigs is freed
     batchSigs.unpersist()
+    for ((corpus, tag) <- Seq((docs1, "x1"), (docs100, s"x$copies"))) {
+      val lpath = s"$out/labels_$tag"
+      hfs.delete(new org.apache.hadoop.fs.Path(lpath), true)
+      hfs.delete(new org.apache.hadoop.fs.Path(lpath + ".old"), true)
+      val corpusPairs = NearDup.lshCandidatePairs(
+        NearDup.minhashSignaturesFused(corpus, "doc_id", col("text")),
+        "doc_id")
+      T(s"labels_bootstrap $tag") {
+        graft.ops.LabelStore.merge(spark, lpath, corpusPairs)
+        0L
+      }
+      T(s"labels_merge_fixed_batch vs $tag corpus") {
+        graft.ops.LabelStore.merge(spark, lpath, batchPairs)
+        graft.ops.LabelStore.read(spark, lpath).count()
+      }
+    }
+    batchPairs.unpersist()
     spark.stop()
   }
 }
