@@ -205,6 +205,13 @@ object NearDup {
     bandedSignatures(sigs, id, numHashes, rowsPerBand, "appendSignatureStore")
       .select(col("__id").as(id), col("__band").as("band"),
         pmod(xxhash64(col("__band")), lit(buckets.toLong)).as("band_bucket"))
+      // one writer task per bucket (the LabelStore discipline): an
+      // un-repartitioned append writes tasks × buckets sliver files
+      // PER TICK of the streaming sink, and probe-side scan cost is
+      // gated on file count. Callers size `buckets` so one bucket of
+      // one batch ≈ one task's rows; `Sinks.compact` handles long-run
+      // accumulation across appends.
+      .repartition(buckets, col("band_bucket"))
       .write.mode("append").partitionBy("band_bucket").parquet(path)
   }
 
