@@ -85,4 +85,45 @@ object SourceMix {
       .withColumn(copyCol, explode(sequence(lit(0L), col("__n") - 1)))
       .drop("__n")
   }
+
+  /** Per-source KL divergence D(P_source ‖ P_corpus) over the unigram
+    * distribution, add-one smoothed on the shared corpus vocabulary —
+    * the mixing diagnostic that tells you how far each source's
+    * language drifts from the blend you are training on. A source with
+    * near-zero KL is redundant with the mix; a high-KL source is the
+    * one whose up/down-weighting (`resampleByWeight`) actually moves
+    * the mixture, and a sudden KL jump on a recurring crawl is the
+    * domain-shift alarm. Smoothing puts both distributions on the full
+    * corpus vocabulary so every log ratio is finite:
+    * p_s(w) = (c_s(w)+1)/(n_s+V),  q(w) = (c(w)+1)/(n+V).
+    *
+    * Output: (source, n_tokens, kl) rounded to 6, one row per source.
+    *
+    * Scale shape: token counts are map-side-combining hash aggs; the
+    * full-support grid is vocab × sources — the honest cost of a KL
+    * with smoothing mass on absent words — built as a broadcast
+    * nested-loop of the tiny per-source totals against the vocab-sized
+    * corpus count table, then one left join picks up the per-source
+    * counts (keyed (source, word), carries 8-byte counts, never text);
+    * grand totals broadcast as one row. */
+  def klDivergence(df: DataFrame, source: Column, text: Column): DataFrame = {
+    val toks = df.select(source.as("source"),
+        explode(NearDup.tokens(text)).as("__wd"))
+      .filter(col("__wd") =!= "")
+    val perSource = toks.groupBy(col("source"), col("__wd"))
+      .agg(count(lit(1)).as("__c"))
+    val corpus = perSource.groupBy(col("__wd")).agg(sum("__c").as("__cw"))
+    val totals = perSource.groupBy(col("source")).agg(sum("__c").as("__n"))
+    val grand = corpus.agg(sum("__cw").as("__nt"), count(lit(1)).as("__v"))
+    val ps = (coalesce(col("__c"), lit(0L)) + 1) /
+      (col("__n") + col("__v")).cast("double")
+    val qw = (col("__cw") + 1) / (col("__nt") + col("__v")).cast("double")
+    corpus.crossJoin(broadcast(totals))
+      .join(perSource, Seq("source", "__wd"), "left")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("__n"), ps.as("__ps"), qw.as("__qw"))
+      .groupBy(col("source"), col("__n"))
+      .agg(round(sum(col("__ps") * log(col("__ps") / col("__qw"))), 6).as("kl"))
+      .select(col("source"), col("__n").as("n_tokens"), col("kl"))
+  }
 }

@@ -361,4 +361,63 @@ object TextAnalysis {
       .join(rebuilt, Seq(id), "left")
       .select(col(id), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Per-document unigram Shannon entropy and its perplexity — the
+    * lexical-diversity quality signal: template spam and keyword
+    * stuffing repeat a few tokens (low entropy) while natural prose
+    * spreads mass across its vocabulary. H = ln n − Σ c·ln c / n over
+    * the doc's token counts (the algebraic form keeps one pass over
+    * the count table; equivalent to −Σ p·ln p), perplexity = e^H =
+    * the "effective vocabulary size" of the document.
+    *
+    * Output: (id, n_tokens, n_distinct, entropy, perplexity) rounded
+    * to 6, one row per doc with >= 1 non-empty token.
+    *
+    * Scale shape: two map-side-combining hash aggs — (id, term)
+    * counts then per-id reduction — nothing wider than the token
+    * stream ever shuffles, and no join at all. */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(id), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+    val h = log(sum("__c")) - sum(col("__c") * log(col("__c"))) / sum("__c")
+    toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(id))
+      .agg(sum("__c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        h.as("__h"))
+      .select(col(id), col("n_tokens"), col("n_distinct"),
+        round(col("__h"), 6).as("entropy"),
+        round(exp(col("__h")), 6).as("perplexity"))
+  }
+
+  /** Per-document novelty: the fraction of the doc's DISTINCT bigrams
+    * first seen in this document (first-seen = minimum id over the
+    * corpus). The contribution score of dedup-aware data valuation —
+    * a doc whose every bigram already appeared earlier in the stream
+    * adds nothing a dedup pass would keep; ranking by novelty_frac
+    * surfaces the documents worth ingesting first. Ids must be
+    * comparable in ingest order for "first seen" to mean "earlier".
+    *
+    * Output: (id, n_bigrams, n_novel, novelty_frac) rounded to 6, one
+    * row per doc with >= 2 non-empty tokens.
+    *
+    * Scale shape: distinct (id, bigram) explode → a map-side min-agg
+    * per bigram (first_seen) → one equi-join back on the bigram →
+    * per-id reduction. Both shuffles are keyed on the bigram/id; the
+    * join carries 8-byte first-seen ids, never text. */
+  def noveltyReport(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val ws = filter(tokens(text), w => w =!= "")
+    val bgs = df
+      .filter(size(ws) >= 2)
+      .select(col(id), explode(NearDup.shinglesFromTokens(ws, 2)).as("__bg"))
+      .distinct()
+    val first = bgs.groupBy(col("__bg")).agg(min(col(id)).as("__first"))
+    bgs.join(first, Seq("__bg"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__first") === col(id), 1L).otherwise(0L)).as("n_novel"))
+      .select(col(id), col("n_bigrams"), col("n_novel"),
+        round(col("n_novel") / col("n_bigrams"), 6).as("novelty_frac"))
+  }
 }

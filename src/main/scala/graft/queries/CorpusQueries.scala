@@ -288,5 +288,32 @@ object CorpusQueries {
           "doc_id", col("text"), buckets = 512)
         .orderBy(col("doc_id"))
     },
+
+    // ---- per-source KL divergence vs the corpus mix ----
+    // D(P_source ‖ P_corpus) over add-one-smoothed unigrams on the
+    // shared corpus vocabulary — the domain-shift / redundancy
+    // diagnostic behind mixture reweighting. Counts are exact
+    // integers on both engines; floats only in the final p·ln(p/q)
+    // sum, rounded to 6dp.
+    Q("q98_kl_divergence",
+      """WITH w AS (SELECT source, unnest(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS wd
+        | FROM documents),
+        |sc AS (SELECT source, wd, CAST(count(*) AS BIGINT) AS c
+        |  FROM w GROUP BY source, wd),
+        |cc AS (SELECT wd, CAST(sum(c) AS BIGINT) AS cw FROM sc GROUP BY wd),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY source),
+        |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS nt,
+        |        CAST(count(*) AS BIGINT) AS v FROM cc),
+        |p AS (SELECT st.source, st.n,
+        |   (coalesce(x.c, 0) + 1) / CAST(st.n + tot.v AS DOUBLE) AS ps,
+        |   (cc.cw + 1) / CAST(tot.nt + tot.v AS DOUBLE) AS qw
+        |  FROM cc CROSS JOIN st CROSS JOIN tot
+        |  LEFT JOIN sc x ON st.source = x.source AND cc.wd = x.wd)
+        |SELECT source, n AS n_tokens, round(sum(ps * ln(ps / qw)), 6) AS kl
+        |FROM p GROUP BY source, n ORDER BY source""".stripMargin) { (s, d) =>
+      SourceMix.klDivergence(t(s, d, "documents"), col("source"), col("text"))
+        .orderBy(col("source"))
+    },
   )
 }

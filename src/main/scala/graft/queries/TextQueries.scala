@@ -343,5 +343,46 @@ object TextQueries {
           "doc_id", col("text"))
         .orderBy(col("doc_id"))
     },
+
+    // ---- per-doc unigram entropy / perplexity (lexical diversity) ----
+    // H = ln n − Σ c·ln c / n, perplexity = e^H ("effective vocab").
+    // Template spam repeats a few tokens → low entropy; both engines
+    // run the same two-level count tables, floats only in the final
+    // ln/exp, rounded to 6dp.
+    Q("q99_token_entropy",
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS wd
+        | FROM documents),
+        |c AS (SELECT doc_id, wd, count(*) AS c FROM w GROUP BY doc_id, wd)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_distinct,
+        | round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+        | round(exp(ln(sum(c)) - sum(c * ln(c)) / sum(c)), 6) AS perplexity
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.tokenEntropy(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- per-doc bigram novelty (contribution score) ----
+    // Fraction of the doc's distinct bigrams FIRST seen here (min
+    // doc_id over the corpus = "earlier in the ingest stream"). The
+    // dedup-aware data-valuation rank: all-seen-before docs score 0.
+    Q("q100_novelty",
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
+        |b AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM
+        |  (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |   FROM w WHERE len(ws) >= 2)),
+        |f AS (SELECT bg, min(doc_id) AS fs FROM b GROUP BY bg)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(CASE WHEN f.fs = b.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | round(sum(CASE WHEN f.fs = b.doc_id THEN 1 ELSE 0 END)
+        |   / CAST(count(*) AS DOUBLE), 6) AS novelty_frac
+        |FROM b JOIN f USING (bg) GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.noveltyReport(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

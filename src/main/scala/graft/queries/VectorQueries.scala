@@ -322,5 +322,33 @@ object VectorQueries {
           "vec_id", "embedding", quant, threshold = 0.3)
         .orderBy(col("train_id"), col("test_id"))
     },
+
+    // ---- leave-one-out k-NN majority-vote classification ----
+    // Every 10th vector runs as a query against the full corpus
+    // (minus itself); 10 nearest by round-6 cosine vote, ties break
+    // count-desc then label-asc. DuckDB's list_cosine_similarity on
+    // DOUBLE-cast lists sums in index order like the native
+    // CosineSimilarity expression — scores match at 6dp.
+    Q("q97_knn_classify",
+      """WITH q AS (SELECT vec_id AS qid,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv, label AS tl
+        | FROM embeddings WHERE vec_id % 10 = 0),
+        |s AS (SELECT qid, tl, e.vec_id AS nid, e.label AS nl,
+        |  round(list_cosine_similarity(qv,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS sc
+        | FROM q, embeddings e WHERE e.vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY qid ORDER BY sc DESC, nid) AS rn FROM s),
+        |v AS (SELECT qid, tl, nl, CAST(count(*) AS BIGINT) AS n_votes
+        | FROM r WHERE rn <= 10 GROUP BY qid, tl, nl),
+        |p AS (SELECT *, row_number() OVER
+        |  (PARTITION BY qid ORDER BY n_votes DESC, nl) AS pr FROM v)
+        |SELECT qid AS vec_id, tl AS true_label, nl AS pred_label, n_votes,
+        | (nl = tl) AS correct
+        |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.vector.KnnClassify.knnClassify(emb, "vec_id", "embedding",
+        "label", emb.filter(col("vec_id") % 10 === 0), k = 10)
+    },
   )
 }

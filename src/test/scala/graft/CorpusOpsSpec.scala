@@ -383,4 +383,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2, "banana", 2L, math.rint(5.0 / 7 * 1e6) / 1e6),
       (3, "cherry", 1L, math.rint(6.0 / 7 * 1e6) / 1e6)))
   }
+
+  // ---- per-source KL divergence ----
+
+  test("klDivergence: non-negative everywhere, divergent source scores above a mirror source") {
+    val df = Seq(
+      // srcA and srcB share the corpus-typical mix; srcC is skewed
+      ("srcA", "x y z x y z x y"), ("srcA", "x y z w"),
+      ("srcB", "x y z x y z y x"), ("srcB", "x y z w"),
+      ("srcC", "q q q q q q q q"), ("srcC", "q q q r"))
+      .toDF("source", "text")
+    val got = SourceMix.klDivergence(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set("srcA", "srcB", "srcC"))
+    assert(got.values.forall(_._2 >= 0.0), "Gibbs: KL >= 0 with shared-support smoothing")
+    assert(got.values.forall(_._1 == 12L))
+    assert(got("srcC")._2 > got("srcA")._2 && got("srcC")._2 > got("srcB")._2,
+      s"skewed source must diverge most: $got")
+  }
+
+  test("klDivergence: a single-source corpus has KL ~ 0 (p equals q up to smoothing)") {
+    val df = Seq(("only", "a b c a b c"), ("only", "d e f"))
+      .toDF("source", "text")
+    val got = SourceMix.klDivergence(df, col("source"), col("text")).collect()
+    assert(got.length == 1)
+    // p_s and q are built from identical counts and identical totals ->
+    // every log ratio is exactly 0
+    assert(got.head.getDouble(2) == 0.0)
+  }
 }

@@ -156,4 +156,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-6)
     assert(e.embed("").forall(_ == 0f))
   }
+
+  // ---- leave-one-out k-NN classification ----
+
+  test("knnClassify: planted clusters classify perfectly, leave-one-out excludes self") {
+    import graft.vector.KnnClassify
+    // 3 tight clusters along distinct axes; cosine separates them fully
+    def jit(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 3) }
+    val rows = (0 until 30).map { i =>
+      val lbl = i % 3
+      val base = Array.tabulate(8)(d => if (d == lbl) 10f else 0f)
+      (i.toLong, jit(base, i), lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val rep = KnnClassify.knnClassify(df, "vec_id", "embedding", "label", df, k = 5)
+    val got = rep.collect()
+    assert(got.length == 30)
+    assert(got.forall(_.getBoolean(4)), "planted clusters must classify perfectly")
+    // unanimous: 9 same-label neighbors remain after self-exclusion, k=5
+    assert(got.forall(_.getLong(3) == 5L))
+  }
+
+  test("knnClassify: self never votes, k larger than corpus degrades gracefully") {
+    import graft.vector.KnnClassify
+    // 2 rows per label; query = corpus. With self excluded, the nearest
+    // neighbor of each row is its twin -> correct; k=10 > corpus-1 keeps
+    // every other row in the vote (4 votes total: 1 twin + 3 others)
+    val df = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0.01f, 0.99f), 1),
+      (4L, Array(0.7f, 0.7f), 2)).toDF("vec_id", "embedding", "label")
+    val rep = KnnClassify.knnClassify(df, "vec_id", "embedding", "label", df, k = 10)
+      .collect()
+    assert(rep.length == 5)
+    // with k >= corpus-1 every query sees exactly corpus-1 = 4 votes in
+    // its window; the vote multiset per query never contains its own id,
+    // so label 2 (singleton) cannot predict itself
+    val lbl2 = rep.find(_.getLong(0) == 4L).get
+    assert(lbl2.getInt(2) != 2, "singleton class must not vote for itself")
+  }
 }

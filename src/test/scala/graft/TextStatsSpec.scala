@@ -95,4 +95,64 @@ class TextStatsSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("text_stats")),
       plan.take(600))
   }
+
+  // ---- tokenEntropy ----
+
+  test("tokenEntropy: uniform doc = ln(distinct), constant doc = 0, empty doc dropped") {
+    val df = Seq(
+      (1L, "a b c d"),        // uniform over 4 -> H = ln 4, ppl = 4
+      (2L, "a a a a"),        // one token -> H = 0, ppl = 1
+      (3L, "a a b b"),        // uniform over 2 -> H = ln 2
+      (4L, ""),               // no tokens -> no row
+      (5L, "   \t ")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.toSeq == Seq(
+      (1L, 4L, 4L, r6(math.log(4)), 4.0),
+      (2L, 4L, 1L, 0.0, 1.0),
+      (3L, 4L, 2L, r6(math.log(2)), 2.0)))
+  }
+
+  test("tokenEntropy is maximal for the uniform distribution (bound H <= ln n_distinct)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // 1e-6 slack: the reported entropy is rounded to 6dp, so a uniform
+    // doc can round UP past ln(n_distinct) by half an ulp of the grid
+    val bad = TextAnalysis.tokenEntropy(docs, "doc_id", col("text"))
+      .filter(col("entropy") > log(col("n_distinct")) + 1e-6 || col("entropy") < 0)
+      .count()
+    assert(bad == 0)
+  }
+
+  // ---- noveltyReport ----
+
+  test("noveltyReport: first doc fully novel, exact copy fully redundant, short docs dropped") {
+    val df = Seq(
+      (1L, "x y z w"),        // 3 bigrams, all first-seen here
+      (2L, "x y z w"),        // exact copy -> novelty 0
+      (3L, "z w q"),          // "z w" seen in doc 1; "w q" new -> 1/2
+      (4L, "solo"),           // < 2 tokens -> no row
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyReport(df, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 1.0),
+      (2L, 3L, 0L, 0.0),
+      (3L, 2L, 1L, 0.5)))
+  }
+
+  test("noveltyReport: every bigram is novel exactly once across the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = TextAnalysis.noveltyReport(docs, "doc_id", col("text"))
+    // sum of novel counts == number of distinct bigrams in the corpus
+    val novel = rep.agg(sum("n_novel")).head.getLong(0)
+    val ws = filter(graft.ops.NearDup.tokens(col("text")), w => w =!= "")
+    val distinctBg = docs
+      .filter(size(ws) >= 2)
+      .select(explode(graft.ops.NearDup.shinglesFromTokens(ws, 2)).as("bg"))
+      .distinct().count()
+    assert(novel == distinctBg)
+  }
 }
