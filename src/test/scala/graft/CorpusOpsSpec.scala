@@ -408,7 +408,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     val got = SourceMix.klDivergence(df, col("source"), col("text")).collect()
     assert(got.length == 1)
     // p_s and q are built from identical counts and identical totals ->
-    // every log ratio is exactly 0
+    // every log ratio is exactly 0, and the analytic absent-word term
+    // is exactly 0 (V == V_s, S_all == S_s)
     assert(got.head.getDouble(2) == 0.0)
+  }
+
+  test("klDivergence analytic decomposition equals the literal full-support grid") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = SourceMix.klDivergence(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // brute-force grid on the driver: every (source, vocab word) pair
+    val rows = docs.select(lower(trim(col("text"))), col("source")).collect()
+    val per = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, Long]]()
+    rows.foreach { r =>
+      val cnt = per.getOrElseUpdate(r.getString(1), scala.collection.mutable.Map())
+      r.getString(0).split("\\s+").filter(_.nonEmpty)
+        .foreach(w => cnt(w) = cnt.getOrElse(w, 0L) + 1)
+    }
+    val corpus = per.values.flatten.groupBy(_._1).map { case (w, cs) => w -> cs.map(_._2).sum }
+    val nt = corpus.values.sum.toDouble
+    val v = corpus.size.toDouble
+    per.foreach { case (src, cnt) =>
+      val ns = cnt.values.sum.toDouble
+      val grid = corpus.map { case (w, cw) =>
+        val ps = (cnt.getOrElse(w, 0L) + 1) / (ns + v)
+        val qw = (cw + 1) / (nt + v)
+        ps * math.log(ps / qw)
+      }.sum
+      assert(math.abs(got(src) - math.rint(grid * 1e6) / 1e6) <= 1e-6,
+        s"$src: analytic ${got(src)} vs grid $grid")
+    }
   }
 }
