@@ -350,5 +350,29 @@ object VectorQueries {
       graft.vector.KnnClassify.knnClassify(emb, "vec_id", "embedding",
         "label", emb.filter(col("vec_id") % 10 === 0), k = 10)
     },
+
+    // ---- cell-bounded k-NN classification (the 100 TB path) ----
+    // Same vote semantics as q97 but candidates come from the shared
+    // two-level quantizer cell join — EVERY row classifies at
+    // O(N·cell) instead of O(Q·N); singleton-cell rows emit nothing
+    // (the knnGraph contract). Oracle rides q79's ranked-pairs CTE.
+    Q("q101_knn_classify_cells",
+      s"""WITH $knnRankedCte,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |top AS (SELECT ia, ib FROM r WHERE rank <= 5),
+        |v AS (SELECT t.ia AS vec_id, la.label AS tl, lb.label AS nl,
+        |  CAST(count(*) AS BIGINT) AS n_votes
+        | FROM top t JOIN lab la ON la.vec_id = t.ia
+        |            JOIN lab lb ON lb.vec_id = t.ib
+        | GROUP BY 1, 2, 3),
+        |p AS (SELECT *, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY n_votes DESC, nl) AS pr FROM v)
+        |SELECT vec_id, tl AS true_label, nl AS pred_label, n_votes,
+        | (nl = tl) AS correct
+        |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.vector.KnnClassify.knnClassifyCells(emb, "vec_id", "embedding",
+        "label", corpusQuantizer(emb), k = 5)
+    },
   )
 }

@@ -196,4 +196,35 @@ class SimilaritySpec extends AnyFunSuite {
     val lbl2 = rep.find(_.getLong(0) == 4L).get
     assert(lbl2.getInt(2) != 2, "singleton class must not vote for itself")
   }
+
+  test("knnClassifyCells under a one-cell quantizer equals exact knnClassify on the full corpus") {
+    import graft.vector.{FlatQuantizer, KnnClassify}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // one centroid -> every row lands in cell 0 -> the cell join IS the
+    // all-pairs candidate set, so the approximate path must reproduce
+    // the exact one bit-for-bit
+    val oneCell = FlatQuantizer(Array(Array.fill(64)(0.1f)))
+    val cells = KnnClassify.knnClassifyCells(emb, "vec_id", "embedding",
+      "label", oneCell, k = 7).collect().toSeq
+    val exact = KnnClassify.knnClassify(emb, "vec_id", "embedding",
+      "label", emb, k = 7).collect().toSeq
+    assert(cells == exact)
+  }
+
+  test("knnClassifyCells: planted clusters with matching centroids classify perfectly") {
+    import graft.vector.{FlatQuantizer, KnnClassify}
+    val rows = (0 until 30).map { i =>
+      val lbl = i % 3
+      val base = Array.tabulate(8)(d => if (d == lbl) 10f else 0f)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 3) }, lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = (0 until 3).map(l =>
+      Array.tabulate(8)(d => if (d == l) 10f else 0f)).toArray
+    val rep = KnnClassify.knnClassifyCells(df, "vec_id", "embedding",
+      "label", FlatQuantizer(cents), k = 5).collect()
+    assert(rep.length == 30)
+    assert(rep.forall(_.getBoolean(4)))
+    assert(rep.forall(_.getLong(3) == 5L)) // unanimous within the cell
+  }
 }
