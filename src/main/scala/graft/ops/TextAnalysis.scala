@@ -401,18 +401,29 @@ object TextAnalysis {
     * Output: (id, n_bigrams, n_novel, novelty_frac) rounded to 6, one
     * row per doc with >= 2 non-empty tokens.
     *
-    * Scale shape: distinct (id, bigram) explode → a map-side min-agg
-    * per bigram (first_seen) → one equi-join back on the bigram →
-    * per-id reduction. Both shuffles are keyed on the bigram/id; the
-    * join carries 8-byte first-seen ids, never text. */
+    * Scale shape: bigrams collapse to 64-bit xxhash keys right after
+    * the explode, so no shuffle ever carries text — exact up to
+    * 64-bit collisions (expected extra merges ≈ V²/2⁶⁵: ~3·10⁻⁴ at
+    * 100 M distinct bigrams; the DuckDB oracle runs string-keyed and
+    * still hash-matches). The first-seen side needs NO distinct
+    * (min is duplicate-insensitive), so it is a pure map-side min
+    * agg over the raw explode; the per-doc side dedups (id, key)
+    * once; they meet in an equi-join on the 8-byte key that carries
+    * only ids. All three shuffles move 16-byte rows. */
   def noveltyReport(df: org.apache.spark.sql.DataFrame, id: String,
       text: Column): org.apache.spark.sql.DataFrame = {
-    val ws = filter(tokens(text), w => w =!= "")
-    val bgs = df
-      .filter(size(ws) >= 2)
-      .select(col(id), explode(NearDup.shinglesFromTokens(ws, 2)).as("__bg"))
-      .distinct()
-    val first = bgs.groupBy(col("__bg")).agg(min(col(id)).as("__first"))
+    // materialize the token array BEFORE the shingle transform — an
+    // inline expression would re-run the regex split inside every
+    // element_at, turning the explode O(tokens²) per doc (the
+    // tokenize-once discipline of shinglesFromTokens/bigramLogProb)
+    val exploded = df
+      .select(col(id), filter(tokens(text), w => w =!= "").as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col(id),
+        explode(NearDup.shinglesFromTokens(col("__ws"), 2)).as("__s"))
+      .select(col(id), xxhash64(col("__s")).as("__bg"))
+    val bgs = exploded.distinct()
+    val first = exploded.groupBy(col("__bg")).agg(min(col(id)).as("__first"))
     bgs.join(first, Seq("__bg"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"),
