@@ -374,5 +374,33 @@ object VectorQueries {
       graft.vector.KnnClassify.knnClassifyCells(emb, "vec_id", "embedding",
         "label", corpusQuantizer(emb), k = 5)
     },
+
+    // ---- confusion matrix of the cell-bounded classifier ----
+    // (true, pred, count, per-true-label share) — the per-class
+    // recall table a user reads before trusting propagated labels.
+    // Wraps q101's vote pipeline in a labels² agg.
+    Q("q102_confusion_matrix",
+      s"""WITH $knnRankedCte,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |top AS (SELECT ia, ib FROM r WHERE rank <= 5),
+        |v AS (SELECT t.ia AS vec_id, la.label AS tl, lb.label AS nl,
+        |  CAST(count(*) AS BIGINT) AS n_votes
+        | FROM top t JOIN lab la ON la.vec_id = t.ia
+        |            JOIN lab lb ON lb.vec_id = t.ib
+        | GROUP BY 1, 2, 3),
+        |p AS (SELECT vec_id, tl, nl FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY n_votes DESC, nl) AS pr FROM v)
+        | WHERE pr = 1),
+        |cm AS (SELECT tl AS true_label, nl AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+        |SELECT true_label, pred_label, n,
+        | round(n / CAST(sum(n) OVER (PARTITION BY true_label) AS DOUBLE), 6)
+        |   AS share
+        |FROM cm ORDER BY true_label, pred_label""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.vector.KnnClassify.confusionMatrix(
+        graft.vector.KnnClassify.knnClassifyCells(emb, "vec_id", "embedding",
+          "label", corpusQuantizer(emb), k = 5))
+    },
   )
 }

@@ -88,4 +88,19 @@ object KnnClassify {
       .select(col(id), col("__tl"), col("__nl"))
     majorityVote(withBoth, id)
   }
+
+  /** Confusion matrix over a classification report (either path):
+    * (true_label, pred_label, n, share) where share is the row's
+    * fraction of its true-label total — the per-class recall
+    * diagonal. One tiny labels² hash agg plus a per-true-label
+    * window over at most |labels|² rows. */
+  def confusionMatrix(report: DataFrame): DataFrame = {
+    val counts = report.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("true_label")
+    counts
+      .select(col("true_label"), col("pred_label"), col("n"),
+        round(col("n") / sum("n").over(w), 6).as("share"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
 }

@@ -226,5 +226,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rep.length == 30)
     assert(rep.forall(_.getBoolean(4)))
     assert(rep.forall(_.getLong(3) == 5L)) // unanimous within the cell
+
+    // confusion matrix of a perfect classifier: diagonal only, share 1
+    val cm = KnnClassify.confusionMatrix(
+      KnnClassify.knnClassifyCells(df, "vec_id", "embedding",
+        "label", FlatQuantizer(cents), k = 5)).collect()
+    assert(cm.length == 3)
+    assert(cm.forall(r => r.getInt(0) == r.getInt(1)))
+    assert(cm.forall(r => r.getLong(2) == 10L && r.getDouble(3) == 1.0))
   }
 }
