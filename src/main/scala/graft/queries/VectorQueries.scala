@@ -324,15 +324,18 @@ object VectorQueries {
     },
 
     // ---- leave-one-out k-NN majority-vote classification ----
-    // Every 10th vector runs as a query against the full corpus
-    // (minus itself); 10 nearest by round-6 cosine vote, ties break
+    // A FIXED 100-vector query sample runs against the full corpus
+    // (minus itself) — fixed, not corpus-proportional, so the exact
+    // path's Q·N cost stays linear in N at every sf (the sample IS
+    // the contract; whole-corpus classification is q101's cell
+    // path); 10 nearest by round-6 cosine vote, ties break
     // count-desc then label-asc. DuckDB's list_cosine_similarity on
     // DOUBLE-cast lists sums in index order like the native
     // CosineSimilarity expression — scores match at 6dp.
     Q("q97_knn_classify",
       """WITH q AS (SELECT vec_id AS qid,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv, label AS tl
-        | FROM embeddings WHERE vec_id % 10 = 0),
+        | FROM embeddings WHERE vec_id < 100),
         |s AS (SELECT qid, tl, e.vec_id AS nid, e.label AS nl,
         |  round(list_cosine_similarity(qv,
         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS sc
@@ -348,7 +351,7 @@ object VectorQueries {
         |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
       val emb = t(s, d, "embeddings")
       graft.vector.KnnClassify.knnClassify(emb, "vec_id", "embedding",
-        "label", emb.filter(col("vec_id") % 10 === 0), k = 10)
+        "label", emb.filter(col("vec_id") < 100), k = 10)
     },
 
     // ---- cell-bounded k-NN classification (the 100 TB path) ----
