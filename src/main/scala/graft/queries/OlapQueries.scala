@@ -232,5 +232,53 @@ object OlapQueries {
             .cast("double").as("running_value"))
         .orderBy(col("user_id"), col("event_id"))
     },
+
+    // ---- six-table star join (the TPC-H Q5 shape) ----
+    // Per-nation revenue from intra-region trade in one year: the
+    // classic snowflake — lineitem (fact) joins orders on the order
+    // key (the one big shuffle pair); supplier and customer are
+    // plain equi-joins so AQE broadcasts them at demo scale and
+    // shuffles on the key at web scale (they grow with SF — only
+    // nation and region are true broadcast dims); the c_nationkey =
+    // s_nationkey constraint rides the customer join. The date gate
+    // filters orders BEFORE any join. Money goes through DECIMAL
+    // before DOUBLE (the q01/q34 discipline).
+    Q("q103_region_revenue",
+      """SELECT n.n_name,
+        | CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |   AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        |   AND c.c_nationkey = s.s_nationkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        | AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = t(s, d, "customer")
+      val su = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA")
+        .groupBy(n("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(20,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -35,6 +35,41 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Shared batch/stream transform: windowed corpus-quality monitor —
+    * the live dashboard a crawl pipeline runs per ingest window and
+    * per source: doc count, mean token count, mean within-doc
+    * duplicate-token fraction, and the keep rate of a Gopher-lite
+    * gate (>= minTokens tokens AND dup fraction <= maxDupFrac). A
+    * keep-rate cliff in one window/source is the crawler-regression
+    * alarm. Every per-doc signal is a PURE projection (fused
+    * `TextStats`-family array exprs, no per-doc aggregation), so the
+    * only stateful operator is the watermarked window agg — state is
+    * bounded by (windows in flight) × (sources), independent of doc
+    * volume. The SAME function serves batch backfills and the live
+    * stream (the `hourlyTypeCounts` discipline). */
+  def qualityMonitor(docs: DataFrame, tsCol: String, source: Column,
+      text: Column, windowDur: String = "1 hour",
+      watermark: String = "2 hours", minTokens: Int = 10,
+      maxDupFrac: Double = 0.6): DataFrame = {
+    import graft.ops.{NearDup, TextAnalysis}
+    val ws = filter(NearDup.tokens(text), w => w =!= "")
+    val nTok = size(ws).cast("long")
+    val dupFrac = TextAnalysis.dupTokenFrac(ws)
+    val keep = nTok >= minTokens && dupFrac <= maxDupFrac
+    docs
+      .select(col(tsCol), source.as("source"), nTok.as("__nt"),
+        dupFrac.as("__df"), keep.as("__keep"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__nt")), 4).as("avg_tokens"),
+        round(avg(col("__df")), 6).as("avg_dup_frac"),
+        round(avg(col("__keep").cast("double")), 6).as("keep_rate"))
+      .select(unix_millis(col("window.start")).as("window_ms"),
+        col("source"), col("n_docs"), col("avg_tokens"),
+        col("avg_dup_frac"), col("keep_rate"))
+  }
 
   /** Bounded-state streaming dedup: the reference keeps its seen-set
     * forever (newscrawler.py:125-127); a stream bounds it with a

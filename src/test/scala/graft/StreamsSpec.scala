@@ -29,6 +29,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("qualityMonitor: streaming over files == same transform in batch; gate splits sources") {
+    val dir = TestSpark.tempDir("qmon")
+    val docs = (0 until 120).map { i =>
+      val src = if (i % 2 == 0) "clean" else "spam"
+      // spam docs are one token repeated (dup frac ~1, fails the gate)
+      val text = if (src == "clean") s"alpha beta gamma delta epsilon zeta eta theta iota kappa t$i"
+        else "dup " * 12
+      (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-01 ${"%02d".format(i % 4)}:10:00"),
+        src, text)
+    }.toDF("doc_id", "tstamp", "src", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    def monitor(df: org.apache.spark.sql.DataFrame) =
+      Streams.qualityMonitor(df, "tstamp", col("src"), col("text"))
+    val batch = monitor(docs).orderBy("window_ms", "source").collect().toSeq
+    val stream = Streams.fileStream(spark, s"$dir/in", docs.schema,
+      maxFilesPerTrigger = 2)
+    val q = monitor(stream).writeStream
+      .outputMode("complete").format("memory").queryName("qmon").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("qmon").orderBy("window_ms", "source").collect().toSeq
+    assert(streamed == batch)
+    // the gate separates the planted cohorts completely
+    val byS = batch.groupBy(_.getString(1))
+    assert(byS("clean").forall(_.getDouble(5) == 1.0))
+    assert(byS("spam").forall(_.getDouble(5) == 0.0))
+    assert(batch.map(_.getLong(2)).sum == 120L)
+  }
+
   test("sessionizeStream closes sessions on gap arrival across micro-batches") {
     val dir = TestSpark.tempDir("sess")
     def f(rows: Seq[(Long, String)], path: String) =
