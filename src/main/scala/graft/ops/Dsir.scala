@@ -76,9 +76,9 @@ object Dsir {
     * each mapped to pmod(first-8-sha256-hex-digits, buckets). */
   def hashedNgramFeatures(text: Column, buckets: Int): Column = {
     val ws = filter(tokens(text), w => w =!= "")
-    val bigrams = when(size(ws) >= 2,
-      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-        (a, b) => concat_ws(" ", a, b)))
+    // the shared shingle helper (CaseWhen evaluates only the taken
+    // branch, so the size guard keeps its sequence() off 1-token rows)
+    val bigrams = when(size(ws) >= 2, NearDup.shinglesFromTokens(ws, 2))
       .otherwise(array().cast("array<string>"))
     transform(concat(ws, bigrams), f =>
       pmod(conv(substring(sha2(f, 256), 1, 8), 16, 10).cast("long"),

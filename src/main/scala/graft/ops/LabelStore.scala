@@ -67,19 +67,22 @@ object LabelStore {
       colA: String = "doc_a", colB: String = "doc_b",
       buckets: Int = 64, maxIterations: Int = 20): Unit = {
     require(buckets >= 1, s"LabelStore.merge: buckets=$buckets")
+    // A pair-less batch is a guaranteed no-op in BOTH branches — no
+    // store yet ⇒ nothing to bootstrap (and a partitioned parquet
+    // write of zero rows emits only _SUCCESS, bricking later reads on
+    // schema inference); store present ⇒ zero touched components, and
+    // without this guard the quiet tick would still pay a full
+    // pass-through rewrite of the corpus-sized label table.
+    if (newPairs.isEmpty) return
     val existing = graft.io.Sinks.readStateOrBackup(spark, path)
+    // the CC result is localCheckpoint-pinned; released after the swap
+    var pinnedCc: Option[DataFrame] = None
     val labels = existing match {
       case None =>
         val boot = NearDup.connectedComponents(newPairs, colA, colB,
             maxIterations)
           .select(col("node"), col("component"))
-        // A pair-less first batch must NOT create the store: a
-        // partitioned parquet write of zero rows emits only _SUCCESS,
-        // and every later read of the then-existing path would die on
-        // schema inference — bricking the streaming sink until the
-        // dir is hand-deleted. No pairs yet ⇒ no labels yet; the
-        // first real batch bootstraps.
-        if (boot.isEmpty) return
+        pinnedCc = Some(boot)
         boot
       case Some(storedRaw) =>
         val stored = storedRaw.select(col("node"), col("component"),
@@ -106,10 +109,14 @@ object LabelStore {
         // edge list eagerly on entry, so `star` (and with it the
         // `touched` pin) is fully consumed once this returns — release
         // the pin here rather than leaking one per streaming tick.
+        // (Dataset.unpersist would be a silent no-op: a localCheckpoint
+        // pins the RDD itself, not a cache-manager entry — the
+        // LogicalRDD's blocks must be unpersisted directly.)
         val sub = NearDup.connectedComponents(
           star.unionByName(newPairs.select(col(colA), col(colB))),
           colA, colB, maxIterations)
-        touched.unpersist()
+        NearDup.freeLocalCheckpoint(touched)
+        pinnedCc = Some(sub)
         // 4. untouched rows pass through; every re-labeled node's old
         // row (if any) sat in a touched component, so the anti join
         // fully covers the replacements
@@ -128,6 +135,9 @@ object LabelStore {
           pmod(xxhash64(col("component")), lit(buckets.toLong)))
         .repartition(buckets, col("comp_bucket")),
       path, partitionBy = Seq("comp_bucket"))
+    // the swap consumed the pinned CC labels — release their blocks
+    // (one label-table pin per streaming tick otherwise)
+    pinnedCc.foreach(NearDup.freeLocalCheckpoint)
   }
 
   /** The current labels: (node, component), crash-recovering through

@@ -410,7 +410,7 @@ object NearDup {
     * at 100 TB label tables that lag is real memory/disk pressure
     * across iterations. The checkpointed plan is a LogicalRDD leaf;
     * unpersist its RDD explicitly. */
-  private[ops] def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

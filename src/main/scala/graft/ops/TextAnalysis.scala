@@ -308,9 +308,8 @@ object TextAnalysis {
     val pairs = df.select(col(id),
         filter(tokens(text), w => w =!= "").as("__ws"))
       .filter(size(col("__ws")) >= 2)
-      .select(col(id), explode(expr(
-        "transform(sequence(0, size(__ws)-2)," +
-          " i -> concat(__ws[i], ' ', __ws[i+1]))")).as("__bg"))
+      .select(col(id),
+        explode(NearDup.shinglesFromTokens(col("__ws"), 2)).as("__bg"))
     val bigramAgg = pairs.groupBy(col(id), col("__bg"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col(id))

@@ -53,13 +53,17 @@ object Streams {
       watermark: String = "2 hours", minTokens: Int = 10,
       maxDupFrac: Double = 0.6): DataFrame = {
     import graft.ops.{NearDup, TextAnalysis}
-    val ws = filter(NearDup.tokens(text), w => w =!= "")
-    val nTok = size(ws).cast("long")
-    val dupFrac = TextAnalysis.dupTokenFrac(ws)
-    val keep = nTok >= minTokens && dupFrac <= maxDupFrac
     docs
-      .select(col(tsCol), source.as("source"), nTok.as("__nt"),
-        dupFrac.as("__df"), keep.as("__keep"))
+      // tokenize ONCE into a materialized column before the array
+      // exprs fan out over it (the dupTokenFrac contract) — inline,
+      // the regex split would re-run per downstream reference
+      .select(col(tsCol), source.as("source"),
+        filter(NearDup.tokens(text), w => w =!= "").as("__ws"))
+      .select(col(tsCol), col("source"),
+        size(col("__ws")).cast("long").as("__nt"),
+        TextAnalysis.dupTokenFrac(col("__ws")).as("__df"))
+      .withColumn("__keep",
+        col("__nt") >= minTokens && col("__df") <= maxDupFrac)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur), col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -220,11 +224,14 @@ object Streams {
         labelsPath.foreach { lp =>
           graft.ops.LabelStore.merge(spark, lp, pinnedPairs,
             buckets = buckets)
-          pinnedPairs.unpersist()
+          // Dataset.unpersist is a no-op on localCheckpoint pins
+          // (RDD blocks, not cache-manager entries) — free directly
+          // or each tick leaks one batch of candidate-pair blocks
+          graft.ops.NearDup.freeLocalCheckpoint(pinnedPairs)
         }
         graft.ops.NearDup.appendSignatureStore(pinned, id, storePath,
           buckets = buckets)
-        pinned.unpersist()
+        graft.ops.NearDup.freeLocalCheckpoint(pinned)
         ()
       }
 

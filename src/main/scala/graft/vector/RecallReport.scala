@@ -75,10 +75,15 @@ object RecallReport {
     val bucketed = Similarity.withLshBucket(corpus, vec, nPlanes, seed)
     // each query explodes to the same probe set annTopK visits:
     // its own bucket plus (multiprobe) the nPlanes hamming-1 buckets
+    // null query vectors (dead-lettered embeds) probe nothing rather
+    // than NPE-ing the whole report — the withLshBucket discipline
     val probesOf = udf { (v: Seq[Float]) =>
-      val qb = Similarity.bucketOf(v, nPlanes, seed)
-      if (multiProbe) (qb +: (0 until nPlanes).map(p => qb ^ (1 << p))).distinct
-      else Seq(qb)
+      if (v == null) Seq.empty[Int]
+      else {
+        val qb = Similarity.bucketOf(v, nPlanes, seed)
+        if (multiProbe) (qb +: (0 until nPlanes).map(p => qb ^ (1 << p))).distinct
+        else Seq(qb)
+      }
     }
     val qprobes = queries.select(col(qid), col(qvec),
       explode(probesOf(col(qvec))).as("lsh_bucket"))
@@ -100,7 +105,8 @@ object RecallReport {
     require(k > 0, "ivfRecallAtK: k must be positive")
     val assigned = Ivf.assignCells(corpus, col(vec), cents)
     val cellsOf = udf { (v: Seq[Float]) =>
-      Ivf.nearestCells(v.toArray, cents, nProbe)
+      if (v == null) Seq.empty[Int]
+      else Ivf.nearestCells(v.toArray, cents, nProbe)
     }
     val qcells = queries.select(col(qid), col(qvec),
       explode(cellsOf(col(qvec))).as("ivf_cell"))

@@ -189,6 +189,16 @@ class GraphSpec extends AnyFunSuite {
     graft.ops.LabelStore.merge(spark, path, pairsDf(Seq.empty), buckets = 8)
     assert(labelSet(graft.ops.LabelStore.read(spark, path)) == oneShot)
 
+    // block-manager hygiene: a merge pins `touched` and the CC result
+    // via localCheckpoint; Dataset.unpersist would be a silent no-op
+    // on those (RDD blocks, not cache entries), so merge must free
+    // them directly — a streaming sink calls this every tick
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.ops.LabelStore.merge(spark, path,
+      pairsDf(Seq((40L, 41L), (3L, 40L))), buckets = 8)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"merge leaked pinned RDDs: $leaked")
+
     // layout supports pruned star pulls: store is partitioned by
     // comp_bucket, and reading one component's bucket scans a strict
     // file subset (the probeSignatureStore treatment). inputFiles
