@@ -89,9 +89,13 @@ object Functions {
   def isoUtc(c: Column): Column =
     date_format(c, "yyyy-MM-dd'T'HH:mm:ssXXX")
 
-  /** F15 — date prefix with today fallback (ref newscrawler.py:404). */
+  /** F15 — date prefix with today fallback (ref newscrawler.py:404).
+    * The reference's `published[:10] if published else today` treats
+    * the EMPTY string as falsy too (real feeds emit published="") —
+    * so both null and '' fall back, not just null. */
   def datePrefix(c: Column): Column =
-    coalesce(substring(c, 1, 10), current_date().cast("string"))
+    when(c.isNull || length(c) === 0, current_date().cast("string"))
+      .otherwise(substring(c, 1, 10))
 
   /** F16 — composite id concat (ref vectorize.py:99). */
   def idConcat(cols: Column*): Column = concat_ws(":", cols: _*)
@@ -106,15 +110,17 @@ object Functions {
   /** Parse one frontmatter key out of a raw `.md` document. Mirrors the
     * reference's per-line `split(':', 1)` loop. */
   def frontmatterValue(doc: Column, key: String): Column = {
-    val fm = regexp_extract(doc, "(?s)^---\\n(.*?)\\n---", 1)
-    val line = regexp_extract(fm, "(?m)^" + java.util.regex.Pattern.quote(key) + ":\\s*(.*)$", 1)
+    // \r?\n: a CRLF-authored corpus must parse, not silently yield
+    // all-null keys (the reference's per-line strip handles CRLF)
+    val fm = regexp_extract(doc, "(?s)^---\\r?\\n(.*?)\\r?\\n---", 1)
+    val line = regexp_extract(fm, "(?m)^" + java.util.regex.Pattern.quote(key) + ":\\s*(.*?)\\r?$", 1)
     when(line === "", lit(null).cast("string")).otherwise(line)
   }
 
   /** Body after the closing fence, trimmed (ref `parts[2].strip()`,
     * article_vectorize.py:89). */
   def frontmatterBody(doc: Column): Column =
-    trim(regexp_extract(doc, "(?s)^---\\n.*?\\n---\\n?(.*)$", 1))
+    trim(regexp_extract(doc, "(?s)^---\\r?\\n.*?\\r?\\n---\\r?\\n?(.*)$", 1))
 
   /** F18 — JSON line parse: from_json with explicit schema. */
   def jsonLine(c: Column, schema: org.apache.spark.sql.types.StructType): Column =

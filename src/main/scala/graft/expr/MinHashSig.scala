@@ -71,7 +71,7 @@ object MinHashSigKernel {
     val toks = v.toLowerCase.trim().toString.split("\\s+", -1)
     val nShingles = toks.length - shingleSize + 1
     if (nShingles <= 0) return null
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = Sha.sha256() // thread-local: no per-row provider lookup
     val mins = new Array[String](numHashes)
     val sb = new java.lang.StringBuilder
     var i = 0

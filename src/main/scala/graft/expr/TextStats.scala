@@ -61,6 +61,13 @@ object TextStatsKernel {
   private def isWs(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
 
+  /** The SQL lower() path (UTF8String) — locale-immune, byte-equal to
+    * the composite `lower(...)` this kernel is spec-pinned against;
+    * default-locale String.toLowerCase would turn "It" into dotless-ı
+    * "ıt" on a tr_TR executor JVM and miss every stopword. */
+  private def lowerSql(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString
+
   def compute(s: String, stop: java.util.HashSet[String]): InternalRow = {
     // pass 1 — raw text, code points: non-ws chars + punctuation
     var charNws = 0L
@@ -97,7 +104,7 @@ object TextStatsKernel {
         if (isWs(c)) {
           if (sb.length > 0) {
             nTokens += 1
-            if (stop.contains(sb.toString.toLowerCase)) stopHits += 1
+            if (stop.contains(lowerSql(sb.toString))) stopHits += 1
             sb.setLength(0)
           }
         } else sb.append(c)
@@ -105,7 +112,7 @@ object TextStatsKernel {
       }
       if (sb.length > 0) {
         nTokens += 1
-        if (stop.contains(sb.toString.toLowerCase)) stopHits += 1
+        if (stop.contains(lowerSql(sb.toString))) stopHits += 1
       }
     }
     new GenericInternalRow(Array[Any](nTokens, charNws, punct, stopHits))

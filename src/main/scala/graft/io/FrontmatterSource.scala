@@ -51,7 +51,17 @@ class FrontmatterSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new FrontmatterTable(schema, keysOf(opts), FrontmatterSource.pathsOf(opts))
+    // supportsExternalMetadata contract: a user-supplied schema (via
+    // .schema(...)) defines the row layout. Its middle fields ARE the
+    // frontmatter keys — deriving keys from the option default here
+    // would emit rows in a different column order and Spark's ordinal
+    // projection would silently mismap every column. An explicit
+    // `keys` option still wins (the schema may rename columns).
+    val keys =
+      if (opts.containsKey("keys") || schema == null || schema.fields.length < 2)
+        keysOf(opts)
+      else schema.fieldNames.toSeq.drop(1).dropRight(1)
+    new FrontmatterTable(schema, keys, FrontmatterSource.pathsOf(opts))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -180,16 +190,22 @@ private[graft] object FrontmatterParse {
   /** → (frontmatter block, body). No fence → ("", whole text). Body is
     * trimmed like the reference's `parts[2].strip()`. */
   def split(text: String): (String, String) = {
-    if (!text.startsWith("---\n")) return ("", text)
-    val rest = text.substring(4)
+    // accept CRLF fences: a Windows-authored corpus must parse, not
+    // silently come back as all-null keys with fenced content
+    val fenceLen =
+      if (text.startsWith("---\n")) 4
+      else if (text.startsWith("---\r\n")) 5
+      else return ("", text)
+    val rest = text.substring(fenceLen)
     val end = rest.indexOf("\n---")
     if (end < 0) return ("", text)
-    val fm = rest.substring(0, end)
+    // a CR before the closing fence belongs to the fence, not the fm
+    val fm = rest.substring(0, end).stripSuffix("\r")
     (fm, rest.substring(end + 4).trim)
   }
 
   def pairs(fm: String): Map[String, String] =
-    fm.split("\n").iterator.flatMap { line =>
+    fm.split("\r?\n").iterator.flatMap { line =>
       val i = line.indexOf(':')
       if (i <= 0) None
       else Some(line.substring(0, i).trim -> line.substring(i + 1).trim)

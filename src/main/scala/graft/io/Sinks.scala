@@ -82,14 +82,16 @@ object Sinks {
     * article_vectorize.py:360-363): updates win, survivors carry over,
     * swap in place. Reads the existing state if present. */
   def mergeInto(spark: SparkSession, statePath: String, updates: DataFrame,
-      key: Seq[String]): DataFrame = {
+      key: Seq[String], deletions: Option[DataFrame] = None): DataFrame = {
     val merged = readStateOrBackup(spark, statePath) match {
       case Some(state) => Dedup.mergeById(state, updates, key)
       case None => updates
     }
+    // CDC deletions ride the same single rewrite as the upserts
+    val kept = deletions.fold(merged)(d => merged.join(d, key, "left_anti"))
     // overwriteInPlace materializes into staging BEFORE swapping, so
     // the plan still reads the old state files while executing
-    overwriteInPlace(merged, statePath)
+    overwriteInPlace(kept, statePath)
     spark.read.parquet(statePath)
   }
 }

@@ -32,7 +32,7 @@ object Multimodal {
   final class StubDecoder extends MediaDecoder {
     override def decode(payload: Array[Byte]): (String, Int, Int, Long) = {
       val bytes = if (payload == null) Array.emptyByteArray else payload
-      val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      val d = graft.expr.Sha.sha256().digest(bytes)
       def u(i: Int) = java.lang.Byte.toUnsignedInt(d(i))
       val format = if (bytes.length >= 2 && bytes(0) == 'P'.toByte) "ppm"
         else if (bytes.nonEmpty && bytes(0) == 0xFF.toByte) "jpeg-ish"
@@ -84,7 +84,7 @@ object Multimodal {
     import org.apache.spark.sql.functions._
     val embedder = new graft.vector.HashEmbedder(dim)
     val f = udf { (payload: Array[Byte]) =>
-      val d = java.security.MessageDigest.getInstance("SHA-256")
+      val d = graft.expr.Sha.sha256()
         .digest(if (payload == null) Array.emptyByteArray else payload)
       embedder.embed(d.map("%02x".format(_)).mkString(" "))
     }
@@ -93,9 +93,14 @@ object Multimodal {
 
   /** Frame sampling: one output row per sampled frame index — the
     * video→frames explosion (a Generator shape, like U1's
-    * video→segments). Pure-plan: sequence + explode, codegen'd. */
+    * video→segments). Pure-plan: sequence + explode, codegen'd.
+    * Zero/negative duration (empty payload, corrupt decode) emits NO
+    * frames — a clamped sequence would fabricate a frame_ms=0 row for
+    * media that has no content. */
   def sampleFrames(df: DataFrame, durationMs: org.apache.spark.sql.Column,
       everyMs: Long): DataFrame =
     df.withColumn("frame_ms",
-      explode(sequence(lit(0L), greatest(durationMs - 1, lit(0L)), lit(everyMs))))
+      explode(when(durationMs > 0,
+          sequence(lit(0L), durationMs - 1, lit(everyMs)))
+        .otherwise(array().cast("array<bigint>"))))
 }

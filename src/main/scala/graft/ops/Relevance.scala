@@ -18,6 +18,9 @@ object Relevance {
   def anyKeyword(text: Column, keywords: Seq[String]): Column = {
     require(keywords.nonEmpty, "empty keyword vocabulary")
     val blob = lower(text)
-    keywords.map(k => blob.contains(k.toLowerCase)).reduce(_ || _)
+    // keyword constants lower via the SQL path too (locale-immune)
+    keywords.map(k => blob.contains(
+      org.apache.spark.unsafe.types.UTF8String.fromString(k)
+        .toLowerCase.toString)).reduce(_ || _)
   }
 }

@@ -38,7 +38,10 @@ object CouncilPipeline {
       .mapPartitions { it =>
         val asr = transcriber()
         it.flatMap { case (name, video) =>
-          asr.transcribe(name, video.getBytes("UTF-8"))
+          // per-row capture: a poison video skips (try/except-continue
+          // discipline), never a task failure
+          try asr.transcribe(name, video.getBytes("UTF-8"))
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
         }
       }.toDF()
   }
@@ -111,6 +114,11 @@ object CouncilPipeline {
     import spark.implicits._
     val withId = rss.filter(col("url").isNotNull)
       .withColumn("id", Functions.sha16(col("url")))
+      // within-batch URL dedup: the reference's in-loop seen.add()
+      // also collapses the same URL arriving via TWO feeds in one run
+      // (newscrawler.py:125-127); without it both rows share one id,
+      // fetch twice, and the downstream merge keeps both forever
+      .dropDuplicates("id")
     val fresh = Dedup.antiJoinSeen(withId, seenIds, withId("id"), seenIds("id"))
     val extracted = fresh.select(col("id"), col("url"), col("source"))
       .as[(String, String, String)]
@@ -120,9 +128,14 @@ object CouncilPipeline {
           .map(r => Enricher.throttled[(String, String, String)](r)(it0))
           .getOrElse(it0)
         val ex = extractor()
-        it.map { case (id, url, source) =>
-          val (title, text) = ex.extract(url)
-          (id, url, source, title, text)
+        it.flatMap { case (id, url, source) =>
+          // per-row capture (the reference's try/except-continue,
+          // newscrawler.py:440): a poison URL is skipped, never a
+          // task failure that a 100 TB job would retry four times
+          try {
+            val (title, text) = ex.extract(url)
+            Some((id, url, source, title, text))
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
       }.toDF("id", "url", "source", "title", "text")
     extracted

@@ -49,13 +49,9 @@ object IncrementalEmbed {
         curr.join(churn, Seq(key)).select(col(key), content.as("__text")),
         col("__text"), embedder)
       .select(col(key), col("embedding"))
-    val merged = Sinks.readStateOrBackup(spark, statePath) match {
-      case Some(state) => Dedup.mergeById(state, updates, Seq(key))
-      case None => updates
-    }
+    // one crash-safe merge-and-swap recipe lives in Sinks.mergeInto —
     // deletions ride the same single rewrite as the upserts
-    Sinks.overwriteInPlace(merged.join(removed, Seq(key), "left_anti"),
-      statePath)
-    spark.read.parquet(statePath)
+    Sinks.mergeInto(spark, statePath, updates, Seq(key),
+      deletions = Some(removed))
   }
 }

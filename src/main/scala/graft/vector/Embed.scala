@@ -23,10 +23,13 @@ trait Embedder extends Serializable {
 final class HashEmbedder(val dim: Int = 384, seed: Long = 42L) extends Embedder {
 
   override def embed(text: String): Array[Float] = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = graft.expr.Sha.sha256() // embed() runs per row in UDFs
     val v = new Array[Float](dim)
+    // UTF8String lower = the SQL lower() path — default-locale
+    // String.toLowerCase would diverge on e.g. a tr_TR executor JVM
     val toks = if (text == null) Array.empty[String]
-      else text.toLowerCase.trim.split("\\s+")
+      else org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        .toLowerCase.trim.toString.split("\\s+")
     var i = 0
     while (i < toks.length) {
       if (toks(i).nonEmpty) {

@@ -105,4 +105,11 @@ class EnrichMultimodalSpec extends AnyFunSuite {
     assert(frames.select("frame_ms").collect().map(_.getLong(0)).toSeq
       == Seq(0L, 1000L, 2000L, 3000L))
   }
+
+  test("frame sampling: zero/negative duration emits no frames, not a phantom frame 0") {
+    val df = Seq((1L, 0L), (2L, -5L), (3L, 1500L)).toDF("id", "dur")
+    val frames = Multimodal.sampleFrames(df, col("dur"), 1000L)
+      .select("id", "frame_ms").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(frames == Seq((3L, 0L), (3L, 1000L)))
+  }
 }

@@ -69,6 +69,34 @@ class FrontmatterSourceSpec extends AnyFunSuite {
     assert(FrontmatterParse.split("---\na: 1\n---\n  B body \n")._2 == "B body")
   }
 
+  test("parser handles CRLF documents (Windows-authored corpus)") {
+    val (fm, body) = FrontmatterParse.split("---\r\na: 1\r\nb: two\r\n---\r\nBody\r\nline 2")
+    assert(FrontmatterParse.pairs(fm) == Map("a" -> "1", "b" -> "two"))
+    assert(body == "Body\r\nline 2")
+    // the Column-expression parsers tolerate CRLF too
+    import spark.implicits._
+    import graft.expr.Functions._
+    val doc = "---\r\nsource: feedX\r\n---\r\nbody here"
+    val row = Seq(doc).toDF("d").select(
+      frontmatterValue(col("d"), "source"), frontmatterBody(col("d"))).head
+    assert(row.getString(0) == "feedX")
+    assert(row.getString(1) == "body here")
+  }
+
+  test("DSv2 honors a user-supplied external schema (keys from its middle fields)") {
+    val dir = TestSpark.tempDir("fmsrc_schema")
+    writeMd(dir, "a.md", "---\nsource: feedA\ntitle: First\n---\nBody A")
+    val df = spark.read
+      .schema("filename STRING, source STRING, title STRING, content STRING")
+      .format("frontmatter").load(dir)
+    val r = df.head
+    // without key derivation from the schema the reader would emit
+    // 7-field default-key rows and ordinal projection would mismap
+    assert(r.getString(1) == "feedA")
+    assert(r.getString(2) == "First")
+    assert(r.getString(3) == "Body A")
+  }
+
   test("DSv2 listing skips hidden/temporary paths") {
     val dir = TestSpark.tempDir("fmhid")
     java.nio.file.Files.createDirectories(

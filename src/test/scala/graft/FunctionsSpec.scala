@@ -56,6 +56,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(onS("q" * 80, c => sanitizeFilename(c)) == "q" * 50)
   }
 
+  test("F15 datePrefix: empty string is falsy like the reference, not a '' prefix") {
+    import spark.implicits._
+    val today = java.time.LocalDate.now.toString
+    val got = Seq(("2024-08-06T10:00:00", ""), (null.asInstanceOf[String], "x"))
+      .toDF("a", "b")
+      .select(datePrefix(col("a")), datePrefix(lit("")), datePrefix(lit(null).cast("string")))
+      .head
+    assert(got.getString(0) == "2024-08-06")
+    assert(got.getString(1) == today) // '' falls back (ref: if published)
+    assert(got.getString(2) == today)
+  }
+
   test("F12 rfc2822 parses valid, null on garbage") {
     assert(onS("Tue, 06 Aug 2024 12:34:56 +0000", rfc2822ToUnix) == 1722947696L)
     // without day-name prefix too (RFC 2822 makes it optional)

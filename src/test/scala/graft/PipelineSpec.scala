@@ -159,16 +159,20 @@ class PipelineSpec extends AnyFunSuite {
     val rss = Seq(
       ("https://n.example/a1-council", "feed1"),
       ("https://n.example/a2-council", "feed1"),
+      // the same URL via a SECOND feed in one run: the reference's
+      // in-loop seen.add() collapses it — one row must survive, or
+      // the downstream merge keeps duplicate ids forever
+      ("https://n.example/a2-council", "feed2"),
       ("https://n.example/a3-other", "feed2"),
       (null.asInstanceOf[String], "feed2")).toDF("url", "source")
     val seenId = graft.expr.Functions.sha16(lit("https://n.example/a1-council"))
     val seen = Seq(1).toDF("x").select(seenId.as("id"))
     val out = CouncilPipeline.crawl(rss, seen,
       () => new Enricher.StubTextExtractor, keywords = Seq("council"))
-    val urls = out.select("url").collect().map(_.getString(0)).toSet
+    val rows = out.select("url").collect().map(_.getString(0)).toSeq
     // a1 seen, a3 fails the keyword filter (stub content echoes the url
-    // basename), null url dropped
-    assert(urls == Set("https://n.example/a2-council"))
+    // basename), null url dropped, duplicate a2 collapsed within-batch
+    assert(rows == Seq("https://n.example/a2-council"))
   }
 
   test("stage4+query: vectorize flattens '|||' metadata, builds ids, search finds self") {
