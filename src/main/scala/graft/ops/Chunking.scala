@@ -79,9 +79,17 @@ object Chunking {
     require(window > 0 && overlap >= 0 && overlap < window,
       s"need 0 <= overlap < window, got window=$window overlap=$overlap")
     val stride = window - overlap
-    df.withColumn("__w", graft.ops.NearDup.tokens(text))
+    // empty/null docs emit NO chunks (a clamped sequence fabricated a
+    // phantom window-token chunk for them), and a start is emitted
+    // only while it adds tokens beyond the previous window's overlap —
+    // the old `<= len-1` bound emitted a final chunk fully CONTAINED
+    // in the previous one whenever the tail was <= overlap
+    df.withColumn("__w",
+        filter(graft.ops.NearDup.tokens(text), w => w =!= ""))
+      .filter(size(col("__w")) >= 1)
       .withColumn("__start",
-        explode(sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)), lit(stride))))
+        explode(sequence(lit(0),
+          greatest(size(col("__w")) - overlap - 1, lit(0)), lit(stride))))
       .select(col(id),
         (col("__start") / stride).cast("long").as("chunk_idx"),
         array_join(slice(col("__w"), col("__start") + 1, lit(window)), " ").as("chunk_text"),

@@ -54,8 +54,18 @@ object Graph {
     val n = nodes.count()
     if (n == 0) {
       // empty edge list: return the empty (node, pagerank) frame rather
-      // than silently folding 1/0 = Infinity into the rank literals
-      val out = nodes.select(col("node"), lit(0.0).as("pagerank"))
+      // than silently folding 1/0 = Infinity into the rank literals.
+      // The frame must NOT lean on the checkpoints being freed below —
+      // a zero-row frame from the session, not a select over `nodes`,
+      // or the caller's first action would hit an unpersisted
+      // checkpoint block.
+      val out = edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            nodes.schema("node").dataType),
+          org.apache.spark.sql.types.StructField("pagerank",
+            org.apache.spark.sql.types.DoubleType))))
       NearDup.freeLocalCheckpoint(e)
       NearDup.freeLocalCheckpoint(nodes)
       return out

@@ -36,6 +36,12 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // the build side is replicated salts-x, so any join type that
+    // preserves unmatched BUILD rows would emit them salts times
+    val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")(jt),
+      s"saltedJoin: joinType '$joinType' preserves unmatched build rows, " +
+        "which the salted replication would multiply - use an unsalted join")
     val saltedProbe = probe.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
     val saltedBuild = build

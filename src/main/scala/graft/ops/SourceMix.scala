@@ -77,8 +77,14 @@ object SourceMix {
     * independent of partitioning. */
   def resampleByWeight(df: DataFrame, key: Column, weight: Column,
       copyCol: String = "copy"): DataFrame = {
+    // SALTED hash: the unsalted bucket is the same one splitLabel /
+    // deterministicSample use, so "resample half" on the same key
+    // would keep exactly a hash-space prefix — 100% of one split and
+    // 0% of another — instead of halving each (the gumbelTopK salt
+    // rationale)
     val nCopies = (floor(weight).cast("long") +
-      when(Sampling.hashBucket(key) < floor((weight - floor(weight)) * 65536)
+      when(Sampling.hashBucket(concat(key.cast("string"), lit(":resample")))
+          < floor((weight - floor(weight)) * 65536)
         .cast("long"), 1L).otherwise(0L)).as("__n")
     df.withColumn("__n", nCopies)
       .filter(col("__n") > 0)

@@ -50,10 +50,10 @@ object CorpusQueries {
     Q("q73_weighted_resample",
       """WITH base AS (SELECT doc_id, source,
         |  CAST(0.25 AS DOUBLE) * (1 + (CAST(substr(source, 4) AS INT) % 8)) AS wt,
-        |  (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)),1,1)) - 1) * 4096
-        |+ (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256
-        |+ (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16
-        |+ (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR)),4,1)) - 1) AS bucket
+        |  (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || ':resample'),1,1)) - 1) * 4096
+        |+ (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || ':resample'),2,1)) - 1) * 256
+        |+ (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || ':resample'),3,1)) - 1) * 16
+        |+ (strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || ':resample'),4,1)) - 1) AS bucket
         | FROM documents),
         |n AS (SELECT doc_id, source,
         |  CAST(floor(wt) AS BIGINT)

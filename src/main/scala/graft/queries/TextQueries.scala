@@ -174,10 +174,12 @@ object TextQueries {
 
     // ---- sliding token-window chunking (RAG splitter, 32-tok/8 overlap) ----
     Q("q63_chunk_tokens",
-      """WITH w AS (SELECT doc_id,
-        |  string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
         |s AS (SELECT doc_id, ws,
-        |  unnest(range(0, greatest(len(ws) - 1, 0) + 1, 24)) AS start FROM w)
+        |  unnest(range(0, greatest(len(ws) - 9, 0) + 1, 24)) AS start
+        | FROM w WHERE len(ws) >= 1)
         |SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
         | array_to_string(list_slice(ws, start + 1, least(start + 32, len(ws))), ' ') AS chunk_text,
         | CAST(least(32, len(ws) - start) AS BIGINT) AS n_tokens

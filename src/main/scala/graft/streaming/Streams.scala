@@ -142,8 +142,19 @@ object Streams {
           var cur = state.getOption
           ts.foreach { t =>
             cur match {
-              case Some(s) if t <= s.endMs + gapMs =>
-                cur = Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+              // within gap of the open session on EITHER side: merge,
+              // extending start downward for cross-batch stragglers
+              // (a bare t <= end+gap would swallow arbitrarily-early
+              // late events into a much later session)
+              case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+                cur = Some(OpenSession(math.min(s.startMs, t),
+                  math.max(s.endMs, t), s.n + 1))
+              // a straggler more than gap BEFORE the open session:
+              // its own closed singleton session (conservative — exact
+              // cross-batch sessionization would buffer every
+              // within-watermark event; in-order flows never hit this)
+              case Some(s) if t < s.startMs - gapMs =>
+                closed += ((k, t, t, 1L))
               case Some(s) =>
                 closed += ((k, s.startMs, s.endMs, s.n))
                 cur = Some(OpenSession(t, t, 1L))
@@ -192,7 +203,19 @@ object Streams {
     * incremental component-label store (`LabelStore.merge`) — the
     * keep/drop decision table stays current per batch without ever
     * re-running connected components over the full pairs log, closing
-    * the last corpus-proportional stage of the loop. */
+    * the last corpus-proportional stage of the loop.
+    *
+    * Idempotence: foreachBatch is AT-LEAST-ONCE — a crash between the
+    * side effects and the streaming commit re-delivers the batch with
+    * the SAME batchId. A per-batch marker under `pairsPath` makes the
+    * fully-processed-but-uncommitted replay (the common case) a
+    * no-op, and pairs land in a per-batch subdirectory written with
+    * overwrite, so even a mid-crash replay cannot double-append them.
+    * The residual window — a replay after signatures appended but
+    * before the marker — re-appends that batch's signature rows;
+    * candidate pairs stay a SET downstream (the probe join dedups
+    * pairs with distinct), so duplicates cost store bytes, never
+    * correctness. */
   def lshDedupSink(docs: DataFrame, id: String, text: String,
       storePath: String, pairsPath: String, checkpoint: String,
       buckets: Int = 64, labelsPath: Option[String] = None): DataStreamWriter[Row] =
@@ -200,38 +223,50 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val sigs = graft.ops.NearDup
-          .minhashSignaturesFused(batch, id, col(text))
-        // localCheckpoint: sign once, reuse for probe AND append
-        val pinned = sigs.localCheckpoint(true)
-        val fs = new org.apache.hadoop.fs.Path(storePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val pairs =
-          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
-            graft.ops.NearDup.probeSignatureStore(spark, storePath, pinned,
-              id, buckets = buckets)
-          else // first tick: no corpus yet, batch joins only itself
-            graft.ops.NearDup.lshCandidatePairs(pinned, id)
-        // pin only when the label merge makes pairs dual-consumer —
-        // the probe join must not run twice, but a labels-off sink
-        // has a single consumer and should not pay eager
-        // materialization + block-manager pinning per tick
-        val pinnedPairs =
-          if (labelsPath.isDefined) pairs.localCheckpoint(true) else pairs
-        pinnedPairs.write.mode("append").parquet(pairsPath)
-        labelsPath.foreach { lp =>
-          graft.ops.LabelStore.merge(spark, lp, pinnedPairs,
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$pairsPath/_committed_batch_$batchId")
+        val mfs = marker.getFileSystem(hconf)
+        // no `return` here: a non-local return from a closure throws
+        if (!mfs.exists(marker)) {
+          val sigs = graft.ops.NearDup
+            .minhashSignaturesFused(batch, id, col(text))
+          // localCheckpoint: sign once, reuse for probe AND append
+          val pinned = sigs.localCheckpoint(true)
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(hconf)
+          val pairs =
+            if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+              graft.ops.NearDup.probeSignatureStore(spark, storePath, pinned,
+                id, buckets = buckets)
+            else // first tick: no corpus yet, batch joins only itself
+              graft.ops.NearDup.lshCandidatePairs(pinned, id)
+          // pin only when the label merge makes pairs dual-consumer —
+          // the probe join must not run twice, but a labels-off sink
+          // has a single consumer and should not pay eager
+          // materialization + block-manager pinning per tick
+          val pinnedPairs =
+            if (labelsPath.isDefined) pairs.localCheckpoint(true) else pairs
+          // per-batch PARTITION dir + overwrite = replay-idempotent;
+          // readers of pairsPath gain a trailing `batch` provenance
+          // column (partition-discovered), pair columns unchanged
+          pinnedPairs.write.mode("overwrite")
+            .parquet(s"$pairsPath/batch=$batchId")
+          labelsPath.foreach { lp =>
+            graft.ops.LabelStore.merge(spark, lp, pinnedPairs,
+              buckets = buckets)
+            // Dataset.unpersist is a no-op on localCheckpoint pins
+            // (RDD blocks, not cache-manager entries) — free directly
+            // or each tick leaks one batch of candidate-pair blocks
+            graft.ops.NearDup.freeLocalCheckpoint(pinnedPairs)
+          }
+          graft.ops.NearDup.appendSignatureStore(pinned, id, storePath,
             buckets = buckets)
-          // Dataset.unpersist is a no-op on localCheckpoint pins
-          // (RDD blocks, not cache-manager entries) — free directly
-          // or each tick leaks one batch of candidate-pair blocks
-          graft.ops.NearDup.freeLocalCheckpoint(pinnedPairs)
+          graft.ops.NearDup.freeLocalCheckpoint(pinned)
+          mfs.create(marker, true).close()
         }
-        graft.ops.NearDup.appendSignatureStore(pinned, id, storePath,
-          buckets = buckets)
-        graft.ops.NearDup.freeLocalCheckpoint(pinned)
         ()
       }
 

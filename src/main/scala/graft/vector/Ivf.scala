@@ -48,7 +48,11 @@ object Ivf {
       .map { c =>
         var d = 0.0
         var i = 0
-        while (i < query.length) {
+        // min-dim guard: the row-side assignment truncates on a
+        // dimension mismatch (embedder change); the query path must
+        // not be the one place that throws instead
+        val n = math.min(query.length, cents(c).length)
+        while (i < n) {
           val t = query(i).toDouble - cents(c)(i).toDouble; d += t * t; i += 1
         }
         (c, d)
@@ -210,9 +214,13 @@ object Ivf {
   def trainCentroids(df: DataFrame, id: String, vec: String, k: Int,
       iters: Int = 5): Array[Array[Float]] = {
     require(k >= 1, "k must be positive")
-    val firstRows = df.orderBy(col(id)).limit(1)
+    // the seed must skip null vectors like the top-up pass does — the
+    // module's contract elsewhere is "null vector keeps a null cell",
+    // and the min-id row being a failed embed must not NPE training
+    val firstRows = df.filter(col(vec).isNotNull).orderBy(col(id)).limit(1)
       .select(col(id).cast("long"), col(vec)).collect()
-    require(firstRows.nonEmpty, "trainCentroids: empty input DataFrame")
+    require(firstRows.nonEmpty,
+      "trainCentroids: empty input DataFrame (or all vectors null)")
     val seed0 = (firstRows(0).getLong(0), firstRows(0).getSeq[Float](1).toArray)
     val cand = scala.collection.mutable.LinkedHashMap(seed0)
     val ell = 4L * k

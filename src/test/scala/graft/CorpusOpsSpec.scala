@@ -270,11 +270,15 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(0L, 1L, 2L))
     // weight 0 -> nothing
     assert(SourceMix.resampleByWeight(df, col("id"), lit(0.0)).count() == 0)
-    // weight 1.25: 1 copy always, +1 exactly when hashBucket < 16384
+    // weight 1.25: 1 copy always, +1 exactly when the SALTED bucket
+    // lands under 16384 (the salt decorrelates resampling from
+    // splitLabel/deterministicSample, which share the unsalted hash)
     val got = SourceMix.resampleByWeight(df, col("id"), lit(1.25))
       .groupBy("id").count()
     val expected = df.select(col("id"),
-      when(Sampling.hashBucket(col("id")) < 16384, 2L).otherwise(1L).as("n"))
+      when(Sampling.hashBucket(
+          concat(col("id").cast("string"), lit(":resample"))) < 16384, 2L)
+        .otherwise(1L).as("n"))
     assert(got.join(expected, Seq("id"))
       .filter(col("count") =!= col("n")).count() == 0)
     // deterministic: a rerun emits the identical multiset

@@ -318,21 +318,33 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("chunkByTokens: sliding windows with overlap, truncated tail") {
-    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "only two"))
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "only two"),
+      (3L, (1 to 11).map(i => s"t$i").mkString(" ")),
+      (4L, ""),                          // no tokens → no chunks
+      (5L, null.asInstanceOf[String]))   // null text → no chunks
       .toDF("doc_id", "text")
     val out = Chunking.chunkByTokens(df, "doc_id", col("text"),
         window = 4, overlap = 2).orderBy("doc_id", "chunk_idx").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-    // doc 1: starts 0,2,4,6,8 → windows of 4 with 2-token overlap
+    // doc 1: starts 0,2,4,6 — a start at 8 would re-emit "t9 t10",
+    // already fully contained in the previous window (tail <= overlap)
     assert(out.filter(_._1 == 1L).toSeq == Seq(
       (1L, 0L, "t1 t2 t3 t4", 4L),
       (1L, 1L, "t3 t4 t5 t6", 4L),
       (1L, 2L, "t5 t6 t7 t8", 4L),
-      (1L, 3L, "t7 t8 t9 t10", 4L),
-      (1L, 4L, "t9 t10", 2L)))      // truncated tail
+      (1L, 3L, "t7 t8 t9 t10", 4L)))
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "only two", 2L)))
+    // doc 3 (11 tokens): the tail exceeds the overlap → truncated chunk
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._3, t._4)).toSeq == Seq(
+      (0L, "t1 t2 t3 t4", 4L), (1L, "t3 t4 t5 t6", 4L),
+      (2L, "t5 t6 t7 t8", 4L), (3L, "t7 t8 t9 t10", 4L),
+      (4L, "t9 t10 t11", 3L)))
+    // empty/null docs emit nothing (no phantom window-token chunk)
+    assert(!out.exists(r => r._1 == 4L || r._1 == 5L))
     // adjacent windows share exactly `overlap` tokens
-    val texts = out.filter(_._1 == 1L).map(_._3.split(" ").toSeq).toSeq
+    val texts = out.filter(_._1 == 3L).map(_._3.split(" ").toSeq).toSeq
     assert(texts.sliding(2).forall { case Seq(a, b) => a.takeRight(2) == b.take(2) })
   }
 

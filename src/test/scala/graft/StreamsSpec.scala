@@ -86,6 +86,35 @@ class StreamsSpec extends AnyFunSuite {
     assert(closed == Seq((1L, t0, t1, 2L)), s"got $closed")
   }
 
+  test("sessionizeStream: a cross-batch straggler far before the open session is NOT folded in") {
+    val dir = TestSpark.tempDir("sesslate")
+    def f(rows: Seq[(Long, String)], path: String) =
+      rows.toDF("user_id", "ts_s")
+        .withColumn("tstamp", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.parquet(path)
+    // batch 1 opens a session at 10:00; batch 2 delivers a late event
+    // at 08:00 — more than the 30-min gap BEFORE the session start.
+    // The old t <= end+gap guard silently merged it (count 2, start
+    // still 10:00); it must surface as its own closed session instead.
+    f(Seq((7L, "2024-01-01 10:00:00")), s"$dir/in/f=1")
+    f(Seq((7L, "2024-01-01 08:00:00")), s"$dir/in/f=2")
+    val schema = spark.read.parquet(s"$dir/in/f=1").schema
+    val stream = Streams.fileStream(spark, s"$dir/in/*/", schema,
+      maxFilesPerTrigger = 1)
+    val sessions = Streams.sessionizeStream(spark, stream, "user_id", "tstamp",
+      watermark = "12 hours")
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("sess_late")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table("sess_late").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val t8 = java.sql.Timestamp.valueOf("2024-01-01 08:00:00").getTime
+    assert(closed == Seq((7L, t8, t8, 1L)), s"got $closed")
+  }
+
   test("stream-static decontamination: arriving docs drop on benchmark overlap") {
     // decontaminate as a streaming stage: the benchmark shingle set is
     // a STATIC broadcastable side; each micro-batch of arriving corpus
@@ -150,6 +179,21 @@ class StreamsSpec extends AnyFunSuite {
         spark.read.parquet(s"$dir/pairs"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(labels == oneShot && labels.nonEmpty)
+
+    // replay idempotence: foreachBatch is at-least-once — re-delivering
+    // already-processed batches (fresh checkpoint, same input) must not
+    // double-append pairs or signatures; the per-batch markers skip them
+    val pairsBefore = spark.read.parquet(s"$dir/pairs").count()
+    val storeBefore = spark.read.parquet(s"$dir/store").count()
+    val q2 = Streams.lshDedupSink(
+      Streams.fileStream(spark, s"$dir/in/*/", base.schema, maxFilesPerTrigger = 1),
+      "doc_id", "text", s"$dir/store", s"$dir/pairs", s"$dir/ckpt2",
+      buckets = 16, labelsPath = Some(s"$dir/labels")).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir/pairs").count() == pairsBefore)
+    assert(spark.read.parquet(s"$dir/store").count() == storeBefore)
+    assert(graft.ops.LabelStore.read(spark, s"$dir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == labels)
   }
 
   test("dedupStream drops duplicate ids even with differing timestamps") {
