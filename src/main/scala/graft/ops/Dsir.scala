@@ -76,9 +76,15 @@ object Dsir {
     * each mapped to pmod(first-8-sha256-hex-digits, buckets). */
   def hashedNgramFeatures(text: Column, buckets: Int): Column = {
     val ws = filter(tokens(text), w => w =!= "")
-    // the shared shingle helper (CaseWhen evaluates only the taken
-    // branch, so the size guard keeps its sequence() off 1-token rows)
-    val bigrams = when(size(ws) >= 2, NearDup.shinglesFromTokens(ws, 2))
+    // zip_with over two slices, NOT shinglesFromTokens: `ws` is an
+    // inline expression inside a Column-returning function (no select
+    // boundary to materialize it behind), and the shingle helper's
+    // per-index element_at would re-run the regex split per bigram —
+    // O(tokens²)/row, measured 5× on q92. zip_with evaluates each
+    // slice (and with it ws) a BOUNDED number of times.
+    val bigrams = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
     transform(concat(ws, bigrams), f =>
       pmod(conv(substring(sha2(f, 256), 1, 8), 16, 10).cast("long"),
