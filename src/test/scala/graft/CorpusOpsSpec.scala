@@ -417,6 +417,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.head.getDouble(2) == 0.0)
   }
 
+  test("round-8 ops tolerate degenerate inputs") {
+    val empty = Seq.empty[(String, String)].toDF("source", "text")
+    assert(SourceMix.klDivergence(empty, col("source"), col("text")).count() == 0)
+    val blank = Seq(("s1", ""), ("s2", "   ")).toDF("source", "text")
+    assert(SourceMix.klDivergence(blank, col("source"), col("text")).count() == 0)
+
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.tokenEntropy(emptyDocs, "doc_id", col("text")).count() == 0)
+    assert(TextAnalysis.noveltyReport(emptyDocs, "doc_id", col("text")).count() == 0)
+    val nullDoc = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextAnalysis.tokenEntropy(nullDoc, "doc_id", col("text")).count() == 0)
+    assert(TextAnalysis.noveltyReport(nullDoc, "doc_id", col("text")).count() == 0)
+
+    import graft.vector.KnnClassify
+    val emb = Seq((0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val noQueries = emb.filter(col("vec_id") < 0)
+    assert(KnnClassify.knnClassify(emb, "vec_id", "embedding", "label",
+      noQueries, k = 3).count() == 0)
+    assert(KnnClassify.confusionMatrix(
+      KnnClassify.knnClassify(emb, "vec_id", "embedding", "label",
+        noQueries, k = 3)).count() == 0)
+    intercept[IllegalArgumentException] {
+      KnnClassify.knnClassify(emb, "vec_id", "embedding", "label", emb, k = 0)
+    }
+  }
+
   test("klDivergence analytic decomposition equals the literal full-support grid") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = SourceMix.klDivergence(docs, col("source"), col("text"))
