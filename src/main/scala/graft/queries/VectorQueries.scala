@@ -405,5 +405,48 @@ object VectorQueries {
         graft.vector.KnnClassify.knnClassifyCells(emb, "vec_id", "embedding",
           "label", corpusQuantizer(emb), k = 5))
     },
+
+    // ---- truncated-dimension recall (the Matryoshka/MRL eval) ----
+    // Retrieval with only the first 16 of 64 components vs full-dim
+    // exact top-10 over a 20-query sample — the report that prices a
+    // dims-proportional index cut. Cosine needs no re-normalization
+    // after the slice; both engines share the round-6 + id-tiebreak
+    // rank discipline.
+    Q("q104_truncated_recall",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        | FROM embeddings WHERE vec_id < 20),
+        |sfull AS (SELECT qid, e.vec_id AS nid,
+        |  round(list_cosine_similarity(list_transform(qv, x -> CAST(x AS DOUBLE)),
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS sc
+        | FROM q, embeddings e),
+        |rfull AS (SELECT qid, nid, row_number() OVER
+        |  (PARTITION BY qid ORDER BY sc DESC, nid) AS rn FROM sfull),
+        |efull AS (SELECT qid, nid FROM rfull WHERE rn <= 10),
+        |strp AS (SELECT qid, e.vec_id AS nid,
+        |  round(list_cosine_similarity(
+        |    list_transform(list_slice(qv, 1, 16), x -> CAST(x AS DOUBLE)),
+        |    list_transform(list_slice(e.embedding, 1, 16), x -> CAST(x AS DOUBLE))), 6) AS sc
+        | FROM q, embeddings e),
+        |rtr AS (SELECT qid, nid, row_number() OVER
+        |  (PARTITION BY qid ORDER BY sc DESC, nid) AS rn FROM strp),
+        |etr AS (SELECT qid, nid FROM rtr WHERE rn <= 10),
+        |tot AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+        | FROM efull GROUP BY qid),
+        |hit AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS n_hits
+        | FROM efull f JOIN etr t ON f.qid = t.qid AND f.nid = t.nid
+        | GROUP BY f.qid)
+        |SELECT tot.qid AS vec_id, n_exact, coalesce(n_hits, 0) AS n_hits,
+        | round(coalesce(n_hits, 0) / CAST(n_exact AS DOUBLE), 4) AS recall
+        |FROM tot LEFT JOIN hit ON tot.qid = hit.qid
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.vector.RecallReport.truncatedDimRecallAtK(emb, "vec_id",
+          "embedding",
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10, dims = 16)
+        .withColumnRenamed("qid", "vec_id")
+        .orderBy(col("vec_id"))
+    },
   )
 }

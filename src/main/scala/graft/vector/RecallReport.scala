@@ -96,6 +96,34 @@ object RecallReport {
       approx, qid, id)
   }
 
+  /** Recall@k of TRUNCATED-dimension retrieval (the Matryoshka/MRL
+    * eval): score with only the first `dims` components of every
+    * vector and report per-query overlap with full-dimension exact
+    * top-k. The decision input for "can we store/serve a 64-dim
+    * prefix of our 768-dim embeddings" — at 100 TB the index is
+    * dims-proportional, so this report prices the recall cost of
+    * each truncation point. Cosine needs no re-normalization after
+    * the slice (it normalizes by the sliced magnitudes). Same shape
+    * as the exact pass: one broadcast nested-loop over the query
+    * sample, per-query top-k window, round-6 + id tie discipline —
+    * fully oracle-checkable (slice is `list_slice` in SQL).
+    * Output: (qid, n_exact, n_hits, recall), one row per query. */
+  def truncatedDimRecallAtK(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String, k: Int, dims: Int,
+      exact: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, "truncatedDimRecallAtK: k must be positive")
+    require(dims > 0, "truncatedDimRecallAtK: dims must be positive")
+    val approx = perQueryTopK(
+      corpus.crossJoin(broadcast(queries.select(col(qid), col(qvec))))
+        .select(col(qid), col(id),
+          round(Similarity.cosineSim(
+            slice(col(vec), 1, dims), slice(col(qvec), 1, dims)), 6)
+            .as("__score")),
+      qid, id, k)
+    reportOf(exact.getOrElse(exactTopK(corpus, id, vec, queries, qid, qvec, k)),
+      approx, qid, id)
+  }
+
   /** Recall@k of the IVF path (`Ivf.ivfTopK`) over a query sample:
     * (qid, n_exact, n_hits, recall), one row per query. */
   def ivfRecallAtK(corpus: DataFrame, id: String, vec: String,

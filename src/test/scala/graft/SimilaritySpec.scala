@@ -235,4 +235,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cm.forall(r => r.getInt(0) == r.getInt(1)))
     assert(cm.forall(r => r.getLong(2) == 10L && r.getDouble(3) == 1.0))
   }
+
+  test("truncatedDimRecallAtK: full-width truncation is exact (recall 1), prefix is within [0,1]") {
+    import graft.vector.RecallReport
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val full = RecallReport.truncatedDimRecallAtK(emb, "vec_id", "embedding",
+      qs, "qid", "qv", k = 5, dims = 64).collect()
+    assert(full.length == 10)
+    assert(full.forall(_.getDouble(3) == 1.0), "dims = full width must reproduce exact top-k")
+    val prefix = RecallReport.truncatedDimRecallAtK(emb, "vec_id", "embedding",
+      qs, "qid", "qv", k = 5, dims = 8).collect()
+    assert(prefix.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // every query finds ITSELF even truncated (self-cosine 1 at any prefix
+    // with nonzero norm) — spot the diagonal surviving
+    assert(prefix.forall(_.getLong(1) == 5L))
+  }
 }
