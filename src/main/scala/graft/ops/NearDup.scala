@@ -644,11 +644,18 @@ object NearDup {
     *
     * Scale shape: windows explode to ~tokens-per-doc rows per doc (the
     * honest cost of stride-1 window hashing — what distributed
-    * exact-substring dedup pays before suffix-automaton tricks); the
-    * doc-frequency aggregation combines map-side on the window text;
-    * only windows with docFreq >= 2 survive into the membership join
-    * (big ⋈ small); the per-doc rollup is one hash agg. Returns
-    * (id, n_rep, first_pos), docs with no repeats omitted. */
+    * exact-substring dedup pays before suffix-automaton tricks); each
+    * window string is collapsed to a 64-bit xxhash64 key IN THE SAME
+    * PROJECTION as the explode, so no exchange ever carries window
+    * text — the doc-frequency agg combines map-side on 8-byte keys
+    * (~8× less shuffle volume than shipping the w-token strings);
+    * only keys with docFreq >= 2 survive into the membership join
+    * (big ⋈ small); the per-doc rollup is one hash agg. A key
+    * collision needs two DISTINCT window strings sharing a 64-bit
+    * hash: at 10^12 distinct windows the expected count is
+    * ~N²/2^65 ≈ 3·10^4 windows mislabeled "repeated" out of 10^12 —
+    * the same accepted trade as `bigramNovelty`'s hashed keys.
+    * Returns (id, n_rep, first_pos), docs with no repeats omitted. */
   def repeatedWindows(df: DataFrame, id: String, text: Column,
       w: Int = 8): DataFrame = {
     require(w >= 2, "repeatedWindows: w must be >= 2")
@@ -656,11 +663,12 @@ object NearDup {
       .filter(size(col("__w")) >= w)
     val wins = toks.select(col(id),
       posexplode(shinglesFromTokens(col("__w"), w)).as(Seq("__pos", "__win")))
-    val rep = wins.groupBy(col("__win"))
+      .select(col(id), col("__pos"), xxhash64(col("__win")).as("__wk"))
+    val rep = wins.groupBy(col("__wk"))
       .agg(countDistinct(col(id)).as("__docs"))
       .filter(col("__docs") >= 2)
-      .select(col("__win"))
-    wins.join(rep, Seq("__win"))
+      .select(col("__wk"))
+    wins.join(rep, Seq("__wk"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_rep"),
         min(col("__pos")).cast("long").as("first_pos"))
@@ -676,12 +684,16 @@ object NearDup {
     * as "" with its token count removed, mirroring
     * `TextAnalysis.removeBoilerplateLines`.
     *
-    * Scale shape: the window-frequency agg is map-side combining on
-    * the window text and only windows above the doc-frequency gate
-    * enter the membership join (big ⋈ small); coverage expansion is a
-    * narrow explode of `w` positions per repeated window; the rebuild
-    * is one hash agg per doc with an array_sort bounded by per-doc
-    * token counts. No UDFs. */
+    * Scale shape: window strings collapse to 64-bit xxhash64 keys in
+    * the explode projection itself (same repair as `repeatedWindows`
+    * — no exchange carries window text; collision math there), the
+    * window-frequency agg map-side-combines on 8-byte keys, and only
+    * keys above the doc-frequency gate enter the membership join
+    * (big ⋈ small); coverage expansion is a narrow explode of `w`
+    * positions per repeated window; the rebuild is one hash agg per
+    * doc with an array_sort bounded by per-doc token counts. No
+    * UDFs. A hash collision removes one innocent w-token window —
+    * acceptable for dedup (Lee et al. likewise hash windows). */
   def removeRepeatedWindows(df: DataFrame, id: String, text: Column,
       w: Int = 8): DataFrame = {
     require(w >= 2, "removeRepeatedWindows: w must be >= 2")
@@ -691,11 +703,12 @@ object NearDup {
     val wins = toks.filter(size(col("__w")) >= w)
       .select(col(id), posexplode(shinglesFromTokens(col("__w"), w))
         .as(Seq("__pos", "__win")))
-    val rep = wins.groupBy(col("__win"))
+      .select(col(id), col("__pos"), xxhash64(col("__win")).as("__wk"))
+    val rep = wins.groupBy(col("__wk"))
       .agg(countDistinct(col(id)).as("__docs"))
       .filter(col("__docs") >= 2)
-      .select(col("__win"))
-    val covered = wins.join(rep, Seq("__win"))
+      .select(col("__wk"))
+    val covered = wins.join(rep, Seq("__wk"))
       .select(col(id),
         explode(sequence(col("__pos"), col("__pos") + lit(w - 1))).as("__p"))
       .distinct()

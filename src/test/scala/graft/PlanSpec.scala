@@ -18,6 +18,35 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** String-typed attributes crossing any shuffle exchange of the
+    * query's physical plan (AQE disabled so the full exchange tree is
+    * inspectable pre-execution). Guards the "no exchange carries
+    * window text" repair on the exact-substring family. */
+  private def shuffledStringAttrs(name: String): Set[String] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Registry.byName(name).fn(spark, sf)
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec =>
+          e.output.filter(_.dataType == StringType).map(_.name)
+      }.flatten.toSet
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q68/q77 exact-substring family: no exchange carries window strings") {
+    // q68 (diagnostic): every shuffle attribute is numeric — doc ids,
+    // positions, and the 64-bit window keys; zero strings.
+    assert(shuffledStringAttrs("q68_repeated_windows").isEmpty)
+    // q77 (removal) must rebuild text, so single tokens and the
+    // rebuilt doc legitimately cross (1× corpus volume) — but never
+    // the exploded w-token window strings (~8× corpus volume).
+    val s77 = shuffledStringAttrs("q77_substring_dedup")
+    assert(s77.subsetOf(Set("__t", "clean_text")), s77.toString)
+  }
+
   test("q02 pushes filters and prunes columns at the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)
