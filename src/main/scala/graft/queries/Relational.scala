@@ -65,9 +65,16 @@ object Relational {
         |WHERE id NOT IN (SELECT id FROM seen) AND length(text) >= 100
         | AND (contains(lower(text),'spark') OR contains(lower(text),'stream') OR contains(lower(text),'vector'))
         |ORDER BY id""".stripMargin) { (s, d) =>
+      // `seen` derives from `docs`, so docs("id")/seen("id") resolve to
+      // ONE attribute — Spark's self-join disambiguation happened to
+      // pick the right sides but warned "trivially true equals
+      // predicate". Alias both sides so the predicate is structurally
+      // unambiguous (AntiJoinSelfLineageSpec pins distinct exprIds).
       val docs = t(s, d, "documents").withColumn("id", sha16(col("text")))
+        .as("fresh")
       val seen = docs.filter(col("doc_id") % 10 === 0).select(col("id"))
-      Dedup.antiJoinSeen(docs, seen, docs("id"), seen("id"))
+        .as("seen")
+      Dedup.antiJoinSeen(docs, seen, col("fresh.id"), col("seen.id"))
         .filter(length(col("text")) >= 100 &&
           Relevance.anyKeyword(col("text"), Seq("spark", "stream", "vector")))
         .select(col("id"), col("source"), preview(col("text")).as("content_preview"))

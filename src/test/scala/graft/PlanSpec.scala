@@ -47,6 +47,29 @@ class PlanSpec extends AnyFunSuite {
     assert(s77.subsetOf(Set("__t", "clean_text")), s77.toString)
   }
 
+  test("q03 anti join keys resolve to DISTINCT attributes (no trivially-true predicate)") {
+    // `seen` derives from `docs`; before the aliasing fix both join
+    // keys resolved to ONE AttributeReference and Spark warned
+    // "Constructing trivially true equals predicate, 'id == id'" —
+    // correct only by the analyzer's self-join rescue. Pin that the
+    // analyzed condition compares two different exprIds.
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    val df = Registry.byName("q03_crawler_slice").fn(spark, sf)
+    val anti = df.queryExecution.analyzed.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }
+    assert(anti.nonEmpty, "expected a LeftAnti join in q03")
+    val eqs = anti.flatMap(_.condition).flatMap(_.collect {
+      case EqualTo(l: AttributeReference, r: AttributeReference) => (l, r)
+    })
+    assert(eqs.nonEmpty, "expected an attribute-equality anti-join key")
+    eqs.foreach { case (l, r) =>
+      assert(l.exprId != r.exprId, s"degenerate self-equality: $l == $r")
+    }
+  }
+
   test("q02 pushes filters and prunes columns at the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)
