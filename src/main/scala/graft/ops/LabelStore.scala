@@ -140,6 +140,26 @@ object LabelStore {
     pinnedCc.foreach(NearDup.freeLocalCheckpoint)
   }
 
+  /** Compact the label store: rewrite every `comp_bucket` partition
+    * into (at most) one file. A merge already funnels each bucket
+    * through one writer task, so steady-state merges keep the store
+    * at ~1 file per bucket — but a store inherited from a different
+    * writer (or a future partial-rewrite optimization) can fragment,
+    * and the signature store's compaction cadence
+    * (`NearDup.compactSignatureStore`) wants a same-shaped analog
+    * here. Same K1 staging swap; GraphSpec asserts read-equivalence
+    * and the file bound. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val store = graft.io.Sinks.readStateOrBackup(spark, path)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"LabelStore.compact: no label store at $path"))
+    val buckets = math.max(1,
+      store.select(countDistinct(col("comp_bucket"))).head().getLong(0).toInt)
+    graft.io.Sinks.overwriteInPlace(
+      store.repartition(buckets, col("comp_bucket")), path,
+      partitionBy = Seq("comp_bucket"))
+  }
+
   /** The current labels: (node, component), crash-recovering through
     * the K1 backup like any swap-managed state. */
   def read(spark: SparkSession, path: String): DataFrame =

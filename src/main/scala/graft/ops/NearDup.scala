@@ -245,6 +245,31 @@ object NearDup {
       .distinct()
   }
 
+  /** Compact the on-disk signature store: rewrite every `band_bucket`
+    * partition into (at most) one file. Append-mode writes add one
+    * file per bucket per batch, so a year of daily ticks leaves 365
+    * slivers per bucket and the probe's partition-pruned scan pays
+    * for every one of them — open cost, not bytes, dominates a
+    * sliver-heavy bucket at any scale. Hash-repartitioning on
+    * `band_bucket` with one task per observed bucket sends ALL rows
+    * of a bucket through one writer, so each partition directory
+    * comes back as a single file; the K1 staging swap keeps a
+    * crashed compaction from losing the store, and the layout
+    * (partitioned parquet, same schema) is byte-compatible with
+    * later appends and probes — GraphSpec asserts probe-equivalence
+    * before/after and the ≤1-file-per-bucket bound. Run it on
+    * whatever cadence keeps files-per-bucket bounded (weekly against
+    * daily appends); it reads and writes the store once. */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val store = spark.read.parquet(path)
+    val buckets = math.max(1,
+      store.select(countDistinct(col("band_bucket"))).head().getLong(0).toInt)
+    graft.io.Sinks.overwriteInPlace(
+      store.repartition(buckets, col("band_bucket")), path,
+      partitionBy = Seq("band_bucket"))
+  }
+
   /** SimHash over the token multiset, `bits` wide (16 or 64). Word
     * hash = first bits/4 sha256 nibbles (nibble 1 most significant);
     * each bit votes ±1 across the document's words; bit set iff the

@@ -165,4 +165,48 @@ class EndToEndSpec extends AnyFunSuite {
     assert(packed.filter(col("pack_id") =!=
       (col("prefix_tokens") / 512).cast("long")).count() == 0)
   }
+
+  test("ten daily ticks with mid-loop store compaction: no result drift") {
+    // The retention story: a store that only ever appends fragments
+    // (one file per bucket per tick), so the production cadence is
+    // ingest…ingest…compact…ingest…. Ten ticks of the batch loop
+    // (probe → append → label merge) with BOTH stores compacted after
+    // tick 5 must end bit-identical to the never-compacted one-shot.
+    val dir = TestSpark.tempDir("tickloop")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val all = graft.ops.NearDup.withMutatedCopies(docs, "doc_id", "text")
+      .select("doc_id", "text").localCheckpoint()
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.NearDup.minhashSignaturesFused(df, "doc_id", col("text"))
+    val sigStore = s"$dir/sigs"
+    val labelStore = s"$dir/labels"
+    val buckets = 8
+    for (tick <- 0 until 10) {
+      val batch = all.filter(pmod(col("doc_id"), lit(10)) === tick)
+      val pairs =
+        if (tick == 0) {
+          graft.ops.NearDup.lshCandidatePairs(sigs(batch), "doc_id")
+        } else {
+          graft.ops.NearDup.probeSignatureStore(spark, sigStore,
+            sigs(batch), "doc_id", buckets = buckets)
+        }
+      graft.ops.LabelStore.merge(spark, labelStore, pairs, buckets = buckets)
+      graft.ops.NearDup.appendSignatureStore(sigs(batch), "doc_id", sigStore,
+        buckets = buckets)
+      if (tick == 5) {
+        graft.ops.NearDup.compactSignatureStore(spark, sigStore)
+        graft.ops.LabelStore.compact(spark, labelStore)
+      }
+    }
+    val survivors = graft.ops.NearDup.dropNearDuplicatesFromLabels(all,
+      "doc_id", graft.ops.LabelStore.read(spark, labelStore))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = graft.ops.NearDup.dropNearDuplicatesTransitive(all, "doc_id",
+      graft.ops.NearDup.lshCandidatePairs(sigs(all), "doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == oneShot && survivors.nonEmpty &&
+      survivors.size < all.count())
+    graft.ops.NearDup.freeLocalCheckpoint(all)
+  }
 }

@@ -307,4 +307,66 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(s2(2L) > s2(1L))
   }
+
+  /** Parquet data files per partition directory under a bucketed
+    * store path (ignores _SUCCESS and the swap's sibling dirs). */
+  private def filesPerBucket(path: String): Map[String, Int] = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+  }
+
+  test("signature-store compaction: ≤1 file per bucket, probe-equivalent, append-compatible") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = graft.ops.NearDup.withMutatedCopies(docs, "doc_id", "text")
+    val copies = base.filter(col("doc_id") >= 1000000)
+    val half = copies.filter(col("doc_id") % 2 === 0)
+    val rest = copies.filter(col("doc_id") % 2 =!= 0)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.NearDup.minhashSignaturesFused(df, "doc_id", col("text"))
+    val dir = s"${TestSpark.tempDir("lshcompact")}/sigs"
+    val buckets = 8
+    // three appends → up to 3 files per bucket
+    graft.ops.NearDup.appendSignatureStore(sigs(docs), "doc_id", dir, buckets = buckets)
+    graft.ops.NearDup.appendSignatureStore(sigs(half), "doc_id", dir, buckets = buckets)
+    def probe() = graft.ops.NearDup.probeSignatureStore(spark, dir, sigs(rest),
+      "doc_id", buckets = buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    assert(before.nonEmpty)
+    assert(filesPerBucket(dir).values.max > 1, "appends should fragment buckets")
+
+    graft.ops.NearDup.compactSignatureStore(spark, dir)
+    val perBucket = filesPerBucket(dir)
+    assert(perBucket.nonEmpty && perBucket.values.max <= 1, perBucket.toString)
+    assert(probe() == before, "compaction changed probe results")
+
+    // the compacted layout accepts further appends and probes them
+    graft.ops.NearDup.appendSignatureStore(sigs(rest), "doc_id", dir, buckets = buckets)
+    val after = graft.ops.NearDup.probeSignatureStore(spark, dir,
+      sigs(half), "doc_id", buckets = buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.nonEmpty)
+  }
+
+  test("label-store compaction: read-equivalent, ≤1 file per bucket, merge-compatible") {
+    val path = s"${TestSpark.tempDir("labelcompact")}/labels"
+    graft.ops.LabelStore.merge(spark, path,
+      Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b"), buckets = 4)
+    graft.ops.LabelStore.merge(spark, path,
+      Seq((2L, 3L), (20L, 21L)).toDF("doc_a", "doc_b"), buckets = 4)
+    def labelSet() = graft.ops.LabelStore.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = labelSet()
+    graft.ops.LabelStore.compact(spark, path)
+    assert(labelSet() == before)
+    val perBucket = filesPerBucket(path)
+    assert(perBucket.nonEmpty && perBucket.values.max <= 1, perBucket.toString)
+    // merges keep working against the compacted store
+    graft.ops.LabelStore.merge(spark, path,
+      Seq((3L, 20L)).toDF("doc_a", "doc_b"), buckets = 4)
+    val after = labelSet()
+    assert(after((21L, 1L)), after.toString) // bridge folded in
+  }
 }
