@@ -67,6 +67,10 @@ object LabelStore {
       colA: String = "doc_a", colB: String = "doc_b",
       buckets: Int = 64, maxIterations: Int = 20): Unit = {
     require(buckets >= 1, s"LabelStore.merge: buckets=$buckets")
+    def dbg(phase: String): Unit = if (sys.env.contains("GRAFT_LS_DEBUG"))
+      println(s"LS $phase jobs=" +
+        spark.sparkContext.statusTracker.getJobIdsForGroup(null).length)
+    dbg("enter")
     // A pair-less batch is a guaranteed no-op in BOTH branches — no
     // store yet ⇒ nothing to bootstrap (and a partitioned parquet
     // write of zero rows emits only _SUCCESS, bricking later reads on
@@ -74,9 +78,22 @@ object LabelStore {
     // without this guard the quiet tick would still pay a full
     // pass-through rewrite of the corpus-sized label table.
     if (newPairs.isEmpty) return
+    dbg("isEmpty")
     val existing = graft.io.Sinks.readStateOrBackup(spark, path)
+    dbg("read")
     // the CC result is localCheckpoint-pinned; released after the swap
     var pinnedCc: Option[DataFrame] = None
+    // AQE is paused for the whole merge: every multi-row relation in
+    // here is batch-bounded by construction (batch nodes, touched
+    // components, pruned star pull — all broadcast probes), so AQE's
+    // per-stage scheduling can't improve a partition boundary but
+    // does turn each materialization into several driver jobs
+    // (measured: 12 jobs → 5 on the merge-path CC preamble alone).
+    // The store-sized relations (pass-through rewrite) flow through
+    // one explicitly-repartitioned write, also AQE-inert.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     val labels = existing match {
       case None =>
         val boot = NearDup.connectedComponents(newPairs, colA, colB,
@@ -93,29 +110,50 @@ object LabelStore {
         // 1. touched components: map-side scan of the store against
         // the (broadcastable) batch node set. Distinct keeps the
         // relation at component cardinality for the semi join below.
+        // NOT checkpointed: its second consumer (the star pull) is
+        // lazy and folds into the CC edge-list materialization — the
+        // join is one broadcast probe of a scan that job runs anyway,
+        // cheaper than a dedicated checkpoint action + pin.
         val touched = stored.join(batchNodes, Seq("node"))
           .select(col("component")).distinct()
-          .localCheckpoint() // consumed twice: bucket ids + star pull
         // 2. the touched components' bucket ids — ≤ `buckets` longs,
         // driver-bounded by construction (probeSignatureStore shape)
         val touchedBuckets = touched
           .select(pmod(xxhash64(col("component")), lit(buckets.toLong)))
           .distinct().collect().map(_.getLong(0))
+        dbg("buckets")
         val star = stored
           .filter(col("comp_bucket").isin(touchedBuckets: _*))
           .join(touched, Seq("component"), "left_semi")
           .select(col("node").as(colA), col("component").as(colB))
-        // 3. re-converge the touched subgraph only. CC checkpoints its
-        // edge list eagerly on entry, so `star` (and with it the
-        // `touched` pin) is fully consumed once this returns — release
-        // the pin here rather than leaking one per streaming tick.
-        // (Dataset.unpersist would be a silent no-op: a localCheckpoint
-        // pins the RDD itself, not a cache-manager entry — the
-        // LogicalRDD's blocks must be unpersisted directly.)
+        // 3. re-converge the touched subgraph only — with the batch's
+        // pairs PRE-CONTRACTED through the stored labels: an endpoint
+        // the store already knows collapses to its component id, so
+        // min-label propagation starts from the contracted graph
+        // instead of re-walking chains the store merged in earlier
+        // batches. Connectivity is preserved (a min-id label table is
+        // a connectivity-preserving contraction — the object
+        // invariant), the joins are map-side broadcast probes of the
+        // batch node set, and each CC round saved is two scheduled
+        // jobs the driver never pays.
+        // The mapping is batch-bounded (stored labels of batch nodes
+        // only), read via the same bucket pruning as the star pull,
+        // and broadcast ONCE — the two probe joins reuse the same
+        // exchange, and a left join against a broadcast build side
+        // stays map-side. Never joins newPairs against the full store
+        // (that would shuffle the corpus per batch).
+        val batchLabels = broadcast(stored
+          .filter(col("comp_bucket").isin(touchedBuckets: _*))
+          .join(batchNodes, Seq("node"))
+          .select(col("node"), col("component")))
+        val contracted = newPairs
+          .join(batchLabels.as("la"), newPairs(colA) === col("la.node"), "left")
+          .join(batchLabels.as("lb"), col(colB) === col("lb.node"), "left")
+          .select(coalesce(col("la.component"), col(colA)).as(colA),
+            coalesce(col("lb.component"), col(colB)).as(colB))
         val sub = NearDup.connectedComponents(
-          star.unionByName(newPairs.select(col(colA), col(colB))),
-          colA, colB, maxIterations)
-        NearDup.freeLocalCheckpoint(touched)
+          star.unionByName(contracted), colA, colB, maxIterations)
+        dbg("cc")
         pinnedCc = Some(sub)
         // 4. untouched rows pass through; every re-labeled node's old
         // row (if any) sat in a touched component, so the anti join
@@ -135,6 +173,8 @@ object LabelStore {
           pmod(xxhash64(col("component")), lit(buckets.toLong)))
         .repartition(buckets, col("comp_bucket")),
       path, partitionBy = Seq("comp_bucket"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    dbg("write")
     // the swap consumed the pinned CC labels — release their blocks
     // (one label-table pin per streaming tick otherwise)
     pinnedCc.foreach(NearDup.freeLocalCheckpoint)

@@ -16,11 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Changed-label deltas at or under this row count are broadcast in
-    * the connected-components loop (≤ ~24 MB collected on the driver);
-    * larger deltas fall back to shuffle joins. */
-  private val BroadcastDeltaRows = 1000000L
-
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
@@ -458,18 +453,25 @@ object NearDup {
     *    front: it is re-read every iteration, and recomputing its
     *    upstream per round (often a full minhash+LSH pipeline) would
     *    dominate the loop.
+    *  - The loop's edge table is checkpointed HASH-PARTITIONED AND
+    *    SORTED on the probe key (`dst`): LogicalRDD carries the
+    *    physical outputPartitioning/outputOrdering across a
+    *    localCheckpoint, so every round's edge join is a fully
+    *    colocated sort-merge join — the edge table is never
+    *    re-shuffled, re-sorted, or broadcast after the one setup
+    *    shuffle. (Stats-based broadcast joins are disabled inside the
+    *    loop: each broadcast exchange is its own scheduled job per
+    *    round, measured as ~half the CC family's job count in r8.)
     *  - INCREMENTAL rounds: a label can only decrease when a
     *    neighbor's label decreased (or its pointer target's, for the
     *    jump term), so each round joins edges against the CHANGED
-    *    labels only. The delta shrinks geometrically; at or under
-    *    `BroadcastDeltaRows` it is broadcast, making the edge join
-    *    map-side — late rounds never shuffle the edge table.
-    *  - One driver action per iteration: the changed-row count rides
+    *    labels only. The delta shrinks geometrically — late rounds
+    *    shuffle a handful of delta rows against the stationary edges.
+    *  - ONE scheduled job per iteration: the changed-row count rides
     *    the checkpoint's own materialization job via an accumulator
     *    (a transformation-side accumulator can over-count on task
     *    retry, but the convergence test is `== 0`, which retries
-    *    cannot flip). The count doubles as next round's
-    *    broadcast-or-shuffle decision for the delta.
+    *    cannot flip).
     *  - Loop shuffles are sized to the materialized edge count (and
     *    AQE paused) rather than the session default: a small graph
     *    must not pay 32-partition exchanges × AQE stage-jobs ×
@@ -491,11 +493,20 @@ object NearDup {
     * (node, component = min id reachable). */
   def connectedComponents(pairs: DataFrame, colA: String = "doc_a",
       colB: String = "doc_b", maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col(colA).as("src"), col(colB).as("dst"))
+    val spark = pairs.sparkSession
+    // The edge count rides the checkpoint's own materialization job
+    // via an accumulator instead of a second count() action — same
+    // treatment as the in-loop change counter. Task retries can
+    // over-count, but the count only sizes loop partitions, where an
+    // over-estimate is harmless.
+    val edgeAcc = spark.sparkContext.longAccumulator("cc_edges")
+    val edgesRaw = pairs.select(col(colA).as("src"), col(colB).as("dst"))
       .unionByName(pairs.select(col(colB).as("src"), col(colA).as("dst")))
       .distinct()
+    val edges = edgesRaw.mapPartitions { rows =>
+      rows.map { r => edgeAcc.add(1L); r }
+    }(org.apache.spark.sql.Encoders.row(edgesRaw.schema))
       .localCheckpoint()
-    val spark = edges.sparkSession
     // Size the loop's shuffles to the (materialized) edge list instead
     // of the session default: iterative shuffles pay per-stage job
     // overhead every round, so a tiny graph must not run 32-partition
@@ -504,20 +515,43 @@ object NearDup {
     // session default is the ceiling. AQE is paused inside the loop —
     // partitions are already right-sized, and each AQE stage would
     // otherwise be its own scheduled job per iteration.
-    val edgeCount = edges.count()
+    val edgeCount = edgeAcc.value.longValue
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1L, math.min(defaultParts.toLong,
       edgeCount / 2000000L + 1L)).toInt
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevAutoBcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     var labels: DataFrame = null
+    var edgesByDst: DataFrame = null
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      // Inside the loop every join is a shuffle join ON PURPOSE: the
+      // edge side below is checkpointed pre-partitioned AND pre-sorted
+      // on the join key, so the per-round sort-merge join is fully
+      // colocated (zero exchange, zero sort on the edge side) and the
+      // delta side shuffles only its own — shrinking — rows. A
+      // stats-chosen broadcast join would be no faster here and costs
+      // a dedicated broadcast-exchange job per round: per-job driver
+      // latency × iterations is exactly what the CC family pays for
+      // on a real cluster (r8 profiling: ~half this family's jobs
+      // were per-round broadcast exchanges).
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // The loop's edge table: re-checkpointed hash-partitioned by the
+      // probe key `dst` and sorted within partitions. LogicalRDD
+      // carries the physical plan's outputPartitioning/outputOrdering
+      // across a localCheckpoint, so every round's edge⋈delta join
+      // reuses this ONE shuffle+sort for all iterations.
+      edgesByDst = edges.repartition(loopParts, col("dst"))
+        .sortWithinPartitions(col("dst"))
+        .localCheckpoint()
+      freeLocalCheckpoint(edges)
       // initialization already IS the first hash-min round: label(x) =
       // min(x, min neighbor) from one groupBy over the checkpointed
       // edges — same single shuffle a distinct-nodes init would cost,
       // one fewer loop iteration
-      var checkpointed = edges.groupBy(col("src"))
+      var checkpointed = edgesByDst.groupBy(col("src"))
         .agg(min(col("dst")).as("__m"))
         .select(col("src").as("node"),
           least(col("src"), col("__m")).as("component"))
@@ -527,11 +561,11 @@ object NearDup {
       // when a neighbor's label decreased, or when its component
       // target's label decreased (pointer jump). So each round joins
       // against the CHANGED labels only — the delta shrinks
-      // geometrically, and once it fits the broadcast threshold the
-      // edge scan is map-side with no edge-table shuffle at all.
-      // Round 1's delta is the full label table (everything "changed"
-      // at initialization), which reproduces the classic full
-      // hash-min round.
+      // geometrically, and the edge side never moves (colocated on
+      // the checkpoint's partitioning), so late rounds shuffle only a
+      // handful of delta rows. Round 1's delta is the full label
+      // table (everything "changed" at initialization), which
+      // reproduces the classic full hash-min round.
       var delta = labels
       var prevChanged = Long.MaxValue
       var iter = 0
@@ -541,15 +575,19 @@ object NearDup {
         require(iter <= maxIterations,
           s"connectedComponents: no fixpoint after $maxIterations iterations " +
             "— raise maxIterations (component diameter exceeds 2^n bound)")
-        val d = if (prevChanged <= BroadcastDeltaRows) broadcast(delta) else delta
-        val viaEdges = edges.as("e")
-          .join(d.as("dd"), col("e.dst") === col("dd.node"))
+        val viaEdges = edgesByDst.as("e")
+          .join(delta.as("dd"), col("e.dst") === col("dd.node"))
           .select(col("e.src").as("node"), col("dd.component").as("__cand"))
         // full pointer jump every round (label ∘ label): must use the
         // WHOLE label table, not the delta — only then does the jump
         // compound (2^t reach) and keep convergence logarithmic in
         // component diameter. The label table is the node set, far
         // smaller than the edge list this round avoids re-joining.
+        // (A label⁴ variant — composing the jump with itself once
+        // more per round — was measured here: it saved only one round
+        // on the sf0.1 graph while its extra node-table joins doubled
+        // the steady-state wall. Reverted; the round count is
+        // diameter-bound, not compounding-bound, on real dup graphs.)
         val viaJump = labels.as("x")
           .join(labels.as("y"), col("x.component") === col("y.node"))
           .select(col("x.node").as("node"), col("y.component").as("__cand"))
@@ -580,14 +618,16 @@ object NearDup {
           .select(col("node"), col("component"))
         prevChanged = changed.value
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          println(s"CC iter=$iter changed=$prevChanged")
+          println(s"CC iter=$iter changed=$prevChanged jobs=" +
+            spark.sparkContext.statusTracker.getJobIdsForGroup(null).length)
         done = prevChanged == 0L
       }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAutoBcast)
     }
-    freeLocalCheckpoint(edges)
+    freeLocalCheckpoint(edgesByDst)
     labels
   }
 

@@ -163,4 +163,44 @@ class PlanSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "jaccardPairs left a cached relation pinned after materialization")
   }
+
+  test("localCheckpoint preserves partitioning+ordering: CC edge join is colocated") {
+    // The CC loop's one-job-per-iteration design rests on LogicalRDD
+    // carrying the physical outputPartitioning/outputOrdering across
+    // Dataset.localCheckpoint: the pre-partitioned, pre-sorted edge
+    // table must join each round with NO exchange and NO sort on the
+    // edge side. Pin that Spark contract here — an upgrade that drops
+    // it would silently re-shuffle the edge table every round.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.functions._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val edges = (1L to 1000L).map(i => (i, i % 97)).toDF("src", "dst")
+        .repartition(4, col("dst")).sortWithinPartitions(col("dst"))
+        .localCheckpoint()
+      val delta = (0L to 96L).toDF("node")
+      val joined = edges.as("e")
+        .join(delta.as("d"), col("e.dst") === col("d.node"))
+      val phys = joined.queryExecution.executedPlan
+      // exactly ONE exchange (the delta side); zero sorts over the
+      // edge output (its checkpoint ordering satisfies the SMJ)
+      val exchanges = phys.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1, s"expected 1 exchange (delta side):\n$phys")
+      assert(!exchanges.head.output.map(_.name).contains("src"),
+        s"edge side re-shuffled — LogicalRDD lost its partitioning:\n$phys")
+      val edgeSorts = phys.collect {
+        case s: SortExec if s.output.map(_.name).contains("src") => s }
+      assert(edgeSorts.isEmpty,
+        s"edge side re-sorted — LogicalRDD lost its ordering:\n$phys")
+      graft.ops.NearDup.freeLocalCheckpoint(edges)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
 }
