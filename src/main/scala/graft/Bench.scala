@@ -36,6 +36,22 @@ import org.apache.spark.sql.SparkSession
   * the machine's known-quiet figure → the query numbers are engine
   * signal; calib inflated or loadavg far above the core count →
   * the run was contended and should be re-taken, not compared.
+  *
+  * Self-defense (the sentinel proves contention; these two guards
+  * reduce it):
+  *  - START GATE: if 1-min loadavg exceeds half the machine's cores
+  *    before the first query, the run warns and waits once
+  *    (`GRAFT_BENCH_LOAD_WAIT_SECS`, default 60) for the box to
+  *    quiet, then proceeds either way — `load_gate` in the JSON
+  *    records what it saw, so a run that started hot says so.
+  *  - PER-QUERY RETRY: `bench_reference.json` (committed, from a
+  *    sentinel-quiet run at the same sf) carries each query's
+  *    last-quiet figure. A timed min exceeding 3× its reference is
+  *    re-run once — transient contention usually clears; a real
+  *    regression doesn't. Rows still 3× over after the retry are
+  *    listed in `contended_rows` with a contemporaneous calib +
+  *    loadavg sample, so the reader knows exactly which numbers to
+  *    distrust instead of guessing from the run total.
   */
 object Bench {
   private val TimedPasses = 2
@@ -64,11 +80,57 @@ object Bench {
         try src.mkString.trim.split("\\s+").take(3).mkString(" ")
         finally src.close()
       } catch { case _: Throwable => "unavailable" }
+    def load1(): Double =
+      try loadavg().split("\\s+")(0).toDouble
+      catch { case _: Throwable => 0.0 }
     calibrate() // untimed: codegen-compile the probe itself
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val loads = scala.collection.mutable.ArrayBuffer.empty[String]
     def sentinel(): Unit = { loads += loadavg(); calibs += calibrate() }
+
+    // --- start gate (see scaladoc) ---
+    val cores = Runtime.getRuntime.availableProcessors
+    val gateThreshold = cores / 2.0
+    val startLoad = load1()
+    var gateWaited = false
+    if (startLoad > gateThreshold) {
+      val waitSecs =
+        sys.env.getOrElse("GRAFT_BENCH_LOAD_WAIT_SECS", "60").toInt
+      System.err.println(f"BENCH: loadavg $startLoad%.2f > cores/2 " +
+        f"($gateThreshold%.1f) before start — waiting ${waitSecs}s once")
+      gateWaited = true
+      Thread.sleep(waitSecs * 1000L)
+    }
+    val gateLoadAfter = load1()
+    if (gateWaited && gateLoadAfter > gateThreshold)
+      System.err.println(f"BENCH: still contended after wait " +
+        f"(loadavg $gateLoadAfter%.2f) — proceeding; treat this run as contended")
     sentinel() // start
+
+    // --- last-quiet reference for the per-query retry (see scaladoc) ---
+    // Jackson ships with Spark; the reference only applies at its own
+    // scale factor (compare by the sf dir's basename).
+    val reference: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_REF", "bench_reference.json"))
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(p))
+        val refSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        if (new java.io.File(refSf).getName != new java.io.File(sfDir).getName)
+          Map.empty
+        else {
+          val qs = root.get("queries")
+          val it = qs.fieldNames()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val k = it.next(); b += k -> qs.get(k).asDouble() }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+    val contendedRows =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
@@ -93,8 +155,18 @@ object Bench {
     val results = queryList.zipWithIndex.map { case ((name, fn), i) =>
       if (i == midAt && i > 0) sentinel() // middle
       coldTotal += runOnce(name, fn) // untimed warmup (cold) pass
-      val timed = Seq.fill(TimedPasses)(runOnce(name, fn))
-      name -> timed.min
+      var best = Seq.fill(TimedPasses)(runOnce(name, fn)).min
+      // per-query contention retry: 3× over the last-quiet reference
+      // is almost always the box, not the code — one more pass usually
+      // lands in a quieter window. Still 3× after the retry → flag the
+      // row with the machine state seen at that moment.
+      for (ref <- reference.get(name) if best > 3 * ref && !errors.contains(name)) {
+        best = math.min(best, runOnce(name, fn))
+        if (best > 3 * ref)
+          contendedRows += name -> (f"min=$best%.2fs ref=$ref%.2fs " +
+            f"calib=${calibrate()}%.3fs loadavg=${loadavg()}")
+      }
+      name -> best
     }
     sentinel() // end
     // JSON string escaping: Spark exception messages routinely quote
@@ -119,10 +191,16 @@ object Bench {
       s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
     val calibJson = calibs.map(num(_, 3)).mkString("[", ",", "]")
     val loadJson = loads.map(jsonStr).mkString("[", ",", "]")
+    val gateJson = s"""{"start_load":${num(startLoad, 2)},""" +
+      s""""threshold":${num(gateThreshold, 1)},"waited":$gateWaited,""" +
+      s""""load_after_wait":${num(gateLoadAfter, 2)}}"""
+    val contendedJson = contendedRows
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
     def line(qs: Iterable[(String, Double)], prec: Int): String = {
       val dict = qs.map { case (k, v) => s"\"" + k + "\":" + num(v, prec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"loadavg":$loadJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"loadavg":$loadJson,"load_gate":$gateJson,"ref_rows":${reference.size},"contended_rows":$contendedJson,"errors":$errJson}"""
     }
     // Full-precision, full-name line goes to a file; stdout gets a line
     // guaranteed to FIT the driver's 2000-char stdout tail (rounds 1-4

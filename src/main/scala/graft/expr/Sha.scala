@@ -13,7 +13,15 @@ private[graft] object Sha {
       java.security.MessageDigest.getInstance("SHA-256")
   }
 
-  /** A reset, ready-to-use digest owned by the calling thread. */
+  /** A reset, ready-to-use digest owned by the calling thread.
+    *
+    * CONTRACT — the instance is SHARED per thread, not per call site:
+    * complete each `update()`…`digest()` sequence before any other
+    * code on this thread may call `sha256()` again. Holding the
+    * returned instance across another `sha256()` call interleaves two
+    * digests on one object and fails SILENTLY (both hashes wrong, no
+    * error). If a computation must hold a digest across foreign
+    * calls, allocate its own via `MessageDigest.getInstance`. */
   def sha256(): java.security.MessageDigest = {
     val d = tl.get()
     d.reset()

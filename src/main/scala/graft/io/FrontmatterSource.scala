@@ -61,6 +61,27 @@ class FrontmatterSource extends TableProvider with DataSourceRegister {
       if (opts.containsKey("keys") || schema == null || schema.fields.length < 2)
         keysOf(opts)
       else schema.fieldNames.toSeq.drop(1).dropRight(1)
+    // The positional contract above (field 0 = filename, middle =
+    // frontmatter keys, last = content) is an ASSUMPTION about a
+    // user-supplied schema — a schema shaped any other way would
+    // silently mismap every column through the ordinal projection.
+    // Validate it loudly instead.
+    if (schema != null) {
+      require(schema.fields.length == keys.size + 2,
+        s"frontmatter: external schema has ${schema.fields.length} fields " +
+          s"but the layout is filename + ${keys.size} key(s) + content = " +
+          s"${keys.size + 2} (keys: ${keys.mkString(", ")}). Pass the " +
+          "frontmatter keys via option(\"keys\", ...) to match.")
+      if (!opts.containsKey("keys")) {
+        require(schema.fields.head.name.equalsIgnoreCase("filename") &&
+          schema.fields.last.name.equalsIgnoreCase("content"),
+          s"frontmatter: external schema must start with 'filename' and " +
+            s"end with 'content' (got '${schema.fields.head.name}' … " +
+            s"'${schema.fields.last.name}') — the middle fields are read " +
+            "as frontmatter keys BY POSITION. To rename columns, pass " +
+            "option(\"keys\", ...) with the real key names.")
+      }
+    }
     new FrontmatterTable(schema, keys, FrontmatterSource.pathsOf(opts))
   }
 

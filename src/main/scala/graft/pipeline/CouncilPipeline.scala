@@ -117,8 +117,18 @@ object CouncilPipeline {
       // within-batch URL dedup: the reference's in-loop seen.add()
       // also collapses the same URL arriving via TWO feeds in one run
       // (newscrawler.py:125-127); without it both rows share one id,
-      // fetch twice, and the downstream merge keeps both forever
-      .dropDuplicates("id")
+      // fetch twice, and the downstream merge keeps both forever.
+      // The survivor is the lexicographic-min row (source first), not
+      // dropDuplicates' arbitrary one: reruns must attribute the
+      // article to the same feed, or the persisted record's `source`
+      // flaps run to run. min over a struct is a total order across
+      // ALL columns, so even same-source duplicates pick one
+      // deterministic winner.
+      .groupBy(col("id"))
+      .agg(min(struct(
+        (col("source") +: rss.columns.filterNot(_ == "source").map(col)): _*))
+        .as("__row"))
+      .select(col("id") +: rss.columns.map(c => col(s"__row.$c")): _*)
     val fresh = Dedup.antiJoinSeen(withId, seenIds, withId("id"), seenIds("id"))
     val extracted = fresh.select(col("id"), col("url"), col("source"))
       .as[(String, String, String)]

@@ -136,30 +136,44 @@ object Streams {
           state.remove()
           Iterator((k, s.startMs, s.endMs, s.n))
         } else {
-          // micro-batch rows are not time-ordered — sort locally
+          // micro-batch rows are not time-ordered — sort locally, then
+          // gap-group WITHIN the batch first: a cluster of late events
+          // that forms its own session merges like the batch semantics
+          // would, instead of fragmenting into per-event singletons.
+          // Only the cross-BATCH straggler case stays conservative
+          // (exact cross-batch sessionization would buffer every
+          // within-watermark event in state; in-order flows never hit
+          // it).
           val ts = rows.map(_._2).toArray.sorted
+          val groups = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+          ts.foreach { t =>
+            if (groups.nonEmpty && t <= groups.last.endMs + gapMs)
+              groups(groups.size - 1) =
+                OpenSession(groups.last.startMs, t, groups.last.n + 1)
+            else groups += OpenSession(t, t, 1L)
+          }
           val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
           var cur = state.getOption
-          ts.foreach { t =>
+          groups.foreach { g =>
             cur match {
               // within gap of the open session on EITHER side: merge,
               // extending start downward for cross-batch stragglers
-              // (a bare t <= end+gap would swallow arbitrarily-early
-              // late events into a much later session)
-              case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
-                cur = Some(OpenSession(math.min(s.startMs, t),
-                  math.max(s.endMs, t), s.n + 1))
-              // a straggler more than gap BEFORE the open session:
-              // its own closed singleton session (conservative — exact
-              // cross-batch sessionization would buffer every
-              // within-watermark event; in-order flows never hit this)
-              case Some(s) if t < s.startMs - gapMs =>
-                closed += ((k, t, t, 1L))
+              // (a bare start <= end+gap would swallow arbitrarily-
+              // early late groups into a much later session)
+              case Some(s) if g.endMs >= s.startMs - gapMs &&
+                  g.startMs <= s.endMs + gapMs =>
+                cur = Some(OpenSession(math.min(s.startMs, g.startMs),
+                  math.max(s.endMs, g.endMs), s.n + g.n))
+              // a whole group more than gap BEFORE the open session:
+              // its own closed LATE session (groups are > gap apart,
+              // so it can't touch even the extended open session)
+              case Some(s) if g.endMs < s.startMs - gapMs =>
+                closed += ((k, g.startMs, g.endMs, g.n))
               case Some(s) =>
                 closed += ((k, s.startMs, s.endMs, s.n))
-                cur = Some(OpenSession(t, t, 1L))
+                cur = Some(g)
               case None =>
-                cur = Some(OpenSession(t, t, 1L))
+                cur = Some(g)
             }
           }
           cur.foreach { s =>

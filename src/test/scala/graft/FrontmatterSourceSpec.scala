@@ -97,6 +97,26 @@ class FrontmatterSourceSpec extends AnyFunSuite {
     assert(r.getString(3) == "Body A")
   }
 
+  test("DSv2 rejects a mis-shaped external schema loudly (no silent ordinal mismap)") {
+    val dir = TestSpark.tempDir("fmsrc_badschema")
+    writeMd(dir, "a.md", "---\nsource: feedA\n---\nBody A")
+    // first/last fields must be filename/content when keys are derived
+    // from the schema — a renamed layout would mismap by position
+    val renamed = intercept[IllegalArgumentException] {
+      spark.read.schema("path STRING, source STRING, body STRING")
+        .format("frontmatter").load(dir).collect()
+    }
+    assert(renamed.getMessage.contains("filename"), renamed.getMessage)
+    // with an explicit keys option the names are free but the ARITY
+    // must match filename + keys + content
+    val arity = intercept[IllegalArgumentException] {
+      spark.read.schema("filename STRING, source STRING, content STRING")
+        .option("keys", "source,title")
+        .format("frontmatter").load(dir).collect()
+    }
+    assert(arity.getMessage.contains("fields"), arity.getMessage)
+  }
+
   test("DSv2 listing skips hidden/temporary paths") {
     val dir = TestSpark.tempDir("fmhid")
     java.nio.file.Files.createDirectories(

@@ -115,6 +115,37 @@ class StreamsSpec extends AnyFunSuite {
     assert(closed == Seq((7L, t8, t8, 1L)), s"got $closed")
   }
 
+  test("sessionizeStream: co-batch stragglers merge into ONE late session, not singletons") {
+    val dir = TestSpark.tempDir("sessgroup")
+    def f(rows: Seq[(Long, String)], path: String) =
+      rows.toDF("user_id", "ts_s")
+        .withColumn("tstamp", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.parquet(path)
+    // batch 1 opens a session at 12:00; batch 2 delivers THREE late
+    // events at 08:00/08:10/08:20 — within the 30-min gap of each
+    // other, all more than gap before the open session. They form one
+    // late session of 3 (batch semantics), not three fragments.
+    f(Seq((9L, "2024-01-01 12:00:00")), s"$dir/in/f=1")
+    f(Seq((9L, "2024-01-01 08:00:00"), (9L, "2024-01-01 08:10:00"),
+      (9L, "2024-01-01 08:20:00")), s"$dir/in/f=2")
+    val schema = spark.read.parquet(s"$dir/in/f=1").schema
+    val stream = Streams.fileStream(spark, s"$dir/in/*/", schema,
+      maxFilesPerTrigger = 1)
+    val sessions = Streams.sessionizeStream(spark, stream, "user_id", "tstamp",
+      watermark = "12 hours")
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("sess_group")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table("sess_group").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val t8 = java.sql.Timestamp.valueOf("2024-01-01 08:00:00").getTime
+    val t820 = java.sql.Timestamp.valueOf("2024-01-01 08:20:00").getTime
+    assert(closed == Seq((9L, t8, t820, 3L)), s"got $closed")
+  }
+
   test("stream-static decontamination: arriving docs drop on benchmark overlap") {
     // decontaminate as a streaming stage: the benchmark shingle set is
     // a STATIC broadcastable side; each micro-batch of arriving corpus
