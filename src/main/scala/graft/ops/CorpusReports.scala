@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distribution reports: lexical diversity, Zipf
+  * rank-frequency shape, and token-length histograms — the per-source
+  * dashboards a data-mix owner reads before trusting a source enough
+  * to train on it. Synthetic/templated/spam sources show up here
+  * before any per-doc gate fires: collapsed type-token ratios, a
+  * too-shallow (or too-steep) Zipf slope, a spiked length histogram.
+  */
+object CorpusReports {
+
+  import NearDup.tokens
+
+  /** Per-source lexical diversity: token totals, distinct unigram and
+    * bigram counts, and their type-token ratios. A natural-language
+    * source holds unigram TTR well under 1 but bigram TTR near 1;
+    * template spam collapses the bigram ratio first (the Gopher
+    * repetition signal, aggregated to source level).
+    *
+    * Scale: one explode per n-gram order, each aggregated with
+    * map-side combine; bigrams become the (source, bigram) distinct
+    * BEFORE counting so the shuffle carries one row per distinct
+    * n-gram, not per occurrence. */
+  def diversityReport(df: DataFrame, source: Column, text: Column,
+      roundTo: Int = 6): DataFrame = {
+    val toks = df.select(source.as("source"),
+        filter(tokens(text), t => t =!= "").as("__w"))
+    val uni = toks.select(col("source"), explode(col("__w")).as("__t"))
+    val uniAgg = uni.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("__t")).as("distinct_unigrams"))
+    val bi = toks
+      .filter(size(col("__w")) >= 2)
+      .select(col("source"), explode(
+        zip_with(slice(col("__w"), lit(1), size(col("__w")) - 1),
+          slice(col("__w"), lit(2), size(col("__w")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("__bg"))
+    val biAgg = bi.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("__bg")).as("distinct_bigrams"))
+    uniAgg.join(biAgg, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("distinct_unigrams"),
+        round(col("distinct_unigrams") / col("n_tokens").cast("double"),
+          roundTo).as("unigram_ttr"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("distinct_bigrams"), lit(0L)).as("distinct_bigrams"),
+        round(coalesce(col("distinct_bigrams") / col("n_bigrams").cast("double"),
+          lit(0.0)), roundTo).as("bigram_ttr"))
+  }
+
+  /** Per-source Zipf fit: least-squares slope of ln(frequency) on
+    * ln(rank) over the top-`topRanks` words (rank = frequency DESC,
+    * word ASC — deterministic under ties). Natural language sits near
+    * −1 (Zipf's law); templated or model-generated text flattens the
+    * head (slope → 0) or collapses to a few tokens (slope ≪ −1), so
+    * the slope is a cheap source-level synthetic-text tell.
+    *
+    * Scale note: the rank window partitions by source, so one task
+    * sorts one source's VOCABULARY (counts, not occurrences) — fine to
+    * tens of millions of types; beyond that, pre-trim with a count
+    * floor before ranking (an under-floor word cannot reach the
+    * top-100 of any corpus with ≥100 common words). */
+  def zipfReport(df: DataFrame, source: Column, text: Column,
+      topRanks: Int = 100, roundTo: Int = 6): DataFrame = {
+    require(topRanks >= 2, s"zipfReport: topRanks=$topRanks needs >= 2 points")
+    val wc = df.select(source.as("source"), explode(tokens(text)).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("source"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__c").desc, col("__t").asc)
+    val ranked = wc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topRanks)
+      .select(col("source"), log(col("__rn").cast("double")).as("__x"),
+        log(col("__c").cast("double")).as("__y"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ranks"),
+        round(covar_pop(col("__y"), col("__x")) / var_pop(col("__x")),
+          roundTo).as("zipf_slope"),
+        round(avg(col("__y")) -
+          covar_pop(col("__y"), col("__x")) / var_pop(col("__x"))
+            * avg(col("__x")), roundTo).as("zipf_intercept"))
+  }
+
+  /** Per-source token-count histogram in power-of-two buckets:
+    * bucket = bit length of the token count (0 for empty docs), i.e.
+    * docs of 2^(b−1)…2^b−1 tokens share bucket b. Integer-exact on
+    * both engines (string length of the binary representation — no
+    * floating log2 at the 2^k boundaries). One map-side projection +
+    * one aggregation. */
+  def tokenLengthHistogram(df: DataFrame, source: Column,
+      text: Column): DataFrame = {
+    val n = size(filter(tokens(text), t => t =!= "")).cast("long")
+    df.select(source.as("source"),
+        when(n <= 0, lit(0)).otherwise(length(bin(n))).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank fusion and diversified re-ranking — the retrieval tail of a
+  * hybrid search stack: BM25 (`ops/Bm25`) and ANN cosine
+  * (`vector/Similarity`, `vector/Ivf`) each produce a candidate pool;
+  * these operators combine pools into one ranking (RRF) or trade
+  * relevance against redundancy (MMR). The reference stops at boolean
+  * keyword relevance (newscrawler.py keyword gate) + vector top-k
+  * (article_vectorize.py query path); fusion is how the two halves are
+  * actually served together.
+  *
+  * CONTRACT — inputs are candidate POOLS, not corpora: each ranking is
+  * a ranker's top-N (N in the hundreds), so the rank windows here run
+  * over pool-sized data. Pass a corpus-sized frame and the global
+  * row_number window becomes a single-task sort — the bounding
+  * happened (or didn't) in the upstream ranker, same contract as
+  * `KnnClassify`'s broadcast query sample.
+  */
+object Fusion {
+
+  /** Reciprocal Rank Fusion (Cormack et al. 2009): each ranker
+    * contributes 1/(k + rank) for every candidate it returned; the
+    * fused score is the sum. Rank-based, so incomparable score scales
+    * (BM25 logs vs cosine) fuse without calibration — the reason RRF
+    * is the default fusion in hybrid search.
+    *
+    * Ranks are assigned per input from (`scoreCol` DESC, id ASC) —
+    * callers round their scores upstream if engine-reproducible
+    * ordering matters (the q74 tie-break lesson). A candidate missing
+    * from a pool simply contributes nothing for that ranker (standard
+    * RRF; no imputed rank). Output: (id, rrf_score, n_rankers),
+    * top-`topK` by (rrf_score DESC, id ASC), score rounded to
+    * `roundTo` BEFORE the cut. */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], id: String,
+      k: Int = 60, topK: Int = 10, scoreCol: String = "score",
+      roundTo: Int = 6): DataFrame = {
+    require(rankings.nonEmpty, "reciprocalRankFusion: no rankings")
+    require(k > 0 && topK > 0, s"reciprocalRankFusion: k=$k topK=$topK")
+    val contribs = rankings.zipWithIndex.map { case (r, i) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(id).asc)
+      r.select(col(id), row_number().over(w).as("__rank"))
+        .select(col(id),
+          (lit(1.0) / (lit(k.toDouble) + col("__rank"))).as(s"__c$i"))
+    }
+    val fused = contribs.reduce((a, b) => a.join(b, Seq(id), "full_outer"))
+    val total = contribs.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0))).reduce(_ + _)
+    val hits = contribs.indices
+      .map(i => when(col(s"__c$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    fused.select(col(id), round(total, roundTo).as("rrf_score"),
+        hits.as("n_rankers"))
+      .orderBy(col("rrf_score").desc, col(id))
+      .limit(topK)
+  }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998):
+    * greedily pick `k` results maximizing
+    * `lambda·relevance − (1−lambda)·max cosine to already-picked` —
+    * the diversified re-rank that stops a near-dup-heavy corpus from
+    * filling the whole result page with one cluster.
+    *
+    * MMR is inherently sequential (each pick conditions the next), so
+    * it runs on the DRIVER over a collected pool: `candidates` is
+    * capped at `maxPool` rows (throws above — this operator re-ranks
+    * a top-N page, it does not scan corpora; the 100 TB work happened
+    * in the ranker that built the pool). Relevance is read from
+    * `scoreCol` (pre-rounded upstream for reproducibility); ties at
+    * every argmax break to the smaller id, so the output is
+    * deterministic. Output: (id, mmr_rank, score). */
+  def mmrRerank(candidates: DataFrame, id: String, vecCol: String,
+      lambda: Double = 0.7, k: Int = 10, scoreCol: String = "score",
+      maxPool: Int = 10000): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"mmrRerank: lambda=$lambda")
+    require(k > 0, s"mmrRerank: k=$k")
+    val spark = candidates.sparkSession
+    val rows = candidates
+      .select(col(id).cast("long"), col(scoreCol).cast("double"), col(vecCol))
+      .limit(maxPool + 1).collect()
+    require(rows.length <= maxPool,
+      s"mmrRerank: candidate pool exceeds maxPool=$maxPool — MMR re-ranks " +
+        "a bounded top-N page; cut the pool in the upstream ranker")
+    final case class Cand(cid: Long, rel: Double, vec: Array[Double])
+    val pool = rows.map { r =>
+      val v = r.getSeq[Any](2) match {
+        case null => Array.empty[Double]
+        case s => s.map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case x => x.toString.toDouble
+        }.toArray
+      }
+      Cand(r.getLong(0), r.getDouble(1), v)
+    }.sortBy(c => (-c.rel, c.cid))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      if (a.length != b.length || a.isEmpty) return 0.0
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (picked.length < math.min(k, pool.length)) {
+      val best = remaining.minBy { c =>
+        val red = if (picked.isEmpty) 0.0 else picked.map(p => cos(c.vec, p.vec)).max
+        val mmr = lambda * c.rel - (1 - lambda) * red
+        (-mmr, c.cid) // max mmr, ties to smaller id
+      }
+      picked += best
+      remaining -= best
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case (c, i) => (c.cid, (i + 1).toLong, c.rel) }.toSeq
+      .toDF(id, "mmr_rank", scoreCol)
+  }
+}

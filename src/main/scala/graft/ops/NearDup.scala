@@ -126,6 +126,35 @@ object NearDup {
       .distinct()
   }
 
+  /** LSH band-planner curve: for a signature of `numHashes` hashes,
+    * every (bands b, rows-per-band r) factorization with its
+    * candidate probability p(J) = 1 − (1 − J^r)^b over a Jaccard grid
+    * (J = i/20, i = 1…19) and the S-curve threshold ≈ (1/b)^(1/r).
+    * This is the design table behind every banding choice in this
+    * file — at 100 TB the bands/rows dial trades recall against
+    * candidate-pair volume, and reading the curve beats re-running
+    * the corpus to find out. Pure arithmetic over two tiny ranges
+    * (≤ divisors × 19 rows) — no data touched.
+    * Output: (bands, rows_per_band, jaccard, p_candidate, threshold). */
+  def lshTuningCurve(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 16, roundTo: Int = 6): DataFrame = {
+    require(numHashes >= 1, s"lshTuningCurve: numHashes=$numHashes")
+    val factor = spark.range(1, numHashes + 1L)
+      .filter(lit(numHashes) % col("id") === 0)
+      .select(col("id").cast("int").as("bands"),
+        (lit(numHashes) / col("id")).cast("int").as("rows_per_band"))
+    val grid = spark.range(1, 20L)
+      .select((col("id") / lit(20.0)).as("jaccard"))
+    factor.crossJoin(grid)
+      .select(col("bands"), col("rows_per_band"), col("jaccard"),
+        round(lit(1.0) - pow(lit(1.0) -
+          pow(col("jaccard"), col("rows_per_band").cast("double")),
+          col("bands").cast("double")), roundTo).as("p_candidate"),
+        round(pow(lit(1.0) / col("bands").cast("double"),
+          lit(1.0) / col("rows_per_band").cast("double")), roundTo)
+          .as("threshold"))
+  }
+
   /** Signature-agreement Jaccard ESTIMATE for LSH candidate pairs:
     * est = (# agreeing minhash components) / numHashes — the standard
     * minhash estimator (each component agrees with probability J, so

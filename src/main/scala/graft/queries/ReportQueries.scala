@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusDiff, CorpusReports, NearDup}
+import Q.t
+
+/** Corpus-governance reports: snapshot diffing for refresh audits,
+  * lexical-diversity and Zipf-shape dashboards (synthetic/template
+  * source tells), token-length histograms, and the LSH band-planner
+  * design curve.
+  */
+object ReportQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- snapshot diff summary (corpus refresh audit) ----
+    // Old snapshot = doc_id % 7 ≠ 0; new = doc_id % 5 ≠ 0 with every
+    // %11 doc edited — a deterministic simulation of a refresh with
+    // adds, drops, and in-place edits. Equality is sha16(content):
+    // only (id, 16-hex, source) ever reaches the join, never text.
+    // The summary is DENSE over the four statuses (columns), so a
+    // source with zero changes still reports changed=0.
+    Q("q106_snapshot_diff",
+      """WITH o AS (SELECT doc_id, substr(sha256(text), 1, 16) AS h, source
+        | FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id, substr(sha256(
+        |   CASE WHEN doc_id % 11 = 0 THEN text || ' [edited v2]' ELSE text END
+        |  ), 1, 16) AS h, source
+        | FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (SELECT coalesce(o.source, n.source) AS source,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        | FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        | CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
+        | CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+        | CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        | CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+        |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [edited v2]"))).otherwise(col("text")))
+      CorpusDiff.diffSummary(old, neu, "doc_id", col("text"), col("source"))
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source"))
+    },
+
+    // ---- per-source lexical diversity (type-token ratios) ----
+    Q("q107_diversity_report",
+      """WITH w AS (SELECT source, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
+        |u AS (SELECT source, unnest(ws) AS t FROM w),
+        |ua AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT t) AS BIGINT) AS distinct_unigrams
+        | FROM u GROUP BY source),
+        |p AS (SELECT source, ws[i] || ' ' || ws[i+1] AS bg FROM
+        |  (SELECT source, ws, unnest(range(1, len(ws))) AS i
+        |   FROM w WHERE len(ws) >= 2)),
+        |ba AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(count(DISTINCT bg) AS BIGINT) AS distinct_bigrams
+        | FROM p GROUP BY source)
+        |SELECT ua.source, n_tokens, distinct_unigrams,
+        | round(distinct_unigrams / CAST(n_tokens AS DOUBLE), 6) AS unigram_ttr,
+        | coalesce(n_bigrams, 0) AS n_bigrams,
+        | coalesce(distinct_bigrams, 0) AS distinct_bigrams,
+        | round(coalesce(distinct_bigrams / CAST(n_bigrams AS DOUBLE), 0), 6) AS bigram_ttr
+        |FROM ua LEFT JOIN ba USING (source) ORDER BY ua.source""".stripMargin) { (s, d) =>
+      CorpusReports.diversityReport(t(s, d, "documents"),
+          col("source"), col("text"))
+        .orderBy(col("source"))
+    },
+
+    // ---- per-source Zipf rank-frequency slope ----
+    Q("q108_zipf_slope",
+      """WITH u AS (SELECT source, unnest(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+        | FROM documents),
+        |wc AS (SELECT source, t, count(*) AS c FROM u GROUP BY source, t),
+        |r AS (SELECT source, c,
+        |  row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS rn
+        | FROM wc),
+        |f AS (SELECT source, ln(CAST(rn AS DOUBLE)) AS x,
+        |  ln(CAST(c AS DOUBLE)) AS y FROM r WHERE rn <= 100)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+        | round(regr_slope(y, x), 6) AS zipf_slope,
+        | round(regr_intercept(y, x), 6) AS zipf_intercept
+        |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      CorpusReports.zipfReport(t(s, d, "documents"),
+          col("source"), col("text"), topRanks = 100)
+        .orderBy(col("source"))
+    },
+
+    // ---- per-source token-length histogram (power-of-two buckets) ----
+    Q("q109_token_histogram",
+      """WITH n AS (SELECT source, len(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS nt
+        | FROM documents)
+        |SELECT source,
+        | CAST(CASE WHEN nt <= 0 THEN 0 ELSE length(bin(nt)) END AS INTEGER) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs
+        |FROM n GROUP BY source, bucket ORDER BY source, bucket""".stripMargin) { (s, d) =>
+      CorpusReports.tokenLengthHistogram(t(s, d, "documents"),
+          col("source"), col("text"))
+        .select(col("source"), col("bucket").cast("int").as("bucket"),
+          col("n_docs"))
+        .orderBy(col("source"), col("bucket"))
+    },
+
+    // ---- LSH band-planner curve (pure design arithmetic) ----
+    Q("q110_lsh_tuning",
+      """WITH f AS (SELECT CAST(b AS INTEGER) AS bands,
+        |  CAST(16 // b AS INTEGER) AS rows_per_band
+        | FROM (SELECT unnest(range(1, 17)) AS b) WHERE 16 % b = 0),
+        |g AS (SELECT i / 20.0 AS jaccard
+        | FROM (SELECT unnest(range(1, 20)) AS i))
+        |SELECT bands, rows_per_band, jaccard,
+        | round(1 - power(1 - power(jaccard, rows_per_band), bands), 6) AS p_candidate,
+        | round(power(1.0 / bands, 1.0 / rows_per_band), 6) AS threshold
+        |FROM f, g ORDER BY bands, jaccard""".stripMargin) { (s, d) =>
+      NearDup.lshTuningCurve(s, numHashes = 16)
+        .orderBy(col("bands"), col("jaccard"))
+    },
+  )
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Bm25, Fusion}
+import graft.vector.Similarity
+import Q.t
+
+/** Hybrid-retrieval queries: rank fusion over the lexical (BM25) and
+  * vector (cosine) rankers, and MMR diversified re-ranking — the
+  * serving tail that combines the engine's two retrieval halves.
+  */
+object RetrievalQueries {
+
+  private def queryVec(s: org.apache.spark.sql.SparkSession, d: String,
+      id: Long): Array[Float] =
+    t(s, d, "embeddings").filter(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- Reciprocal Rank Fusion of BM25 ⊕ cosine pools ----
+    // Lexical pool: q91's BM25 top-50 over documents; vector pool:
+    // q18's exact-cosine top-50 over embeddings (query = vec 0); both
+    // pre-rounded to 6dp so pool ranks reproduce across engines. RRF
+    // k=60 (the Cormack et al. default), fused top-20. A doc missing
+    // from one pool contributes nothing for that ranker — n_rankers
+    // records how many pools carried it.
+    Q("q105_rrf_fusion",
+      """WITH dl AS (SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS dl FROM documents),
+        |tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        | WHERE term IN ('dup','vector','hash') GROUP BY doc_id, term),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |bm AS (SELECT tf.doc_id,
+        |  round(SUM(ln(1.0 + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |    * tf * (CAST(1.2 AS DOUBLE) + 1.0)
+        |    / (tf + CAST(1.2 AS DOUBLE)
+        |       * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS score
+        | FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), tot
+        | GROUP BY tf.doc_id),
+        |lexpool AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+        |lr AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rl FROM lexpool),
+        |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT vec_id AS doc_id,
+        |  round(SUM(x*qx) / (sqrt(SUM(x*x)) * sqrt(SUM(qx*qx))), 6) AS score
+        | FROM u JOIN q USING (i) GROUP BY vec_id),
+        |sempool AS (SELECT doc_id, score FROM cs ORDER BY score DESC, doc_id LIMIT 50),
+        |sr AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rs FROM sempool)
+        |SELECT coalesce(lr.doc_id, sr.doc_id) AS doc_id,
+        | round(coalesce(1.0/(60+rl), 0) + coalesce(1.0/(60+rs), 0), 6) AS rrf_score,
+        | (CASE WHEN rl IS NOT NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN rs IS NOT NULL THEN 1 ELSE 0 END) AS n_rankers
+        |FROM lr FULL OUTER JOIN sr ON lr.doc_id = sr.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val lex = Bm25.bm25TopK(t(s, d, "documents"), "doc_id", col("text"),
+          Seq("dup", "vector", "hash"), k = 50)
+        .select(col("doc_id"), col("score"))
+      val sem = Similarity.topK(t(s, d, "embeddings"), "vec_id", "embedding",
+          queryVec(s, d, 0), 50)
+        .withColumnRenamed("vec_id", "doc_id")
+      Fusion.reciprocalRankFusion(Seq(lex, sem), "doc_id", k = 60, topK = 20)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    },
+
+    // ---- MMR diversified re-rank of a cosine pool ----
+    // Non-SQL-expressible (the greedy is sequential); FusionSpec pins
+    // the semantics (near-dup suppression, lambda extremes, ties) and
+    // the driver records the rows-only check. Pool = exact-cosine
+    // top-30 for query vec 0, re-ranked to 10 at lambda 0.7.
+    Q.noOracle("q111_mmr_rerank") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val pool = Similarity.topK(emb, "vec_id", "embedding",
+          queryVec(s, d, 0), 30)
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      Fusion.mmrRerank(pool, "vec_id", "embedding", lambda = 0.7, k = 10)
+        .orderBy(col("mmr_rank"))
+    },
+  )
+}

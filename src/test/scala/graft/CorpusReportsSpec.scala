@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusDiff, CorpusReports, NearDup}
+
+/** Closed-form pins for the corpus-governance reports (q106–q110):
+  * hand-computable inputs, exact expectations.
+  */
+class CorpusReportsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CorpusDiff: the four statuses land on the right ids and groups") {
+    val old = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
+      .toDF("id", "text", "src")
+    val neu = Seq((2L, "b", "s1"), (3L, "CHANGED", "s2"), (4L, "d", "s3"))
+      .toDF("id", "text", "src")
+    val d = CorpusDiff.diff(old, neu, "id", col("text"), col("src"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(d(1L) == (("removed", "s1")))
+    assert(d(2L) == (("unchanged", "s1")))
+    assert(d(3L) == (("changed", "s2")), "old side's group wins for changed")
+    assert(d(4L) == (("added", "s3")))
+    val s = CorpusDiff.diffSummary(old, neu, "id", col("text"), col("src"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(s("s1") == ((0L, 1L, 0L, 1L)), "dense zeros, not missing rows")
+    assert(s("s2") == ((0L, 0L, 1L, 0L)))
+    assert(s("s3") == ((1L, 0L, 0L, 0L)))
+  }
+
+  test("diversityReport: closed-form TTRs, single-token docs have no bigrams") {
+    // s1: "a b a b" + "a" → 5 tokens, 2 distinct; bigrams: ab,ba,ab →
+    // 3 total 2 distinct. s2: one single-token doc → no bigram row.
+    val docs = Seq(("a b a b", "s1"), ("a", "s1"), ("x", "s2"))
+      .toDF("text", "source")
+    val r = CorpusReports.diversityReport(docs, col("source"), col("text"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getLong(1) == 5L && s1.getLong(2) == 2L)
+    assert(math.abs(s1.getDouble(3) - 0.4) < 1e-9)
+    assert(s1.getLong(4) == 3L && s1.getLong(5) == 2L)
+    assert(math.abs(s1.getDouble(6) - 2.0 / 3) < 1e-6)
+    val s2 = r("s2")
+    assert(s2.getLong(4) == 0L && math.abs(s2.getDouble(6)) < 1e-9,
+      "a source with no 2-token doc reports zero bigrams, not null")
+  }
+
+  test("zipfReport: a perfect power law recovers its exponent") {
+    // frequencies c(rank) = 1000/rank for ranks 1..10 → slope −1
+    // exactly (log-log linear); words aa..jj keep rank ties away
+    val words = ('a' to 'j').zipWithIndex.flatMap { case (ch, i) =>
+      Seq.fill(1000 / (i + 1))(s"$ch$ch")
+    }
+    val docs = Seq((words.mkString(" "), "s")).toDF("text", "source")
+    val r = CorpusReports.zipfReport(docs, col("source"), col("text"),
+      topRanks = 10).head()
+    assert(r.getLong(1) == 10L)
+    assert(math.abs(r.getDouble(2) - (-1.0)) < 0.01,
+      s"slope ${r.getDouble(2)} should be ≈ −1 for c ∝ 1/rank")
+    assert(math.abs(r.getDouble(3) - math.log(1000.0)) < 0.03,
+      "intercept ≈ ln(1000)")
+  }
+
+  test("tokenLengthHistogram: exact power-of-two bucket boundaries") {
+    val docs = Seq(
+      ("", "s"),                      // 0 tokens → bucket 0
+      ("t", "s"),                     // 1 → bucket 1
+      ("a b c", "s"),                 // 3 → bucket 2
+      ("a b c d", "s"),               // 4 → bucket 3 (boundary: bin(4)=100)
+      (Seq.fill(8)("w").mkString(" "), "s")) // 8 → bucket 4
+      .toDF("text", "source")
+    val h = CorpusReports.tokenLengthHistogram(docs, col("source"), col("text"))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(h == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L),
+      s"got $h — the 2^k boundary must land in bucket k+1 (bit length)")
+  }
+
+  test("lshTuningCurve: probability law, monotonicity, and the b=1/r=1 edges") {
+    val rows = NearDup.lshTuningCurve(spark, numHashes = 16).collect()
+    assert(rows.length == 5 * 19, "5 factorizations × 19 grid points")
+    rows.foreach { r =>
+      val (b, rr, j, p) =
+        (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))
+      val expect = 1.0 - math.pow(1.0 - math.pow(j, rr), b)
+      assert(math.abs(p - expect) < 1e-6, s"b=$b r=$rr j=$j")
+      assert(b * rr == 16)
+    }
+    // p is monotone in J for every factorization
+    rows.groupBy(r => r.getInt(0)).foreach { case (_, g) =>
+      val ps = g.sortBy(_.getDouble(2)).map(_.getDouble(3)).toSeq
+      assert(ps == ps.sorted, "p(J) must be non-decreasing")
+    }
+    // b=16,r=1: p = 1-(1-J)^16 — high recall even at low J
+    val easy = rows.find(r => r.getInt(0) == 16 &&
+      math.abs(r.getDouble(2) - 0.2) < 1e-9).get.getDouble(3)
+    assert(easy > 0.9, "16 bands of 1 row catch J=0.2 pairs")
+    // b=1,r=16: p = J^16 — near zero until J→1
+    val hard = rows.find(r => r.getInt(0) == 1 &&
+      math.abs(r.getDouble(2) - 0.5) < 1e-9).get.getDouble(3)
+    assert(hard < 0.001, "1 band of 16 rows passes only near-identical pairs")
+  }
+}
