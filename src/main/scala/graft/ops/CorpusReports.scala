@@ -86,6 +86,97 @@ object CorpusReports {
             * avg(col("__x")), roundTo).as("zipf_intercept"))
   }
 
+  /** Pairwise source vocabulary overlap: Jaccard between each pair of
+    * sources' top-`topV` word sets (rank = count DESC, word ASC).
+    * Near-identical vocabularies across supposedly-independent sources
+    * are the classic mirror/syndication tell; near-zero overlap flags
+    * a source that isn't the language it claims. DENSE over all
+    * source pairs — a zero-overlap pair reports 0, not a missing row.
+    *
+    * Scale: vocab is count-aggregated per source (map-side combine)
+    * before the top-V window; the pair join then runs over ≤
+    * sources × topV rows — source-pair output is sources², which a
+    * mix dashboard wants anyway. */
+  def sourceVocabOverlap(df: DataFrame, source: Column, text: Column,
+      topV: Int = 200, roundTo: Int = 6): DataFrame = {
+    require(topV >= 1, s"sourceVocabOverlap: topV=$topV")
+    val wc = df.select(source.as("source"), explode(tokens(text)).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("source"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__c").desc, col("__t").asc)
+    val vocab = wc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topV)
+      .select(col("source"), col("__t"))
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.__t") === col("b.__t") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("__i"))
+    val pairs = sizes.as("sa").join(sizes.as("sb"),
+        col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"),
+        col("sa.__n").as("__na"), col("sb.__n").as("__nb"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("__i"), lit(0L)).as("overlap"),
+        round(coalesce(col("__i"), lit(0L)) /
+          (col("__na") + col("__nb") - coalesce(col("__i"), lit(0L)))
+            .cast("double"), roundTo).as("jaccard"))
+  }
+
+  /** Corpus-wide top-`k` repeated `n`-gram phrases — the boilerplate
+    * DISCOVERY report (`TextAnalysis.removeBoilerplateLines` removes
+    * known repeats; this surfaces what repeats, ranked). Map-side
+    * partial aggregation collapses each partition's repeated phrases
+    * before the exchange (repetition is the premise, so the shuffle
+    * carries distinct phrases, not occurrences); the cut is a
+    * TakeOrdered, never a global sort. */
+  def topPhrases(df: DataFrame, text: Column, n: Int = 3,
+      k: Int = 50): DataFrame = {
+    require(n >= 2 && n <= 5, s"topPhrases: n=$n (2–5 supported)")
+    require(k >= 1, s"topPhrases: k=$k")
+    val ws = filter(tokens(text), t => t =!= "")
+    // n aligned slices zipped into phrases: slice i drops the first
+    // i tokens, so position j holds tokens j..j+n-1 joined
+    val grams = (1 until n).foldLeft(
+        slice(ws, lit(1), greatest(size(ws) - (n - 1), lit(0)))) {
+      case (acc, i) =>
+        zip_with(acc,
+          slice(ws, lit(i + 1), greatest(size(ws) - (n - 1), lit(0))),
+          (a, b) => concat(a, lit(" "), b))
+    }
+    df.select(explode(grams).as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("phrase").asc)
+      .limit(k)
+  }
+
+  /** IVF index-health report over a cell assignment (id, cell):
+    * cell count, min/max/mean occupancy, and the hot-cell count
+    * (> 2× mean) — a skewed quantizer makes probe cost unpredictable
+    * long before recall degrades, and this one row says so before
+    * anything ships. Integer-exact except the mean (exact division,
+    * rounded for display). */
+  def cellOccupancyReport(cells: DataFrame, cellCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val occ = cells.groupBy(col(cellCol)).agg(count(lit(1)).as("__c"))
+    // one-row totals broadcast back over the per-cell counts (the
+    // Bm25 `tot` pattern) — the hot-cell test needs the mean, which
+    // cannot nest inside the same aggregation
+    val tot = occ.agg(count(lit(1)).as("n_cells"),
+      min(col("__c")).as("min_occ"), max(col("__c")).as("max_occ"),
+      (sum(col("__c")).cast("double") / count(lit(1))).as("__mean"))
+    occ.crossJoin(broadcast(tot))
+      .groupBy(col("n_cells"), col("min_occ"), col("max_occ"), col("__mean"))
+      .agg(sum(when(col("__c").cast("double") > lit(2.0) * col("__mean"), 1L)
+        .otherwise(0L)).as("hot_cells"))
+      .select(col("n_cells"), col("min_occ"), col("max_occ"),
+        round(col("__mean"), roundTo).as("mean_occ"), col("hot_cells"))
+  }
+
   /** Per-source token-count histogram in power-of-two buckets:
     * bucket = bit length of the token count (0 for empty docs), i.e.
     * docs of 2^(b−1)…2^b−1 tokens share bucket b. Integer-exact on

@@ -126,6 +126,43 @@ object NearDup {
       .distinct()
   }
 
+  /** Truncation-duplicate detection: pairs where one document's
+    * (whitespace-normalized, lowercased) text is CONTAINED in
+    * another's — the scraped-corpus failure mode LSH under-catches
+    * (a half-length truncation has Jaccard ≈ 0.5, below typical
+    * banding thresholds). Candidates come from an equi-join on the
+    * first-`anchorTokens` prefix: a truncation shares its victim's
+    * head, so the anchor join finds every truncation-from-the-start
+    * pair exactly, with no all-pairs scan. Containment is then
+    * verified on the normalized text.
+    *
+    * Scale shape: one shuffle on the anchor key; the exchange carries
+    * the normalized text because the VERIFY step needs it (unlike
+    * q68/q77 the text here is the payload, not an avoidable key) —
+    * group fan-out is bounded by docs sharing an 8-token head.
+    * Output: (contained_id, container_id, relation equal|contained),
+    * equal-text pairs normalized to the smaller id on the left. */
+  def prefixContainmentPairs(df: DataFrame, id: String, text: Column,
+      anchorTokens: Int = 8): DataFrame = {
+    require(anchorTokens >= 1, s"prefixContainmentPairs: anchorTokens=$anchorTokens")
+    val norm = lower(trim(text))
+    val ws = filter(split(norm, "\\s+"), t => t =!= "")
+    val base = df.select(col(id).as("__id"), norm.as("__text"), ws.as("__w"))
+      .filter(size(col("__w")) >= anchorTokens)
+      .select(col("__id"), col("__text"),
+        concat_ws(" ", slice(col("__w"), 1, anchorTokens)).as("__anchor"))
+    base.as("a").join(base.as("b"),
+        col("a.__anchor") === col("b.__anchor") &&
+          (length(col("a.__text")) < length(col("b.__text")) ||
+            (length(col("a.__text")) === length(col("b.__text")) &&
+              col("a.__id") < col("b.__id"))))
+      .filter(col("b.__text").contains(col("a.__text")))
+      .select(col("a.__id").as("contained_id"),
+        col("b.__id").as("container_id"),
+        when(length(col("a.__text")) === length(col("b.__text")),
+          lit("equal")).otherwise(lit("contained")).as("relation"))
+  }
+
   /** LSH band-planner curve: for a signature of `numHashes` hashes,
     * every (bands b, rows-per-band r) factorization with its
     * candidate probability p(J) = 1 − (1 − J^r)^b over a Jaccard grid

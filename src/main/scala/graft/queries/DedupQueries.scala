@@ -512,5 +512,47 @@ object DedupQueries {
           col("embedding"), 0.35)
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    // ---- truncation-duplicate (containment) detection ----
+    // Planted truncations: every %3 doc with ≥24 tokens gets a copy
+    // (id + 1,000,000) holding only its first 12 tokens — the scraped-
+    // corpus failure LSH under-catches (Jaccard ≈ 0.5 sits below
+    // banding thresholds). The prefix-anchor equi-join finds every
+    // truncation-from-the-start pair exactly; containment verifies on
+    // normalized text. Original docs sharing an 8-token head join in
+    // too — same rule both engines.
+    Q("q112_containment_dedup",
+      """WITH w0 AS (SELECT doc_id, text, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
+        |tr AS (SELECT doc_id + 1000000 AS doc_id,
+        |  array_to_string(ws[1:12], ' ') AS text
+        | FROM w0 WHERE doc_id % 3 = 0 AND len(ws) >= 24),
+        |aug AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id, text FROM tr),
+        |b0 AS (SELECT doc_id AS id, lower(trim(text)) AS txt, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM aug),
+        |base AS (SELECT id, txt, array_to_string(ws[1:8], ' ') AS anchor
+        | FROM b0 WHERE len(ws) >= 8)
+        |SELECT a.id AS contained_id, b.id AS container_id,
+        | CASE WHEN length(a.txt) = length(b.txt) THEN 'equal'
+        |      ELSE 'contained' END AS relation
+        |FROM base a JOIN base b ON a.anchor = b.anchor
+        | AND (length(a.txt) < length(b.txt)
+        |      OR (length(a.txt) = length(b.txt) AND a.id < b.id))
+        |WHERE contains(b.txt, a.txt)
+        |ORDER BY contained_id, container_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val ws = filter(split(lower(trim(col("text"))), "\\s+"), x => x =!= "")
+      val trunc = docs
+        .filter(col("doc_id") % 3 === 0 && size(ws) >= 24)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(ws, lit(1), lit(12))).as("text"))
+      val aug = docs.select(col("doc_id"), col("text")).unionByName(trunc)
+      NearDup.prefixContainmentPairs(aug, "doc_id", col("text"),
+          anchorTokens = 8)
+        .orderBy(col("contained_id"), col("container_id"))
+    },
   )
 }

@@ -111,6 +111,47 @@ object ReportQueries {
         .orderBy(col("source"), col("bucket"))
     },
 
+    // ---- pairwise source vocabulary overlap (mirror tell) ----
+    Q("q113_vocab_overlap",
+      """WITH u AS (SELECT source, unnest(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+        | FROM documents),
+        |wc AS (SELECT source, t, count(*) AS c FROM u GROUP BY source, t),
+        |v AS (SELECT source, t FROM (SELECT source, t,
+        |  row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS rn
+        | FROM wc) WHERE rn <= 200),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY source),
+        |i AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS ov
+        | FROM v a JOIN v b ON a.t = b.t AND a.source < b.source GROUP BY 1, 2),
+        |p AS (SELECT sa.source AS source_a, sb.source AS source_b,
+        |  sa.n AS na, sb.n AS nb
+        | FROM sz sa JOIN sz sb ON sa.source < sb.source)
+        |SELECT p.source_a AS source_a, p.source_b AS source_b,
+        | coalesce(ov, 0) AS overlap,
+        | round(coalesce(ov, 0) / CAST(na + nb - coalesce(ov, 0) AS DOUBLE), 6)
+        |   AS jaccard
+        |FROM p LEFT JOIN i ON i.source_a = p.source_a AND i.source_b = p.source_b
+        |ORDER BY p.source_a, p.source_b""".stripMargin) { (s, d) =>
+      CorpusReports.sourceVocabOverlap(t(s, d, "documents"),
+          col("source"), col("text"), topV = 200)
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // ---- corpus-wide top repeated trigram phrases ----
+    Q("q115_top_phrases",
+      """WITH w AS (SELECT list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
+        |g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS phrase
+        | FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+        |       FROM w WHERE len(ws) >= 3))
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY phrase
+        |ORDER BY n_occurrences DESC, phrase LIMIT 50""".stripMargin) { (s, d) =>
+      CorpusReports.topPhrases(t(s, d, "documents"), col("text"), n = 3, k = 50)
+    },
+
     // ---- LSH band-planner curve (pure design arithmetic) ----
     Q("q110_lsh_tuning",
       """WITH f AS (SELECT CAST(b AS INTEGER) AS bands,

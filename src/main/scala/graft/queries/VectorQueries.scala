@@ -293,6 +293,27 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ---- IVF index-health: cell occupancy report ----
+    // One row over q87's cell assignment: cell count, min/max/mean
+    // occupancy, hot cells (> 2× mean). A skewed quantizer makes
+    // probe cost unpredictable before recall degrades — this is the
+    // row an index owner checks before shipping.
+    Q("q114_cell_occupancy",
+      s"""WITH $twoLevelCellCte,
+        |occ AS (SELECT cid, count(*) AS c FROM cell GROUP BY cid),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(min(c) AS BIGINT) AS min_occ, CAST(max(c) AS BIGINT) AS max_occ,
+        |  sum(c) / CAST(count(*) AS DOUBLE) AS m FROM occ)
+        |SELECT n_cells, min_occ, max_occ, round(m, 6) AS mean_occ,
+        | CAST(sum(CASE WHEN c > 2.0 * m THEN 1 ELSE 0 END) AS BIGINT) AS hot_cells
+        |FROM occ, tot GROUP BY n_cells, min_occ, max_occ, m""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cells = corpusQuantizer(emb)
+        .attach(emb.select(col("vec_id"), col("embedding")), col("embedding"))
+        .select(col("vec_id"), col("ivf_cell"))
+      graft.ops.CorpusReports.cellOccupancyReport(cells, "ivf_cell")
+    },
+
     // ---- semantic cross-split leakage (paraphrase decontamination) ----
     // Embedding-level leakage between an even/odd id split: the
     // SemDeDup cell structure pointed across the boundary — catches

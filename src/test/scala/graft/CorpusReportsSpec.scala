@@ -77,6 +77,73 @@ class CorpusReportsSpec extends AnyFunSuite {
       s"got $h — the 2^k boundary must land in bucket k+1 (bit length)")
   }
 
+  test("prefixContainmentPairs: truncations found, equal normalized, non-prefix missed") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),            // full doc
+      (2L, "a b c d e f g h"),                    // its 8-token truncation
+      (3L, "a b c d e f g h i j k l"),            // exact duplicate of 1
+      (4L, "z b c d e f g h i j"),                // different head — no anchor hit
+      (5L, "b c d e f g h i j k l"))              // suffix of 1: NOT prefix-anchored
+      .toDF("id", "text")
+    val pairs = NearDup.prefixContainmentPairs(docs, "id", col("text"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(pairs.contains((2L, 1L, "contained")), s"truncation missed: $pairs")
+    assert(pairs.contains((2L, 3L, "contained")))
+    assert(pairs.contains((1L, 3L, "equal")), "equal pair normalized to smaller id left")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "suffix containment is out of contract (prefix anchor) — documented miss")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("sourceVocabOverlap: dense pairs, exact jaccard, topV cut honored") {
+    val docs = Seq(
+      ("a b c", "s1"), ("a b d", "s2"), ("x y z", "s3"))
+      .toDF("text", "source")
+    val r = CorpusReports.sourceVocabOverlap(docs, col("source"), col("text"),
+        topV = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    // s1={a,b,c}, s2={a,b,d}: |∩|=2, |∪|=4 → 0.5
+    assert(r(("s1", "s2")) == ((2L, 0.5)))
+    // zero-overlap pairs are PRESENT with 0, not missing
+    assert(r(("s1", "s3")) == ((0L, 0.0)))
+    assert(r(("s2", "s3")) == ((0L, 0.0)))
+    // topV=1 keeps only each source's top word (count desc, word asc:
+    // all counts 1 → alphabetical first: s1→a, s2→a, s3→x)
+    val cut = CorpusReports.sourceVocabOverlap(docs, col("source"), col("text"),
+        topV = 1)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(cut(("s1", "s2")) == 1L && cut(("s1", "s3")) == 0L)
+  }
+
+  test("topPhrases: counts, ordering, short-doc handling") {
+    val docs = Seq("x y z x y z x y", "x y z", "a b").toDF("text")
+    val r = CorpusReports.topPhrases(docs, col("text"), n = 3, k = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1))
+    // doc1 trigrams: xyz,yzx,zxy,xyz,yzx,zxy → plus doc2's xyz → xyz×3
+    assert(r.head == ("x y z" -> 3L), s"got ${r.toSeq}")
+    assert(r.toMap == Map("x y z" -> 3L, "y z x" -> 2L, "z x y" -> 2L),
+      "2-token docs contribute no trigram; ties rank alphabetically")
+    assert(r.map(_._1).toSeq == Seq("x y z", "y z x", "z x y"))
+  }
+
+  test("cellOccupancyReport: exact occupancy stats and the hot-cell boundary") {
+    // cells: 0→6 rows, 1→2, 2→1, 3→1 ⇒ mean 2.5, hot (>5.0) = cell 0
+    val cells = (Seq.fill(6)(0) ++ Seq.fill(2)(1) ++ Seq(2, 3)).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("id", "cell")
+    val r = CorpusReports.cellOccupancyReport(cells, "cell").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getLong(2) == 6L)
+    assert(math.abs(r.getDouble(3) - 2.5) < 1e-9)
+    assert(r.getLong(4) == 1L, "only the 6-row cell exceeds 2× mean (5.0)")
+    // exact-boundary cell (c == 2×mean) is NOT hot: 4 cells of 2,2,2,6
+    // → mean 3.0; the 6-cell sits exactly at 2×mean
+    val b = (Seq.fill(2)(0) ++ Seq.fill(2)(1) ++ Seq.fill(2)(2) ++
+      Seq.fill(6)(3)).zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("id", "cell")
+    assert(CorpusReports.cellOccupancyReport(b, "cell").head().getLong(4) == 0L,
+      "c == 2×mean must not count as hot (strict inequality)")
+  }
+
   test("lshTuningCurve: probability law, monotonicity, and the b=1/r=1 edges") {
     val rows = NearDup.lshTuningCurve(spark, numHashes = 16).collect()
     assert(rows.length == 5 * 19, "5 factorizations × 19 grid points")
