@@ -331,6 +331,29 @@ object NearDup {
       partitionBy = Seq("band_bucket"))
   }
 
+  /** RETENTION for the signature store: delete the rows of documents
+    * that left the corpus. The store is a SET of per-document band
+    * rows, so pruning by id is exactly equivalent to a store that
+    * never ingested those documents (spec-asserted probe
+    * equivalence) — signatures carry no cross-document state, unlike
+    * the label store's component structure. The retention story is
+    * therefore: rows live as long as their document is an eligible
+    * dedup target; a delete/expiry feed drives `pruneSignatureStore`;
+    * `compactSignatureStore` (same full-store rewrite cost — run them
+    * together) bounds the file count between prunes. Anti join on the
+    * id, one writer per bucket, K1 staging swap. */
+  def pruneSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, removedIds: DataFrame, id: String): Unit = {
+    val store = spark.read.parquet(path)
+    val keep = store.join(
+      removedIds.select(col(id)).distinct(), Seq(id), "left_anti")
+    val buckets = math.max(1,
+      store.select(countDistinct(col("band_bucket"))).head().getLong(0).toInt)
+    graft.io.Sinks.overwriteInPlace(
+      keep.repartition(buckets, col("band_bucket")), path,
+      partitionBy = Seq("band_bucket"))
+  }
+
   /** SimHash over the token multiset, `bits` wide (16 or 64). Word
     * hash = first bits/4 sha256 nibbles (nibble 1 most significant);
     * each bit votes ±1 across the document's words; bit set iff the
