@@ -191,4 +191,89 @@ object CorpusReports {
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Cluster-quality report over a cell/cluster assignment joined to
+    * a ground-truth label: per cluster, its size, the majority label,
+    * that label's count, and the purity (majority fraction) — the
+    * standard external clustering metric, per-row so a skewed
+    * quantizer's bad cells are visible individually (a single overall
+    * purity hides them behind the big clean clusters). Majority ties
+    * break to the smaller label so the report is deterministic.
+    *
+    * Scale: one (cell, label) count agg (map-side combine), then a
+    * per-cell window over the label counts — state is bounded by the
+    * label-set size per cell, never by rows. */
+  def clusterPurityReport(df: DataFrame, cellCol: String,
+      labelCol: String, roundTo: Int = 6): DataFrame = {
+    val cl = df.groupBy(col(cellCol), col(labelCol))
+      .agg(count(lit(1)).as("__n"))
+    val perCell = Window.partitionBy(col(cellCol))
+    val rank = Window.partitionBy(col(cellCol))
+      .orderBy(col("__n").desc, col(labelCol).asc)
+    cl.withColumn("__rn", row_number().over(rank))
+      .withColumn("n_cell", sum(col("__n")).over(perCell))
+      .filter(col("__rn") === 1)
+      .select(col(cellCol), col("n_cell"),
+        col(labelCol).as("majority_label"), col("__n").as("majority_n"),
+        round(col("__n").cast("double") / col("n_cell"), roundTo).as("purity"))
+  }
+
+  /** Cross-source duplication matrix: given candidate near-dup pairs
+    * (id_a, id_b) and an id → source map, counts pairs per unordered
+    * source pair — the provenance report that says WHICH sources
+    * mirror each other (aggregator sites re-hosting a crawl, two
+    * dumps of the same upstream), which per-doc dedup rates cannot
+    * show. Diagonal rows are within-source duplication.
+    *
+    * Scale: two equi-joins on the 8-byte id (the pair frame never
+    * carries text), then a sources² agg. The meta side prunes to
+    * (id, source) — at corpus scale both joins shuffle only ids and
+    * short source names. */
+  def sourcePairMatrix(pairs: DataFrame, meta: DataFrame, id: String,
+      source: Column, idA: String = "doc_a",
+      idB: String = "doc_b"): DataFrame = {
+    val m = meta.select(col(id).as("__mid"), source.as("__msrc"))
+    val withSrc = pairs
+      .join(m, col(idA) === col("__mid"))
+      .select(col(idA), col(idB), col("__msrc").as("__sa"))
+      .join(m, col(idB) === col("__mid"))
+      .select(col("__sa"), col("__msrc").as("__sb"))
+    withSrc
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Truncation-loss curve: for each candidate max sequence length,
+    * how many documents fit whole and what fraction of corpus tokens
+    * survive `least(n_tokens, L)` truncation — the one table a
+    * pretraining owner reads before fixing the context length (too
+    * short burns tail tokens, too long burns padding/packing slack;
+    * `Packing.packGreedy` handles the second term, this prices the
+    * first). Whitespace token counts, like every token gate here.
+    *
+    * Scale: one map-side projection computes the token count, then a
+    * per-row explode over the (tiny, constant) length list feeds a
+    * |lens|-group aggregation — no join, no window, partial aggs
+    * collapse everything before the exchange. */
+  def truncationLossReport(df: DataFrame, text: Column,
+      lens: Seq[Int], roundTo: Int = 6): DataFrame = {
+    require(lens.nonEmpty, "truncationLossReport: need at least one length")
+    val n = size(filter(tokens(text), t => t =!= "")).cast("long")
+    df.select(n.as("__n"),
+        explode(array(lens.map(l => lit(l.toLong)): _*)).as("max_len"))
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") <= col("max_len"), 1L).otherwise(0L))
+          .as("docs_fit"),
+        sum(col("__n")).as("tokens_total"),
+        sum(least(col("__n"), col("max_len"))).as("tokens_kept"))
+      .select(col("max_len"), col("n_docs"), col("docs_fit"),
+        round(col("docs_fit").cast("double") / col("n_docs"), roundTo)
+          .as("frac_docs_fit"),
+        col("tokens_total"), col("tokens_kept"),
+        round(col("tokens_kept").cast("double") / col("tokens_total"),
+          roundTo).as("frac_tokens_kept"))
+  }
 }

@@ -40,6 +40,30 @@ object Sampling {
       .drop("__qr")
   }
 
+  /** Train/val/test split that never separates near-duplicates: the
+    * split key is the document's dedup COMPONENT label (from
+    * `NearDup.connectedComponents` / the `LabelStore`), so every
+    * member of a near-dup cluster lands on the same side — per-doc
+    * hash splits (q50) leak train content into test whenever a
+    * near-copy exists, which is exactly what decontamination audits
+    * (q81/q89) then have to catch. Unlabeled docs (no near-dup
+    * evidence) fall back to their own id, reproducing the per-doc
+    * split for the singleton majority.
+    *
+    * `labels` is the (node, component) frame the label store reads
+    * back. Scale shape: one equi-join on the 8-byte id (labels are
+    * node-unique; at corpus scale this is a shuffle join on the id —
+    * both sides prunable to the id columns), then the same stateless
+    * sha256-bucket labeling as `splitLabel`. No window, no collect. */
+  def leakageSafeSplit(df: DataFrame, id: String, labels: DataFrame,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val lab = labels.select(col("node").as(id), col("component"))
+    df.join(lab, Seq(id), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col("component"), col(id)), weights))
+      .drop("component")
+  }
+
   /** Assign split labels by cumulative weight over the hash space:
     * e.g. `weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`. */
   def splitLabel(key: Column, weights: Seq[(String, Double)]): Column = {

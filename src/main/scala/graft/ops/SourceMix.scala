@@ -118,6 +118,36 @@ object SourceMix {
     * 8-byte counts, never text); grand totals broadcast as one row.
     * Agrees with the literal grid to ~1e-15 relative (same doubles,
     * regrouped), far inside the 6dp rounding. */
+  /** Temperature-scaled multinomial source weights (the mBERT/XLM
+    * exponentiated-smoothing rule, Devlin et al. 2019 / Conneau &
+    * Lample 2019): sampling probability q_s ∝ p_s^alpha where p_s is
+    * the source's corpus share. alpha = 1 keeps the natural mix,
+    * alpha → 0 approaches uniform — the standard way to up-sample
+    * small high-value sources without hand-tuned weights. Emits per
+    * source: count, natural share p, scaled share q, the multiplier
+    * q/p to feed `resampleByWeight`, and the expected doc count under
+    * the scaled mix.
+    *
+    * Identity used: q_s = p_s^a / Σ p^a = n_s^a / Σ n^a (the N^-a
+    * cancels), so one groupBy + one broadcast one-row totals join —
+    * no second pass over the data. */
+  def temperatureWeights(df: DataFrame, source: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val counts = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum("n_docs").as("__N"),
+      sum(pow(col("n_docs").cast("double"), alpha)).as("__S"))
+    val p = col("n_docs") / col("__N")
+    val q = pow(col("n_docs").cast("double"), alpha) / col("__S")
+    counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        round(p, 6).as("p_natural"),
+        round(q, 6).as("q_scaled"),
+        round(q / p, 6).as("weight"),
+        round(q * col("__N"), 6).as("expected_docs"))
+  }
+
   def klDivergence(df: DataFrame, source: Column, text: Column): DataFrame = {
     val toks = df.select(source.as("source"),
         explode(NearDup.tokens(text)).as("__wd"))

@@ -25,6 +25,28 @@ object CorpusQueries {
         .orderBy(col("source"))
     },
 
+    // ---- temperature-scaled source mix (exponentiated smoothing) ----
+    // q_s ∝ p_s^0.3, the mBERT/XLM up-sampling rule for small
+    // high-value sources; `weight` is the multiplier resampleByWeight
+    // (q73) consumes. Identity n_s^a / Σ n^a avoids a second pass;
+    // both engines run the same IEEE pow/round, 6dp.
+    Q("q117_temperature_mix",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_docs) AS nn,
+        |  sum(power(CAST(n_docs AS DOUBLE), 0.3)) AS s FROM c)
+        |SELECT source, n_docs,
+        | round(n_docs / CAST(nn AS DOUBLE), 6) AS p_natural,
+        | round(power(CAST(n_docs AS DOUBLE), 0.3) / s, 6) AS q_scaled,
+        | round((power(CAST(n_docs AS DOUBLE), 0.3) / s)
+        |        / (n_docs / CAST(nn AS DOUBLE)), 6) AS weight,
+        | round(power(CAST(n_docs AS DOUBLE), 0.3) / s * nn, 6) AS expected_docs
+        |FROM c, t ORDER BY source""".stripMargin) { (s, d) =>
+      SourceMix.temperatureWeights(t(s, d, "documents"), col("source"),
+          alpha = 0.3)
+        .orderBy(col("source"))
+    },
+
     // ---- domain-level quality gate (drop whole sources) ----
     // Keep documents whose SOURCE has >= 10 docs and mean n_chars >=
     // 295 — the RefinedWeb/C4-style "bad domain" pass. The aggregate

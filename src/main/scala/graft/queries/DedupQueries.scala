@@ -554,5 +554,45 @@ object DedupQueries {
           anchorTokens = 8)
         .orderBy(col("contained_id"), col("container_id"))
     },
+
+    // ---- cross-source duplication matrix (provenance report) ----
+    // WHICH sources mirror each other: LSH candidate pairs rolled up
+    // per unordered source pair (diagonal = within-source dups). A
+    // deterministic 'mirror' source re-hosting every %13 doc is
+    // planted so the cross-source cells are non-empty — the
+    // aggregator-site shape this report exists to expose. Pairs carry
+    // only 8-byte ids into the two source-map joins; text never
+    // reaches an exchange past the signature projection.
+    Q("q119_source_dup_matrix",
+      s"""WITH aug AS (
+        | SELECT doc_id, text, source FROM documents
+        | UNION ALL
+        | SELECT doc_id + 2000000 AS doc_id, text, 'mirror' AS source
+        | FROM documents WHERE doc_id % 13 = 0),
+        |${minhashSql("aug")},
+        |bands AS (
+        | SELECT doc_id, '0|' || mh0 || '|' || mh1 AS band FROM sig
+        | UNION ALL
+        | SELECT doc_id, '1|' || mh2 || '|' || mh3 AS band FROM sig),
+        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |ps AS (SELECT least(ma.source, mb.source) AS source_a,
+        |        greatest(ma.source, mb.source) AS source_b
+        | FROM p JOIN aug ma ON ma.doc_id = p.doc_a
+        |        JOIN aug mb ON mb.doc_id = p.doc_b)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM ps GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val aug = docs.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            lit("mirror").as("source")))
+      val sigs = NearDup.minhashSignaturesFused(aug, "doc_id", col("text"))
+      val pairs = NearDup.lshCandidatePairs(sigs, "doc_id")
+      graft.ops.CorpusReports.sourcePairMatrix(pairs, aug, "doc_id",
+          col("source"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
   )
 }

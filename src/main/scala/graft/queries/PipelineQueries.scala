@@ -82,6 +82,52 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- leakage-safe split: near-dup clusters never straddle sides ----
+    // q50's per-doc hash split, upgraded with the dedup graph: the
+    // split key is the doc's connected-component label over planted
+    // pair evidence (q94's deterministic generator), falling back to
+    // the doc's own id when no near-dup evidence exists. Every member
+    // of a component shares a key, hence a side — the split that makes
+    // the decontamination audits (q81/q89) come back empty by
+    // construction. Oracle recomputes components via the recursive
+    // walk and applies the identical sha256-bucket cuts.
+    Q("q116_leakage_safe_split",
+      """WITH RECURSIVE pairs AS (
+        | SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+        |  WHERE doc_id % 10 < 3
+        | UNION ALL
+        | SELECT doc_id AS doc_a, doc_id + 100 AS doc_b FROM documents
+        |  WHERE doc_id % 37 = 0),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION
+        | SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |walk AS (
+        | SELECT src AS node, dst AS reach FROM edges
+        | UNION
+        | SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+        |comp AS (SELECT node, least(node, min(reach)) AS component
+        | FROM walk GROUP BY node),
+        |h AS (SELECT d.doc_id, substr(sha256(
+        |   CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 4) AS h4
+        | FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT doc_id, CASE WHEN h4 < 'e666' THEN 'train'
+        |                    WHEN h4 < 'f333' THEN 'val'
+        |                    ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val pairs = ids.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+        .unionByName(ids.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 100).as("doc_b")))
+      val labels = graft.ops.NearDup.connectedComponents(pairs)
+      graft.ops.Sampling.leakageSafeSplit(
+          t(s, d, "documents"), "doc_id", labels,
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- deterministic per-source quota sampling (corpus balancing) ----
     // Keep at most 10 docs per source, chosen by sha256-hash order of
     // the id — a stable uniform shuffle, reproducible across engines

@@ -166,5 +166,32 @@ object ReportQueries {
       NearDup.lshTuningCurve(s, numHashes = 16)
         .orderBy(col("bands"), col("jaccard"))
     },
+
+    // ---- truncation-loss curve (context-length pricing) ----
+    // For each candidate max sequence length: docs that fit whole and
+    // the corpus-token fraction surviving truncation — the table read
+    // before fixing a context length (packing slack is q60's side of
+    // the trade). Map-side token count + tiny constant explode; no
+    // join, no window.
+    Q("q120_truncation_loss",
+      """WITH n AS (SELECT len(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS nt
+        | FROM documents),
+        |l AS (SELECT unnest([64, 128, 256, 512]) AS max_len)
+        |SELECT CAST(max_len AS BIGINT) AS max_len,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN nt <= max_len THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS docs_fit,
+        | round(sum(CASE WHEN nt <= max_len THEN 1 ELSE 0 END)
+        |       / CAST(count(*) AS DOUBLE), 6) AS frac_docs_fit,
+        | CAST(sum(nt) AS BIGINT) AS tokens_total,
+        | CAST(sum(least(nt, max_len)) AS BIGINT) AS tokens_kept,
+        | round(sum(least(nt, max_len)) / CAST(sum(nt) AS DOUBLE), 6)
+        |   AS frac_tokens_kept
+        |FROM n, l GROUP BY max_len ORDER BY max_len""".stripMargin) { (s, d) =>
+      CorpusReports.truncationLossReport(t(s, d, "documents"), col("text"),
+          lens = Seq(64, 128, 256, 512))
+        .orderBy(col("max_len"))
+    },
   )
 }

@@ -314,6 +314,36 @@ object VectorQueries {
       graft.ops.CorpusReports.cellOccupancyReport(cells, "ivf_cell")
     },
 
+    // ---- cluster purity vs ground-truth labels (quantizer quality) ----
+    // q87's cell assignment joined to the embeddings' label column:
+    // per cell, size, majority label, and purity — the external
+    // clustering metric, per-row so a skewed quantizer's bad cells
+    // are individually visible. Ties break to the smaller label.
+    Q("q118_cluster_purity",
+      s"""WITH $twoLevelCellCte,
+        |cl AS (SELECT c.cid, e.label, count(*) AS n
+        |      FROM cell c JOIN embeddings e USING (vec_id)
+        |      GROUP BY c.cid, e.label),
+        |r AS (SELECT cid, label, n,
+        |      sum(n) OVER (PARTITION BY cid) AS n_cell,
+        |      row_number() OVER (PARTITION BY cid
+        |        ORDER BY n DESC, label ASC) AS rn
+        |     FROM cl)
+        |SELECT CAST(cid AS INTEGER) AS ivf_cell,
+        | CAST(n_cell AS BIGINT) AS n_cell,
+        | CAST(label AS INTEGER) AS majority_label,
+        | CAST(n AS BIGINT) AS majority_n,
+        | round(n / CAST(n_cell AS DOUBLE), 6) AS purity
+        |FROM r WHERE rn = 1 ORDER BY ivf_cell""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cells = corpusQuantizer(emb)
+        .attach(emb.select(col("vec_id"), col("embedding")), col("embedding"))
+        .select(col("vec_id"), col("ivf_cell"))
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      graft.ops.CorpusReports.clusterPurityReport(cells, "ivf_cell", "label")
+        .orderBy(col("ivf_cell"))
+    },
+
     // ---- semantic cross-split leakage (paraphrase decontamination) ----
     // Embedding-level leakage between an even/odd id split: the
     // SemDeDup cell structure pointed across the boundary — catches

@@ -470,4 +470,69 @@ class CorpusOpsSpec extends AnyFunSuite {
         s"$src: analytic ${got(src)} vs grid $grid")
     }
   }
+
+  // ---- temperature-scaled source weights ----
+
+  test("temperatureWeights: alpha=1 is the identity mix, alpha<1 up-weights small sources") {
+    val df = (1 to 90).map(i => (i.toLong, "big")) ++
+      (1 to 10).map(i => (100L + i, "small"))
+    val docs = df.toDF("doc_id", "source")
+    val id = SourceMix.temperatureWeights(docs, col("source"), alpha = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // alpha=1: q = p, weight = 1, for every source
+    assert(id("big") == ((90L, 0.9, 0.9, 1.0)))
+    assert(id("small") == ((10L, 0.1, 0.1, 1.0)))
+    val t = SourceMix.temperatureWeights(docs, col("source"), alpha = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val (pS, qS, wS, eS) = t("small")
+    val (pB, qB, wB, _) = t("big")
+    assert(qS > pS && wS > 1.0, "small source must be up-weighted")
+    assert(qB < pB && wB < 1.0, "big source must be down-weighted")
+    // closed form: q_small = 10^0.3 / (10^0.3 + 90^0.3)
+    val expQ = math.pow(10, 0.3) / (math.pow(10, 0.3) + math.pow(90, 0.3))
+    assert(math.abs(qS - math.rint(expQ * 1e6) / 1e6) <= 1e-6)
+    // q sums to 1 and expected docs sum to N (up to rounding)
+    assert(math.abs(qS + qB - 1.0) < 2e-6)
+    assert(math.abs(eS - expQ * 100) < 1e-4)
+  }
+
+  test("temperatureWeights rejects alpha outside (0, 1]") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      SourceMix.temperatureWeights(docs, col("source"), alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      SourceMix.temperatureWeights(docs, col("source"), alpha = 1.5)
+    }
+  }
+
+  // ---- leakage-safe split ----
+
+  test("leakageSafeSplit: every component lands whole on one side; singletons match the per-doc split") {
+    val docs = (1L to 400L).toDF("doc_id")
+    // components: {1..5} (chain), {100, 200, 300} (star) — the rest singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (100L, 200L), (100L, 300L)).toDF("doc_a", "doc_b")
+    val labels = graft.ops.NearDup.connectedComponents(pairs)
+    val weights = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", labels, weights)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 400 && got.values.forall(_ != null))
+    // cluster members share a side
+    assert(Set(1L, 2L, 3L, 4L, 5L).map(got).size == 1, "chain split apart")
+    assert(Set(100L, 200L, 300L).map(got).size == 1, "star split apart")
+    // unlabeled docs reproduce the plain per-doc hash split exactly
+    val labeled = Set(1L, 2L, 3L, 4L, 5L, 100L, 200L, 300L)
+    val plain = docs.select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id"), weights).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 400L).filterNot(labeled).foreach { i =>
+      assert(got(i) == plain(i), s"singleton $i diverged from per-doc split")
+    }
+    // and the labeled ones use the component min's hash
+    assert(got(5L) == plain(1L), "component {1..5} must split by key 1")
+    assert(got(300L) == plain(100L), "component {100,200,300} by key 100")
+  }
 }

@@ -168,4 +168,47 @@ class CorpusReportsSpec extends AnyFunSuite {
       math.abs(r.getDouble(2) - 0.5) < 1e-9).get.getDouble(3)
     assert(hard < 0.001, "1 band of 16 rows passes only near-identical pairs")
   }
+
+  test("clusterPurityReport: majority, purity, and the smaller-label tie break") {
+    val rows = Seq(
+      (1L, 10, 0), (2L, 10, 0), (3L, 10, 0), (4L, 10, 1),   // cell 10: 3×0, 1×1
+      (5L, 20, 5), (6L, 20, 7),                              // cell 20: 1×5, 1×7 tie
+      (7L, 30, 2)                                            // cell 30: pure
+    ).toDF("id", "cell", "label")
+    val got = CorpusReports.clusterPurityReport(rows, "cell", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(10) == ((4L, 0, 3L, 0.75)))
+    assert(got(20) == ((2L, 5, 1L, 0.5)), "tie must break to the smaller label")
+    assert(got(30) == ((1L, 2, 1L, 1.0)))
+  }
+
+  test("sourcePairMatrix: unordered source pairs, diagonal = within-source") {
+    val meta = Seq((1L, "web"), (2L, "web"), (3L, "books"), (4L, "books"),
+      (5L, "mirror")).toDF("id", "src")
+    val pairs = Seq(
+      (1L, 2L),            // web-web (diagonal)
+      (1L, 3L), (3L, 2L),  // web-books BOTH orders -> one unordered cell
+      (4L, 5L)             // books-mirror
+    ).toDF("doc_a", "doc_b")
+    val got = CorpusReports.sourcePairMatrix(pairs, meta, "id", col("src"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("web", "web")) == 1L)
+    assert(got(("books", "web")) == 2L, "orders must fold into one cell")
+    assert(got(("books", "mirror")) == 1L)
+    assert(got.size == 3)
+  }
+
+  test("truncationLossReport: exact token accounting, empty docs included") {
+    val docs = Seq("a b c", "a b c d e f", "", "x").toDF("text")
+    // token counts: 3, 6, 0, 1 — total 10
+    val got = CorpusReports.truncationLossReport(docs, col("text"), Seq(2, 4, 8))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    assert(got(2L) == ((4L, 2L, 0.5, 10L, 5L, 0.5)),
+      "L=2: only the empty and 1-token docs fit; kept = 2+2+0+1")
+    assert(got(4L) == ((4L, 3L, 0.75, 10L, 8L, 0.8)))
+    assert(got(8L) == ((4L, 4L, 1.0, 10L, 10L, 1.0)))
+  }
 }
