@@ -192,6 +192,31 @@ object CorpusReports {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Per-source hapax legomenon rate: the fraction of the vocabulary
+    * (and of tokens) occurring exactly once. Natural text holds a
+    * hapax-vocab share around 0.4–0.6 (Zipf's tail); templated or
+    * heavily deduplicated text collapses it, OCR noise and
+    * concatenated-garbage sources inflate it — a sharper tail-health
+    * signal than TTR, which the big head counts dominate.
+    *
+    * Scale: (source, word) counts with map-side combine, then one
+    * per-source rollup — the diversityReport shuffle shape; ratios
+    * are integer/integer at 6dp. */
+  def hapaxReport(df: DataFrame, source: Column, text: Column,
+      roundTo: Int = 6): DataFrame = {
+    val toks = df.select(source.as("source"), explode(tokens(text)).as("__t"))
+      .filter(col("__t") =!= "")
+    toks.groupBy(col("source"), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("__c")).as("n_tokens"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab"), roundTo)
+          .as("hapax_vocab_share"),
+        round(col("hapax").cast("double") / col("n_tokens"), roundTo)
+          .as("hapax_token_share"))
+  }
+
   /** Cluster-quality report over a cell/cluster assignment joined to
     * a ground-truth label: per cluster, its size, the majority label,
     * that label's count, and the purity (majority fraction) — the

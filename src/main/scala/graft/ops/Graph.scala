@@ -98,4 +98,22 @@ object Graph {
     NearDup.freeLocalCheckpoint(nodes)
     out
   }
+
+  /** Duplicate-cluster size distribution over a component labeling
+    * (`connectedComponents` / the label store): how many clusters of
+    * each size, and how many documents they hold — the one chart that
+    * says whether duplication is a long tail of pairs (cheap to keep)
+    * or a few mega-clusters (one template page crawled a million
+    * times; worth a source-level fix instead of row dedup). Two
+    * integer-exact aggregations, nothing else.
+    *
+    * Note the distribution covers LABELED nodes only — singletons
+    * never enter the pair graph, so "cluster_size = 1" rows here mean
+    * label-store artifacts (e.g. pruned components), not unique docs. */
+  def componentSizeDistribution(labels: DataFrame,
+      comp: String = "component"): DataFrame =
+    labels.groupBy(col(comp)).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
 }

@@ -594,5 +594,44 @@ object DedupQueries {
           col("source"))
         .orderBy(col("source_a"), col("source_b"))
     },
+
+    // ---- duplicate-cluster size distribution ----
+    // Over q94's planted pair graph: clusters per size and the docs
+    // they hold — long-tail-of-pairs vs few-mega-clusters is the
+    // first question a dedup report answers (the second shape wants a
+    // source-level fix, not row dedup). Oracle recomputes components
+    // via the recursive walk.
+    Q("q123_cluster_sizes",
+      """WITH RECURSIVE pairs AS (
+        | SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+        |  WHERE doc_id % 10 < 3
+        | UNION ALL
+        | SELECT doc_id AS doc_a, doc_id + 100 AS doc_b FROM documents
+        |  WHERE doc_id % 37 = 0),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION
+        | SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |walk AS (
+        | SELECT src AS node, dst AS reach FROM edges
+        | UNION
+        | SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+        |comp AS (SELECT node, least(node, min(reach)) AS component
+        | FROM walk GROUP BY node),
+        |sz AS (SELECT component, count(*) AS cluster_size
+        | FROM comp GROUP BY component)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        | CAST(count(*) AS BIGINT) AS n_clusters,
+        | CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val pairs = ids.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+        .unionByName(ids.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 100).as("doc_b")))
+      val labels = NearDup.connectedComponents(pairs)
+      graft.ops.Graph.componentSizeDistribution(labels)
+        .orderBy(col("cluster_size"))
+    },
   )
 }

@@ -193,5 +193,27 @@ object ReportQueries {
           lens = Seq(64, 128, 256, 512))
         .orderBy(col("max_len"))
     },
+
+    // ---- per-source hapax legomenon rate (vocabulary tail health) ----
+    // Fraction of vocab (and of tokens) occurring exactly once —
+    // templated text collapses it, OCR/garbage inflates it; sharper
+    // than TTR, which the Zipf head dominates.
+    Q("q124_hapax_rate",
+      """WITH w AS (SELECT source, unnest(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+        | FROM documents),
+        |c AS (SELECT source, t, count(*) AS c FROM w GROUP BY source, t),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        | FROM c GROUP BY source)
+        |SELECT source, vocab, n_tokens, hapax,
+        | round(hapax / CAST(vocab AS DOUBLE), 6) AS hapax_vocab_share,
+        | round(hapax / CAST(n_tokens AS DOUBLE), 6) AS hapax_token_share
+        |FROM a ORDER BY source""".stripMargin) { (s, d) =>
+      CorpusReports.hapaxReport(t(s, d, "documents"), col("source"),
+          col("text"))
+        .orderBy(col("source"))
+    },
   )
 }

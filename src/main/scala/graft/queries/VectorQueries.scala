@@ -314,6 +314,62 @@ object VectorQueries {
       graft.ops.CorpusReports.cellOccupancyReport(cells, "ivf_cell")
     },
 
+    // ---- embedding-corpus health summary (index-ingest gate) ----
+    // Ragged dims, zero vectors, NaN payloads, norm range — checked
+    // on the actual corpus (the AdapterContractSpec seam pins the
+    // embedder; this audits data). Counts integer-exact; norm extrema
+    // are per-row index-order sums, so no cross-row fp accumulation.
+    Q("q121_embedding_health",
+      """WITH v AS (SELECT len(embedding) AS d,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+        |  CASE WHEN list_sum(list_transform(embedding,
+        |    x -> CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END)) > 0
+        |   THEN 1 ELSE 0 END AS hasnan,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        | FROM embeddings)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(count(DISTINCT d) AS BIGINT) AS n_dims_distinct,
+        | CAST(min(d) AS INTEGER) AS min_dim,
+        | CAST(max(d) AS INTEGER) AS max_dim,
+        | CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vecs,
+        | CAST(sum(hasnan) AS BIGINT) AS nan_vecs,
+        | round(min(nrm), 6) AS min_norm,
+        | round(max(nrm), 6) AS max_norm
+        |FROM v""".stripMargin) { (s, d) =>
+      graft.vector.VectorHealth.embeddingHealthReport(
+        t(s, d, "embeddings"), col("embedding"))
+    },
+
+    // ---- int8 quantization error report (per-vector pricing) ----
+    // MSE + worst element error of q52's symmetric int8 round-trip,
+    // one row per vector so outliers stay visible (a corpus mean is
+    // also a cross-row fp sum — not hash-reproducible; per-row
+    // index-order arithmetic is).
+    Q("q122_quantization_error",
+      """WITH v AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        | FROM embeddings),
+        |q AS (SELECT vec_id, m, embedding,
+        |  list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) / m * 127) AS BIGINT)) AS qv
+        | FROM v WHERE m > 0),
+        |r AS (SELECT vec_id, m, embedding,
+        |  list_transform(qv, q -> CAST(CAST(q AS DOUBLE) * m / 127 AS FLOAT)) AS rv
+        | FROM q),
+        |e AS (SELECT vec_id, m, list_transform(range(1, len(embedding) + 1),
+        |  i -> CAST(embedding[i] AS DOUBLE) - CAST(rv[i] AS DOUBLE)) AS errs
+        | FROM r)
+        |SELECT vec_id,
+        | round(list_sum(list_transform(errs, e -> e * e)) / len(errs), 6) AS mse,
+        | round(list_max(list_transform(errs, e -> abs(e))), 6) AS max_abs_err,
+        | round(m, 6) AS scale
+        |FROM e ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.vector.VectorHealth.quantizationErrorReport(
+          t(s, d, "embeddings"), "vec_id", col("embedding"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- cluster purity vs ground-truth labels (quantizer quality) ----
     // q87's cell assignment joined to the embeddings' label column:
     // per cell, size, majority label, and purity — the external

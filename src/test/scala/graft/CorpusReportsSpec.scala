@@ -199,6 +199,20 @@ class CorpusReportsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("hapaxReport: exact hapax accounting per source") {
+    val docs = Seq(
+      ("s1", "a b a c"),     // vocab {a:2, b:1, c:1} — hapax 2 of 3, tokens 4
+      ("s1", "a"),           // folds into s1: a:3, b:1, c:1 — hapax 2, tokens 5
+      ("s2", "x y z")        // all hapax: 3 of 3, tokens 3
+    ).toDF("src", "text")
+    val got = CorpusReports.hapaxReport(docs, col("src"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("s1") == ((3L, 5L, 2L, 0.666667, 0.4)))
+    assert(got("s2") == ((3L, 3L, 3L, 1.0, 1.0)))
+  }
+
   test("truncationLossReport: exact token accounting, empty docs included") {
     val docs = Seq("a b c", "a b c d e f", "", "x").toDF("text")
     // token counts: 3, 6, 0, 1 — total 10

@@ -350,6 +350,16 @@ class GraphSpec extends AnyFunSuite {
     assert(after.nonEmpty)
   }
 
+  test("componentSizeDistribution: exact sizes, clusters, and doc totals") {
+    // components: {1,2,3,4} (chain), {10,11} , {20,21} — sizes 4,2,2
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val labels = graft.ops.NearDup.connectedComponents(pairs)
+    val got = graft.ops.Graph.componentSizeDistribution(labels)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(4L -> ((1L, 4L)), 2L -> ((2L, 4L))))
+  }
+
   test("signature-store retention: prune ≡ a store that never ingested the departed docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val base = graft.ops.NearDup.withMutatedCopies(docs, "doc_id", "text")

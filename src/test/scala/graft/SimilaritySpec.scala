@@ -252,4 +252,51 @@ class SimilaritySpec extends AnyFunSuite {
     // with nonzero norm) — spot the diagonal surviving
     assert(prefix.forall(_.getLong(1) == 5L))
   }
+
+  test("embeddingHealthReport flags ragged dims, zero vectors, and NaN payloads") {
+    val rows = Seq(
+      (1L, Array(3f, 4f)),               // norm 5
+      (2L, Array(0f, 0f)),               // zero vector
+      (3L, Array(1f, 0f, 0f)),           // ragged dim, norm 1
+      (4L, Array(Float.NaN, 1f))         // NaN payload
+    ).toDF("id", "vec")
+    val r = graft.vector.VectorHealth
+      .embeddingHealthReport(rows, col("vec")).head()
+    assert(r.getLong(0) == 4L, "n_vecs")
+    assert(r.getLong(1) == 2L, "two distinct dims")
+    assert((r.getInt(2), r.getInt(3)) == ((2, 3)), "dim range")
+    assert(r.getLong(4) == 1L, "one zero vector")
+    assert(r.getLong(5) == 1L, "one NaN vector")
+    assert(r.getDouble(6) == 0.0, "min norm is the zero vector's")
+    // clean corpus: all-zero defect counts
+    val clean = Seq((1L, Array(3f, 4f)), (2L, Array(6f, 8f))).toDF("id", "vec")
+    val c = graft.vector.VectorHealth
+      .embeddingHealthReport(clean, col("vec")).head()
+    assert(c.getLong(4) == 0L && c.getLong(5) == 0L)
+    assert((c.getDouble(6), c.getDouble(7)) == ((5.0, 10.0)))
+  }
+
+  test("quantizationErrorReport: error bounded by half a quantization step, zero vectors excluded") {
+    val rows = Seq(
+      (1L, Array(1f, -0.5f, 0.25f)),
+      (2L, Array(0f, 0f, 0f)),           // excluded (scale 0)
+      (3L, Array(0.1f, 0.2f, -0.3f))
+    ).toDF("id", "vec")
+    val got = graft.vector.VectorHealth
+      .quantizationErrorReport(rows, "id", col("vec"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(!got.contains(2L), "zero vector must be excluded")
+    got.foreach { case (id, (mse, maxErr, scale)) =>
+      // symmetric int8: |err| <= scale/254 + float cast ulp slack
+      val bound = scale / 254.0 + 1e-6
+      assert(maxErr <= bound, s"id=$id maxErr=$maxErr bound=$bound")
+      assert(mse <= bound * bound + 1e-12 && mse >= 0.0)
+    }
+    // exactly representable values round-trip with zero error
+    val exact = Seq((9L, Array(127f, -127f, 0f))).toDF("id", "vec")
+    val e = graft.vector.VectorHealth
+      .quantizationErrorReport(exact, "id", col("vec")).head()
+    assert(e.getDouble(1) == 0.0 && e.getDouble(2) == 0.0)
+  }
 }
