@@ -192,6 +192,33 @@ object CorpusReports {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Per-source EXACT-duplicate rate: the fraction of each source's
+    * docs whose content fingerprint (first 16 hex of sha256) occurs
+    * more than once corpus-WIDE — the before/after number an exact
+    * dedup pass (q12) is judged by, per source, and the cheap sibling
+    * of the near-dup matrix (`sourcePairMatrix`): a source that is
+    * mostly copies of other sources shows a high rate here first.
+    *
+    * Scale: text collapses to the 16-hex fingerprint in the initial
+    * projection; the global count and the count-back join shuffle
+    * only (fingerprint, count) pairs. At 64 bits the birthday
+    * collision term is ~N²/2⁶⁵ — negligible false-dup mass at any
+    * corpus this fingerprint is used for (same contract as the F8
+    * surrogate key). */
+  def exactDupRateReport(df: DataFrame, source: Column,
+      text: Column, roundTo: Int = 6): DataFrame = {
+    val h = df.select(source.as("source"),
+      substring(sha2(text, 256), 1, 16).as("__h"))
+    val counts = h.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    h.join(counts, Seq("__h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      .select(col("source"), col("n_docs"), col("dup_docs"),
+        round(col("dup_docs").cast("double") / col("n_docs"), roundTo)
+          .as("dup_rate"))
+  }
+
   /** Per-source hapax legomenon rate: the fraction of the vocabulary
     * (and of tokens) occurring exactly once. Natural text holds a
     * hapax-vocab share around 0.4–0.6 (Zipf's tail); templated or

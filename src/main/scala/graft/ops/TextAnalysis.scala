@@ -287,10 +287,12 @@ object TextAnalysis {
     * combining agg, one bigram transform (no self-join) into the same
     * shape, one per-doc hash agg each, one per-doc join — every term
     * linear in tokens, no windows, no driver state. */
-  def gopherReport(df: org.apache.spark.sql.DataFrame, id: String,
-      text: Column, minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      minAlphaFrac: Double = 0.8, maxTopWordFrac: Double = 0.2,
-      maxTopBigramFrac: Double = 0.18): org.apache.spark.sql.DataFrame = {
+  /** The raw (unrounded) Gopher metrics both the per-doc report and
+    * the funnel aggregate from: (id, n_tokens, __mwl, __fa, __twf,
+    * __tbf nullable). Ratios of exact integer counts in double, so
+    * downstream threshold comparisons reproduce across engines. */
+  private def gopherRawMetrics(df: org.apache.spark.sql.DataFrame,
+      id: String, text: Column): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(id),
       explode(filter(tokens(text), w => w =!= "")).as("__w"))
     val wordAgg = toks.groupBy(col(id), col("__w"))
@@ -315,6 +317,13 @@ object TextAnalysis {
       .groupBy(col(id))
       .agg((max(col("__c")) / sum(col("__c")).cast("double")).as("__tbf"))
     wordAgg.join(bigramAgg, Seq(id), "left")
+  }
+
+  def gopherReport(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column, minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, maxTopWordFrac: Double = 0.2,
+      maxTopBigramFrac: Double = 0.18): org.apache.spark.sql.DataFrame =
+    gopherRawMetrics(df, id, text)
       .select(col(id), col("n_tokens"),
         round(col("__mwl"), 6).as("mean_word_len"),
         round(col("__fa"), 6).as("frac_alpha_words"),
@@ -323,6 +332,34 @@ object TextAnalysis {
         (col("__mwl").between(minMeanWordLen, maxMeanWordLen) &&
           col("__fa") >= minAlphaFrac && col("__twf") <= maxTopWordFrac &&
           coalesce(col("__tbf"), lit(0.0)) <= maxTopBigramFrac).as("keep"))
+
+  /** Quality-gate funnel over the Gopher rules: one row with the
+    * population, each rule's independent failure count, and the
+    * SEQUENTIAL survivor counts applying the rules in their
+    * documented order — the operational view of a gate ("which rule
+    * costs me the most data?") that the per-doc report (q93) cannot
+    * answer without a client-side rollup. Same raw metrics and
+    * thresholds as `gopherReport`, so `pass_all` always equals that
+    * report's `keep` count. All counts integer-exact. */
+  def gopherFunnel(df: org.apache.spark.sql.DataFrame, id: String,
+      text: Column, minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, maxTopWordFrac: Double = 0.2,
+      maxTopBigramFrac: Double = 0.18): org.apache.spark.sql.DataFrame = {
+    val mwlOk = col("__mwl").between(minMeanWordLen, maxMeanWordLen)
+    val faOk = col("__fa") >= minAlphaFrac
+    val twfOk = col("__twf") <= maxTopWordFrac
+    val tbfOk = coalesce(col("__tbf"), lit(0.0)) <= maxTopBigramFrac
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    gopherRawMetrics(df, id, text)
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(!mwlOk).as("fail_word_len"),
+        cnt(!faOk).as("fail_alpha"),
+        cnt(!twfOk).as("fail_top_word"),
+        cnt(!tbfOk).as("fail_top_bigram"),
+        cnt(mwlOk).as("after_word_len"),
+        cnt(mwlOk && faOk).as("after_alpha"),
+        cnt(mwlOk && faOk && twfOk).as("after_top_word"),
+        cnt(mwlOk && faOk && twfOk && tbfOk).as("pass_all"))
   }
 
   /** CCNet-style line-level boilerplate removal: drop every line whose

@@ -633,5 +633,34 @@ object DedupQueries {
       graft.ops.Graph.componentSizeDistribution(labels)
         .orderBy(col("cluster_size"))
     },
+
+    // ---- per-source exact-duplicate rate ----
+    // Fraction of each source's docs whose sha16 fingerprint occurs
+    // >1× corpus-wide, on the q119 mirror-planted corpus (the base
+    // corpus has no exact dups, so the mirror makes every planted
+    // copy AND its original count as dups — rate 1.0 for 'mirror',
+    // ~1/13 for the real sources).
+    Q("q125_exact_dup_rate",
+      """WITH aug AS (
+        | SELECT doc_id, text, source FROM documents
+        | UNION ALL
+        | SELECT doc_id + 2000000 AS doc_id, text, 'mirror' AS source
+        | FROM documents WHERE doc_id % 13 = 0),
+        |h AS (SELECT source, substr(sha256(text), 1, 16) AS h FROM aug),
+        |c AS (SELECT h, count(*) AS c FROM h GROUP BY h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        | round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+        |       / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM h JOIN c USING (h) GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val aug = docs.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            lit("mirror").as("source")))
+      graft.ops.CorpusReports.exactDupRateReport(aug, col("source"),
+          col("text"))
+        .orderBy(col("source"))
+    },
   )
 }

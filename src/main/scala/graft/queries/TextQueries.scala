@@ -386,5 +386,51 @@ object TextQueries {
       TextAnalysis.noveltyReport(t(s, d, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))
     },
+
+    // ---- Gopher quality-gate funnel (which rule costs the data?) ----
+    // One row: population, per-rule independent failure counts, and
+    // sequential survivors in rule order. Same raw thresholds as
+    // q93's keep, so pass_all = q93's keep count by construction.
+    Q("q126_gopher_funnel",
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
+        |u AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+        |wc AS (SELECT doc_id, wd, count(*) AS c FROM u GROUP BY doc_id, wd),
+        |agg AS (SELECT doc_id,
+        |  sum(length(wd) * c) / CAST(sum(c) AS DOUBLE) AS mwl,
+        |  sum(CASE WHEN regexp_matches(wd, '\p{L}') THEN c ELSE 0 END)
+        |    / CAST(sum(c) AS DOUBLE) AS fa,
+        |  max(c) / CAST(sum(c) AS DOUBLE) AS twf
+        | FROM wc GROUP BY doc_id),
+        |p AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM
+        |  (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |   FROM w WHERE len(ws) >= 2)),
+        |pc AS (SELECT doc_id, bg, count(*) AS c FROM p GROUP BY doc_id, bg),
+        |bagg AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS tbf
+        | FROM pc GROUP BY doc_id),
+        |m AS (SELECT a.doc_id, mwl, fa, twf, coalesce(tbf, 0) AS tbf
+        | FROM agg a LEFT JOIN bagg b USING (doc_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN NOT (mwl BETWEEN 3 AND 10) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS fail_word_len,
+        | CAST(sum(CASE WHEN NOT (fa >= 0.8) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS fail_alpha,
+        | CAST(sum(CASE WHEN NOT (twf <= 0.2) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS fail_top_word,
+        | CAST(sum(CASE WHEN NOT (tbf <= 0.18) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS fail_top_bigram,
+        | CAST(sum(CASE WHEN mwl BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS after_word_len,
+        | CAST(sum(CASE WHEN mwl BETWEEN 3 AND 10 AND fa >= 0.8
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS after_alpha,
+        | CAST(sum(CASE WHEN mwl BETWEEN 3 AND 10 AND fa >= 0.8
+        |   AND twf <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS after_top_word,
+        | CAST(sum(CASE WHEN mwl BETWEEN 3 AND 10 AND fa >= 0.8
+        |   AND twf <= 0.2 AND tbf <= 0.18 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS pass_all
+        |FROM m""".stripMargin) { (s, d) =>
+      TextAnalysis.gopherFunnel(t(s, d, "documents"), "doc_id", col("text"))
+    },
   )
 }

@@ -199,6 +199,46 @@ class CorpusReportsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("exactDupRateReport: corpus-wide fingerprint counts, per-source rates") {
+    val docs = Seq(
+      ("s1", "alpha"), ("s1", "beta"), ("s1", "alpha"),  // within-source dup
+      ("s2", "alpha"),                                    // cross-source dup
+      ("s2", "gamma")                                     // unique
+    ).toDF("src", "text")
+    val got = graft.ops.CorpusReports.exactDupRateReport(docs, col("src"),
+        col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // "alpha" occurs 3× corpus-wide: both s1 copies AND s2's count
+    assert(got("s1") == ((3L, 2L, 0.666667)))
+    assert(got("s2") == ((2L, 1L, 0.5)))
+  }
+
+  test("gopherFunnel: rule counts are exact and pass_all equals gopherReport's keep count") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // clean
+      (2L, "abc abc abc abc abc abc abc abc abc abc"), // top-word + bigram spam
+      (3L, "1 2 3 4 5 6 7 8 9 10"),                    // non-alpha, short words
+      (4L, "spam eggs spam bacon spam toast beans")    // top-word 3/7, bigrams distinct
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.gopherFunnel(docs, "doc_id", col("text")).head()
+    assert(f.getLong(0) == 4L, "population")
+    // rule-by-rule: doc3 fails word-len (mwl ~1.1) and alpha; doc2
+    // fails top-word (10/10) and bigram (9/9); doc4 fails top-word
+    assert(f.getLong(1) == 1L, "fail_word_len = doc3")
+    assert(f.getLong(2) == 1L, "fail_alpha = doc3")
+    assert(f.getLong(3) == 2L, "fail_top_word = docs 2,4")
+    assert(f.getLong(4) == 1L, "fail_top_bigram = doc2")
+    // sequential: after_word_len 3 (drop doc3), after_alpha 3,
+    // after_top_word 1 (drop 2,4), pass_all 1
+    assert((f.getLong(5), f.getLong(6), f.getLong(7), f.getLong(8)) ==
+      ((3L, 3L, 1L, 1L)))
+    val keepCnt = TextAnalysis.gopherReport(docs, "doc_id", col("text"))
+      .filter(col("keep")).count()
+    assert(f.getLong(8) == keepCnt, "pass_all must equal q93's keep count")
+  }
+
   test("hapaxReport: exact hapax accounting per source") {
     val docs = Seq(
       ("s1", "a b a c"),     // vocab {a:2, b:1, c:1} — hapax 2 of 3, tokens 4

@@ -47,6 +47,18 @@ class PlanSpec extends AnyFunSuite {
     assert(s77.subsetOf(Set("__t", "clean_text")), s77.toString)
   }
 
+  test("q106/q119/q125: document text never crosses an exchange") {
+    // snapshot diff: equality is sha16, computed BEFORE the full-outer
+    // id join — the raw text column must stay inside the scan stage
+    assert(!shuffledStringAttrs("q106_snapshot_diff").contains("text"))
+    // source dup matrix: after the signature projection only band
+    // keys, sources, and ids may shuffle
+    assert(!shuffledStringAttrs("q119_source_dup_matrix").contains("text"))
+    // exact-dup rate: text collapses to the 16-hex fingerprint in the
+    // initial projection
+    assert(!shuffledStringAttrs("q125_exact_dup_rate").contains("text"))
+  }
+
   test("q03 anti join keys resolve to DISTINCT attributes (no trivially-true predicate)") {
     // `seen` derives from `docs`; before the aliasing fix both join
     // keys resolved to ONE AttributeReference and Spark warned
