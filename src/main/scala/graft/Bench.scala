@@ -94,8 +94,11 @@ object Bench {
     val startLoad = load1()
     var gateWaited = false
     if (startLoad > gateThreshold) {
+      // a typo'd env value must not abort the whole run before the
+      // first query — degrade to the default like the reference loader
       val waitSecs =
-        sys.env.getOrElse("GRAFT_BENCH_LOAD_WAIT_SECS", "60").toInt
+        sys.env.get("GRAFT_BENCH_LOAD_WAIT_SECS")
+          .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(60)
       System.err.println(f"BENCH: loadavg $startLoad%.2f > cores/2 " +
         f"($gateThreshold%.1f) before start — waiting ${waitSecs}s once")
       gateWaited = true

@@ -53,6 +53,54 @@ object Sinks {
     else None
   }
 
+  /** Complete an interrupted staging swap: if the live path is missing
+    * but the `.old` backup exists (a crash died between
+    * `overwriteInPlace`'s two renames), promote the backup back to
+    * the live path. Idempotent, no-op when the live path exists.
+    * Every op that touches swap-managed state through a BARE path
+    * read (or an existence check) must call this first — otherwise a
+    * crashed rewrite reads as "no store", a fresh append rebuilds a
+    * store holding only that batch, and the next rewrite deletes the
+    * backup that held the real one. */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    val b = new Path(path + ".old")
+    if (!fs.exists(p) && fs.exists(b) && !fs.rename(b, p))
+      throw new java.io.IOException(
+        s"swap recovery: could not restore $b to $p")
+  }
+
+  /** Shared maintenance body for the bucket-partitioned swap-managed
+    * stores (signature store, label store): recover an interrupted
+    * swap, optionally anti-join a delete feed on `idCol`, and rewrite
+    * the store with one writer per bucket, leaving ≤1 file per bucket
+    * directory. The bucket count comes from the partition-directory
+    * listing — a driver filesystem call, not an extra full-store scan
+    * action. Throws if no state (nor backup) exists at `path`. */
+  def rewriteBucketed(spark: SparkSession, path: String, bucketCol: String,
+      antiJoin: Option[(DataFrame, String)] = None): Unit = {
+    recoverSwap(spark, path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path)))
+      throw new java.util.NoSuchElementException(
+        s"rewriteBucketed: no state at $path")
+    val buckets = math.max(1, fs.listStatus(new Path(path)).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith(bucketCol + "=")))
+    val store = spark.read.parquet(path)
+    val kept = antiJoin match {
+      case Some((ids, idCol)) => store.join(
+        ids.select(org.apache.spark.sql.functions.col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      case None => store
+    }
+    overwriteInPlace(
+      kept.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol)),
+      path, partitionBy = Seq(bucketCol))
+  }
+
   /** JSONL sink (ref orient='records' lines=True writes). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)

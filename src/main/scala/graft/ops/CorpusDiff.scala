@@ -20,8 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusDiff {
 
-  val Statuses = Seq("added", "removed", "changed", "unchanged")
-
   /** Per-id diff: (id, status, group) where `group` is `by` coalesced
     * across the two snapshots (changed/removed report the OLD side's
     * group; added has only the new side). */

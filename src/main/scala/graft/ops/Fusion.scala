@@ -77,6 +77,16 @@ object Fusion {
       maxPool: Int = 10000): DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"mmrRerank: lambda=$lambda")
     require(k > 0, s"mmrRerank: k=$k")
+    // the greedy page keys candidates by long id; a silent cast of a
+    // string id (e.g. the sha16 surrogate keys) would null every row
+    // and die later in an opaque NPE — fail loudly at the boundary
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idType = candidates.schema(id).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+        s"mmrRerank: id column '$id' must be an integral type, got $idType — " +
+          "map string ids (e.g. sha16 keys) to a numeric surrogate first")
+    }
     val spark = candidates.sparkSession
     val rows = candidates
       .select(col(id).cast("long"), col(scoreCol).cast("double"), col(vecCol))

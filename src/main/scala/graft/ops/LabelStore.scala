@@ -189,16 +189,8 @@ object LabelStore {
     * (`NearDup.compactSignatureStore`) wants a same-shaped analog
     * here. Same K1 staging swap; GraphSpec asserts read-equivalence
     * and the file bound. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val store = graft.io.Sinks.readStateOrBackup(spark, path)
-      .getOrElse(throw new java.util.NoSuchElementException(
-        s"LabelStore.compact: no label store at $path"))
-    val buckets = math.max(1,
-      store.select(countDistinct(col("comp_bucket"))).head().getLong(0).toInt)
-    graft.io.Sinks.overwriteInPlace(
-      store.repartition(buckets, col("comp_bucket")), path,
-      partitionBy = Seq("comp_bucket"))
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.io.Sinks.rewriteBucketed(spark, path, "comp_bucket")
 
   /** RETENTION: drop the label rows of documents that left the
     * corpus. Labels are cluster NAMES, not pointers that must resolve
@@ -222,19 +214,9 @@ object LabelStore {
     * against it — so pruning is periodic feed-driven cleanup, not a
     * one-shot guarantee. */
   def prune(spark: SparkSession, path: String,
-      removedIds: DataFrame, idCol: String): Unit = {
-    val store = graft.io.Sinks.readStateOrBackup(spark, path)
-      .getOrElse(throw new java.util.NoSuchElementException(
-        s"LabelStore.prune: no label store at $path"))
-    val keep = store.join(
-      removedIds.select(col(idCol).as("node")).distinct(),
-      Seq("node"), "left_anti")
-    val buckets = math.max(1,
-      store.select(countDistinct(col("comp_bucket"))).head().getLong(0).toInt)
-    graft.io.Sinks.overwriteInPlace(
-      keep.repartition(buckets, col("comp_bucket")), path,
-      partitionBy = Seq("comp_bucket"))
-  }
+      removedIds: DataFrame, idCol: String): Unit =
+    graft.io.Sinks.rewriteBucketed(spark, path, "comp_bucket",
+      antiJoin = Some((removedIds.select(col(idCol).as("node")), "node")))
 
   /** The current labels: (node, component), crash-recovering through
     * the K1 backup like any swap-managed state. */

@@ -263,6 +263,10 @@ object NearDup {
   def appendSignatureStore(sigs: DataFrame, id: String, path: String,
       numHashes: Int = 4, rowsPerBand: Int = 2, buckets: Int = 64): Unit = {
     require(buckets >= 1, s"appendSignatureStore: buckets=$buckets")
+    // an append into the crash window of an interrupted rewrite would
+    // otherwise rebuild the store as just this batch (and the next
+    // rewrite would delete the backup holding the real one)
+    graft.io.Sinks.recoverSwap(sigs.sparkSession, path)
     bandedSignatures(sigs, id, numHashes, rowsPerBand, "appendSignatureStore")
       .select(col("__id").as(id), col("__band").as("band"),
         pmod(xxhash64(col("__band")), lit(buckets.toLong)).as("band_bucket"))
@@ -290,6 +294,7 @@ object NearDup {
   def probeSignatureStore(spark: org.apache.spark.sql.SparkSession,
       path: String, newSigs: DataFrame, id: String,
       numHashes: Int = 4, rowsPerBand: Int = 2, buckets: Int = 64): DataFrame = {
+    graft.io.Sinks.recoverSwap(spark, path)
     val fresh = bandedSignatures(newSigs, id, numHashes, rowsPerBand,
       "probeSignatureStore")
       .withColumn("__bucket", pmod(xxhash64(col("__band")), lit(buckets.toLong)))
@@ -322,14 +327,8 @@ object NearDup {
     * whatever cadence keeps files-per-bucket bounded (weekly against
     * daily appends); it reads and writes the store once. */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    val store = spark.read.parquet(path)
-    val buckets = math.max(1,
-      store.select(countDistinct(col("band_bucket"))).head().getLong(0).toInt)
-    graft.io.Sinks.overwriteInPlace(
-      store.repartition(buckets, col("band_bucket")), path,
-      partitionBy = Seq("band_bucket"))
-  }
+      path: String): Unit =
+    graft.io.Sinks.rewriteBucketed(spark, path, "band_bucket")
 
   /** RETENTION for the signature store: delete the rows of documents
     * that left the corpus. The store is a SET of per-document band
@@ -343,16 +342,9 @@ object NearDup {
     * together) bounds the file count between prunes. Anti join on the
     * id, one writer per bucket, K1 staging swap. */
   def pruneSignatureStore(spark: org.apache.spark.sql.SparkSession,
-      path: String, removedIds: DataFrame, id: String): Unit = {
-    val store = spark.read.parquet(path)
-    val keep = store.join(
-      removedIds.select(col(id)).distinct(), Seq(id), "left_anti")
-    val buckets = math.max(1,
-      store.select(countDistinct(col("band_bucket"))).head().getLong(0).toInt)
-    graft.io.Sinks.overwriteInPlace(
-      keep.repartition(buckets, col("band_bucket")), path,
-      partitionBy = Seq("band_bucket"))
-  }
+      path: String, removedIds: DataFrame, id: String): Unit =
+    graft.io.Sinks.rewriteBucketed(spark, path, "band_bucket",
+      antiJoin = Some((removedIds.select(col(id)), id)))
 
   /** SimHash over the token multiset, `bits` wide (16 or 64). Word
     * hash = first bits/4 sha256 nibbles (nibble 1 most significant);
@@ -613,6 +605,12 @@ object NearDup {
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     var labels: DataFrame = null
     var edgesByDst: DataFrame = null
+    // the loop's current label-table pin, hoisted so an exception path
+    // (maxIterations exceeded, any in-loop failure) can release it —
+    // otherwise each failed LabelStore.merge tick would permanently
+    // pin an edge table + a label table in the block manager
+    var checkpointed: DataFrame = null
+    var ok = false
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", loopParts)
@@ -640,7 +638,7 @@ object NearDup {
       // min(x, min neighbor) from one groupBy over the checkpointed
       // edges — same single shuffle a distinct-nodes init would cost,
       // one fewer loop iteration
-      var checkpointed = edgesByDst.groupBy(col("src"))
+      checkpointed = edgesByDst.groupBy(col("src"))
         .agg(min(col("dst")).as("__m"))
         .select(col("src").as("node"),
           least(col("src"), col("__m")).as("component"))
@@ -711,12 +709,20 @@ object NearDup {
             spark.sparkContext.statusTracker.getJobIdsForGroup(null).length)
         done = prevChanged == 0L
       }
+      ok = true
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAutoBcast)
+      // success frees the edge table only (the final label pin backs
+      // the returned frame — its consumer releases it, the 4dd2f81
+      // discipline); failure must free everything still pinned.
+      // freeLocalCheckpoint is unpersist-based, so re-freeing `edges`
+      // after the in-try free is a harmless no-op.
+      if (ok) freeLocalCheckpoint(edgesByDst)
+      else Seq(edges, edgesByDst, checkpointed).filter(_ != null)
+        .foreach(freeLocalCheckpoint)
     }
-    freeLocalCheckpoint(edgesByDst)
     labels
   }
 

@@ -334,8 +334,8 @@ object VectorQueries {
         | CAST(max(d) AS INTEGER) AS max_dim,
         | CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vecs,
         | CAST(sum(hasnan) AS BIGINT) AS nan_vecs,
-        | round(min(nrm), 6) AS min_norm,
-        | round(max(nrm), 6) AS max_norm
+        | round(min(CASE WHEN hasnan = 0 THEN nrm END), 6) AS min_norm,
+        | round(max(CASE WHEN hasnan = 0 THEN nrm END), 6) AS max_norm
         |FROM v""".stripMargin) { (s, d) =>
       graft.vector.VectorHealth.embeddingHealthReport(
         t(s, d, "embeddings"), col("embedding"))

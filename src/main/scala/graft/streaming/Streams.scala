@@ -249,6 +249,10 @@ object Streams {
             .minhashSignaturesFused(batch, id, col(text))
           // localCheckpoint: sign once, reuse for probe AND append
           val pinned = sigs.localCheckpoint(true)
+          // a crashed store rewrite must read as "store present, use
+          // the backup" — not as a first tick, which would silently
+          // drop all dedup history
+          graft.io.Sinks.recoverSwap(spark, storePath)
           val fs = new org.apache.hadoop.fs.Path(storePath)
             .getFileSystem(hconf)
           val pairs =

@@ -17,7 +17,11 @@ object VectorHealth {
   /** One-row corpus summary. All counts are integer-exact; the norm
     * extrema are per-row index-order sums (deterministic — no
     * cross-row float accumulation, which is why there is no mean
-    * here: min/max are reorder-safe, a fp mean is not).
+    * here: min/max are reorder-safe, a fp mean is not). NaN vectors
+    * are EXCLUDED from the extrema (their norm is NaN, which Spark
+    * orders above every double — one poisoned vector would otherwise
+    * report max_norm = NaN and erase the drift signal exactly when
+    * the report is needed); they are still counted in `nan_vecs`.
     *
     * Scale: one map-side projection + one aggregation; nothing
     * shuffles but partial-agg rows. */
@@ -37,8 +41,10 @@ object VectorHealth {
         max(col("__d")).as("max_dim"),
         sum(when(col("__z"), 1L).otherwise(0L)).as("zero_vecs"),
         sum(when(col("__nan"), 1L).otherwise(0L)).as("nan_vecs"),
-        round(min(col("__nrm")), roundTo).as("min_norm"),
-        round(max(col("__nrm")), roundTo).as("max_norm"))
+        round(min(when(!col("__nan"), col("__nrm"))), roundTo)
+          .as("min_norm"),
+        round(max(when(!col("__nan"), col("__nrm"))), roundTo)
+          .as("max_norm"))
   }
 
   /** Per-vector int8 reconstruction error for `Quantize`'s symmetric

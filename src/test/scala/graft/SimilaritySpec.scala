@@ -268,6 +268,8 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(4) == 1L, "one zero vector")
     assert(r.getLong(5) == 1L, "one NaN vector")
     assert(r.getDouble(6) == 0.0, "min norm is the zero vector's")
+    // the NaN vector must NOT poison the extrema: max is the clean 5.0
+    assert(r.getDouble(7) == 5.0, "max_norm must exclude NaN vectors")
     // clean corpus: all-zero defect counts
     val clean = Seq((1L, Array(3f, 4f)), (2L, Array(6f, 8f))).toDF("id", "vec")
     val c = graft.vector.VectorHealth
