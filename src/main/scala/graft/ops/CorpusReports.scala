@@ -77,13 +77,18 @@ object CorpusReports {
       .filter(col("__rn") <= topRanks)
       .select(col("source"), log(col("__rn").cast("double")).as("__x"),
         log(col("__c").cast("double")).as("__y"))
+    // a one-word vocabulary has var_pop(ln rank) = 0 — a fit over one
+    // point is undefined, so report an explicit null slope/intercept
+    // (topRanks>=2 validates the PARAMETER; this guards the DATA)
     ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("n_ranks"),
-        round(covar_pop(col("__y"), col("__x")) / var_pop(col("__x")),
+        round(when(var_pop(col("__x")) > 0,
+          covar_pop(col("__y"), col("__x")) / var_pop(col("__x"))),
           roundTo).as("zipf_slope"),
-        round(avg(col("__y")) -
-          covar_pop(col("__y"), col("__x")) / var_pop(col("__x"))
-            * avg(col("__x")), roundTo).as("zipf_intercept"))
+        round(when(var_pop(col("__x")) > 0,
+          avg(col("__y")) -
+            covar_pop(col("__y"), col("__x")) / var_pop(col("__x"))
+              * avg(col("__x"))), roundTo).as("zipf_intercept"))
   }
 
   /** Pairwise source vocabulary overlap: Jaccard between each pair of

@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * CONTRACT — inputs are candidate POOLS, not corpora: each ranking is
   * a ranker's top-N (N in the hundreds), so the rank windows here run
-  * over pool-sized data. Pass a corpus-sized frame and the global
-  * row_number window becomes a single-task sort — the bounding
-  * happened (or didn't) in the upstream ranker, same contract as
-  * `KnnClassify`'s broadcast query sample.
+  * over pool-sized data. Both operators ENFORCE the bound: `mmrRerank`
+  * throws when the collected pool exceeds `maxPool`, and
+  * `reciprocalRankFusion` reads each ranking through
+  * `limit(maxPool + 1)` + a codegen'd raise_error — a corpus-sized
+  * input fails loudly instead of becoming a single-task sort.
   */
 object Fusion {
 
@@ -34,15 +35,30 @@ object Fusion {
     * from a pool simply contributes nothing for that ranker (standard
     * RRF; no imputed rank). Output: (id, rrf_score, n_rankers),
     * top-`topK` by (rrf_score DESC, id ASC), score rounded to
-    * `roundTo` BEFORE the cut. */
+    * `roundTo` BEFORE the cut.
+    *
+    * The pools-not-corpora contract is ENFORCED, mirroring
+    * `mmrRerank`'s maxPool throw: each ranking is read through
+    * `limit(maxPool + 1)` — which bounds the single-task rank sort to
+    * maxPool+1 rows no matter what the caller passes — and a rank
+    * beyond `maxPool` hits a codegen'd `raise_error`, so a
+    * corpus-sized "pool" fails loudly at execution instead of
+    * silently becoming a one-task corpus sort. */
   def reciprocalRankFusion(rankings: Seq[DataFrame], id: String,
       k: Int = 60, topK: Int = 10, scoreCol: String = "score",
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, maxPool: Int = 10000): DataFrame = {
     require(rankings.nonEmpty, "reciprocalRankFusion: no rankings")
     require(k > 0 && topK > 0, s"reciprocalRankFusion: k=$k topK=$topK")
+    require(maxPool >= topK, s"reciprocalRankFusion: maxPool=$maxPool < topK=$topK")
     val contribs = rankings.zipWithIndex.map { case (r, i) =>
       val w = Window.orderBy(col(scoreCol).desc, col(id).asc)
-      r.select(col(id), row_number().over(w).as("__rank"))
+      r.limit(maxPool + 1)
+        .select(col(id), row_number().over(w).as("__rank"))
+        .withColumn("__rank", when(col("__rank") > lit(maxPool),
+          raise_error(lit(s"reciprocalRankFusion: ranking $i exceeds " +
+            s"maxPool=$maxPool rows — RRF fuses top-N pools, not corpora; " +
+            "cut the pool in the upstream ranker")).cast("int"))
+          .otherwise(col("__rank")))
         .select(col(id),
           (lit(1.0) / (lit(k.toDouble) + col("__rank"))).as(s"__c$i"))
     }
@@ -80,7 +96,7 @@ object Fusion {
     // the greedy page keys candidates by long id; a silent cast of a
     // string id (e.g. the sha16 surrogate keys) would null every row
     // and die later in an opaque NPE — fail loudly at the boundary
-    {
+    locally {
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       val idType = candidates.schema(id).dataType
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),

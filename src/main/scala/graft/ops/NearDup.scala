@@ -138,19 +138,31 @@ object NearDup {
     *
     * Scale shape: one shuffle on the anchor key; the exchange carries
     * the normalized text because the VERIFY step needs it (unlike
-    * q68/q77 the text here is the payload, not an avoidable key) —
-    * group fan-out is bounded by docs sharing an 8-token head.
+    * q68/q77 the text here is the payload, not an avoidable key).
+    * Group fan-out is gated: an anchor shared by g docs joins as an
+    * O(g²) key group, and a corpus-wide boilerplate head (one million
+    * docs sharing a template first line is ~10¹² comparisons in ONE
+    * task) would wedge the stage — so anchors with document frequency
+    * above `maxAnchorFreq` are dropped before the self-join. A
+    * template head that hot is boilerplate, not a truncation victim;
+    * true truncation pairs share a head with at most a handful of
+    * docs. Dropped-anchor recall loss is observable: count rows with
+    * `__af > maxAnchorFreq` in the pre-gate frame if auditing.
     * Output: (contained_id, container_id, relation equal|contained),
     * equal-text pairs normalized to the smaller id on the left. */
   def prefixContainmentPairs(df: DataFrame, id: String, text: Column,
-      anchorTokens: Int = 8): DataFrame = {
+      anchorTokens: Int = 8, maxAnchorFreq: Int = 1000): DataFrame = {
     require(anchorTokens >= 1, s"prefixContainmentPairs: anchorTokens=$anchorTokens")
+    require(maxAnchorFreq >= 2, s"prefixContainmentPairs: maxAnchorFreq=$maxAnchorFreq")
     val norm = lower(trim(text))
     val ws = filter(split(norm, "\\s+"), t => t =!= "")
-    val base = df.select(col(id).as("__id"), norm.as("__text"), ws.as("__w"))
+    val withFreq = df.select(col(id).as("__id"), norm.as("__text"), ws.as("__w"))
       .filter(size(col("__w")) >= anchorTokens)
       .select(col("__id"), col("__text"),
         concat_ws(" ", slice(col("__w"), 1, anchorTokens)).as("__anchor"))
+      .withColumn("__af", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__anchor"))))
+    val base = withFreq.filter(col("__af") <= maxAnchorFreq).drop("__af")
     base.as("a").join(base.as("b"),
         col("a.__anchor") === col("b.__anchor") &&
           (length(col("a.__text")) < length(col("b.__text")) ||

@@ -63,6 +63,22 @@ class CorpusReportsSpec extends AnyFunSuite {
       "intercept ≈ ln(1000)")
   }
 
+  test("zipfReport: a one-word vocabulary yields explicit null, not NaN") {
+    // s_one has a single ranked token → var_pop(ln rank) = 0; the fit
+    // is undefined and must surface as null, while s_two still fits
+    val docs = Seq(("solo solo solo", "s_one"), ("a a a b", "s_two"))
+      .toDF("text", "source")
+    val r = CorpusReports.zipfReport(docs, col("source"), col("text"),
+      topRanks = 10).collect().map(x => x.getString(0) -> x).toMap
+    val one = r("s_one")
+    assert(one.getLong(1) == 1L)
+    assert(one.isNullAt(2) && one.isNullAt(3),
+      "single-point fit must be null slope/intercept, not NaN")
+    val two = r("s_two")
+    assert(two.getLong(1) == 2L && !two.isNullAt(2),
+      "a 2-point source still gets a real fit")
+  }
+
   test("tokenLengthHistogram: exact power-of-two bucket boundaries") {
     val docs = Seq(
       ("", "s"),                      // 0 tokens → bucket 0
@@ -93,6 +109,27 @@ class CorpusReportsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
       "suffix containment is out of contract (prefix anchor) — documented miss")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("prefixContainmentPairs: hot template anchors are gated, cool pairs survive") {
+    // 5 docs share a boilerplate 8-token head (freq > maxAnchorFreq=4)
+    // → that anchor group is dropped entirely; the cool truncation
+    // pair on a different head is still found
+    val hot = (10L to 14L).map(i => (i, "the same boilerplate header every scrape emits verbatim"))
+    val cool = Seq(
+      (1L, "u v w x y z p q r s"),
+      (2L, "u v w x y z p q"))
+    val docs = (hot ++ cool).toDF("id", "text")
+    val pairs = NearDup.prefixContainmentPairs(docs, "id", col("text"),
+        anchorTokens = 8, maxAnchorFreq = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(pairs == Set((2L, 1L, "contained")),
+      s"hot-anchor group must be dropped, cool pair kept: $pairs")
+    // with the gate lifted the hot group's pairs come back
+    val ungated = NearDup.prefixContainmentPairs(docs, "id", col("text"),
+        anchorTokens = 8, maxAnchorFreq = 1000)
+      .collect()
+    assert(ungated.length > 1, "sanity: gate (not the data) hid the hot pairs")
   }
 
   test("sourceVocabOverlap: dense pairs, exact jaccard, topV cut honored") {
