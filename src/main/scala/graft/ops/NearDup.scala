@@ -671,6 +671,7 @@ object NearDup {
       var done = false
       while (!done) {
         iter += 1
+        val iterStart = System.nanoTime()
         require(iter <= maxIterations,
           s"connectedComponents: no fixpoint after $maxIterations iterations " +
             "— raise maxIterations (component diameter exceeds 2^n bound)")
@@ -718,7 +719,8 @@ object NearDup {
         prevChanged = changed.value
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           println(s"CC iter=$iter changed=$prevChanged jobs=" +
-            spark.sparkContext.statusTracker.getJobIdsForGroup(null).length)
+            spark.sparkContext.statusTracker.getJobIdsForGroup(null).length +
+            f" wall=${(System.nanoTime() - iterStart) / 1e9}%.3fs")
         done = prevChanged == 0L
       }
       ok = true

@@ -40,6 +40,27 @@ class FusionSpec extends AnyFunSuite {
     assert(top == 10L, "the doc both rankers agree on must fuse to the top")
   }
 
+  test("RRF: a corpus-sized ranking fails loudly at the pool cap") {
+    // the pools-not-corpora contract is enforced at execution: a
+    // ranking larger than maxPool hits the codegen'd raise_error
+    // instead of silently single-task-sorting the whole input
+    val corpus = spark.range(0, 100)
+      .select(col("id"), (lit(1.0) / (col("id") + 1)).as("score"))
+    val e = intercept[Exception] {
+      Fusion.reciprocalRankFusion(Seq(corpus), "id",
+        topK = 5, maxPool = 20).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("maxPool"))),
+      s"expected the maxPool raise_error, got: $e")
+    // at or under the cap the same input fuses normally
+    val ok = Fusion.reciprocalRankFusion(Seq(corpus.limit(20)), "id",
+      topK = 5, maxPool = 20).collect()
+    assert(ok.length == 5 && ok.head.getLong(0) == 0L)
+  }
+
   test("MMR: near-duplicate suppression and the lambda extremes") {
     // candidates: 1 and 2 are near-identical vectors with the top two
     // relevance scores; 3 is orthogonal with lower relevance
