@@ -218,16 +218,17 @@ object Bench {
       // (q100_* would collide with q10_* under a fixed take(3))
       else line(results.map { case (k, v) => k.takeWhile(_ != '_') -> v }, 3)
     }
-    println(stdoutLine)
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
-    if (errors.nonEmpty) {
+    if (errors.nonEmpty)
       System.err.println(s"BENCH FAILURES: ${errors.keys.mkString(", ")}")
-      sys.exit(1)
-    }
+    // The driver parses a bounded stdout TAIL; print the JSON line LAST,
+    // after spark.stop() and every stderr note, so nothing can trail it.
+    println(stdoutLine)
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -133,7 +133,7 @@ object MiscQueries {
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       events(s, d)
-        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .withColumn("tstamp", timestamp_millis(col("ts_ms")))
         .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -18,18 +18,38 @@ object Q {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
 
-  /** Testdata table loader (TESTDATA.md). `events.ts` is parquet
-    * TIMESTAMP(NANOS), which Spark 4 only reads via the nanosAsLong
-    * legacy conf — so `ts` surfaces as long nanoseconds; derive epoch
-    * millis with exact integer division (`ts div 1000000`, = DuckDB
-    * `epoch_ms(ts)`). Never divide ns as double: 1.7e18 > 2^53. */
+  /** Testdata table loader (TESTDATA.md). The nanosAsLong conf lets
+    * Spark 4 read parquet TIMESTAMP(NANOS) (as long nanos); it is a
+    * no-op for every other physical type, so setting it is always safe. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with `ts_ms` (epoch millis, exact) derived from the ns ts. */
-  def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_ms",
-      org.apache.spark.sql.functions.expr("ts div 1000000"))
+  /** events with `ts_ms` (epoch millis, exact long) derived from `ts`.
+    *
+    * The testdata contract (TESTDATA.md) never pinned the physical type
+    * of `events.ts`, and it has shipped both as TIMESTAMP(NANOS) (read
+    * as long nanos via nanosAsLong) and as timestamp[us] (surfacing as
+    * TIMESTAMP_NTZ). Adapt to whatever is observed:
+    *   - long nanos → exact integer `ts div 1000000` (never divide ns
+    *     as double: 1.7e18 > 2^53);
+    *   - TIMESTAMP / TIMESTAMP_NTZ → `unix_micros(cast(ts as timestamp))
+    *     div 1000`. The session TZ is UTC (GraftSession), so the NTZ
+    *     cast is wall-clock-safe and matches DuckDB `epoch_ms(ts)`.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = t(s, dir, "events")
+    val tsMs = df.schema("ts").dataType match {
+      case LongType                        => expr("ts div 1000000")
+      case TimestampType | TimestampNTZType =>
+        expr("unix_micros(cast(ts as timestamp)) div 1000")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected long nanos or timestamp")
+    }
+    df.withColumn("ts_ms", tsMs)
+  }
 }

@@ -55,8 +55,12 @@ class FusionSpec extends AnyFunSuite {
     assert(causes(e).exists(c =>
         Option(c.getMessage).exists(_.contains("maxPool"))),
       s"expected the maxPool raise_error, got: $e")
-    // at or under the cap the same input fuses normally
-    val ok = Fusion.reciprocalRankFusion(Seq(corpus.limit(20)), "id",
+    // at or under the cap the same ranking shape fuses normally —
+    // built explicitly (limit() on an unsorted frame picks
+    // nondeterministic rows; range(0,20) pins ids 0-19)
+    val pool = spark.range(0, 20)
+      .select(col("id"), (lit(1.0) / (col("id") + 1)).as("score"))
+    val ok = Fusion.reciprocalRankFusion(Seq(pool), "id",
       topK = 5, maxPool = 20).collect()
     assert(ok.length == 5 && ok.head.getLong(0) == 0L)
   }

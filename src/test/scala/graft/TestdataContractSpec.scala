@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Q
+
+/** Pins the loader against the REAL driver testdata, so a silent
+  * regeneration of /root/testdata with a changed physical schema fails
+  * one named test with an obvious message instead of breaking a dozen
+  * queries at driver time (round 10: events.ts drifted TIMESTAMP(NANOS)
+  * → timestamp[us] and took 12 queries down).
+  */
+class TestdataContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def present = new java.io.File(sf).isDirectory
+
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  test("all contract tables resolve at sf0.001") {
+    assume(present, s"$sf not present")
+    tables.foreach { name =>
+      val df = Q.t(spark, sf, name)
+      assert(df.schema.nonEmpty, s"$name: empty schema")
+      assert(df.limit(1).count() == 1, s"$name: no rows")
+    }
+  }
+
+  test("Q.events adapts to the observed ts type and yields sane ts_ms") {
+    assume(present, s"$sf not present")
+    val ev = Q.events(spark, sf)
+    assert(ev.schema("ts_ms").dataType == org.apache.spark.sql.types.LongType)
+    val row = ev.selectExpr(
+      "count(*) AS n", "count(ts_ms) AS nn", "min(ts_ms) AS lo", "max(ts_ms) AS hi").head()
+    assert(row.getLong(0) > 0)
+    assert(row.getLong(1) == row.getLong(0), "ts_ms has nulls")
+    // epoch millis in [2000-01-01, 2100-01-01) — catches unit mistakes
+    // (nanos or micros mis-scaled by 1e3/1e6 land far outside this band).
+    assert(row.getLong(2) >= 946684800000L, s"ts_ms min ${row.getLong(2)} below year-2000")
+    assert(row.getLong(3) < 4102444800000L, s"ts_ms max ${row.getLong(3)} beyond year-2100")
+  }
+
+  test("documents/embeddings expose the columns the ops stack assumes") {
+    assume(present, s"$sf not present")
+    val docCols = Q.t(spark, sf, "documents").schema.fieldNames.toSet
+    Seq("doc_id", "text", "source", "lang").foreach(c =>
+      assert(docCols.contains(c), s"documents missing $c"))
+    val embCols = Q.t(spark, sf, "embeddings").schema.fieldNames.toSet
+    Seq("vec_id", "embedding", "label").foreach(c =>
+      assert(embCols.contains(c), s"embeddings missing $c"))
+  }
+}
