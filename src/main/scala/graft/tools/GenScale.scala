@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * (identical vectors across copies would make every top-k a 10-way
   * tie).
   *
-  * `events.ts` (TIMESTAMP(NANOS) in the source) is written back as
-  * BIGINT nanos — exactly what `nanosAsLong` surfaces to every query,
-  * so `ts div 1000000` behaves identically on the generated set.
+  * `events.ts` is written back exactly as read — long nanos when the
+  * source is TIMESTAMP(NANOS) (surfaced via nanosAsLong), timestamp
+  * when the source is timestamp[us]; `Q.events` adapts to either
+  * (it inspects the observed type), so the generated set behaves
+  * identically to the source either way.
   *
   * Run: `sbt "runMain graft.tools.GenScale [copies] [outDir]"`
   * (defaults: 10 → target/sf1). Writes outside /root/repo are never
