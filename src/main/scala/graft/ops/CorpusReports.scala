@@ -333,4 +333,49 @@ object CorpusReports {
         round(col("tokens_kept").cast("double") / col("tokens_total"),
           roundTo).as("frac_tokens_kept"))
   }
+
+  /** Per-source EXACT token-length percentiles (nearest-rank): for
+    * each requested quantile p, the smallest length whose running doc
+    * count reaches ceil(p·n). The companion to `truncationLossReport`:
+    * that table prices a candidate context length, this one says where
+    * the candidates ARE (p50/p90/p99 per source) — and exactness makes
+    * it oracle-checkable, where `approx_percentile` answers drift by
+    * sketch state.
+    *
+    * Scale: rows collapse to (source, len) counts with map-side
+    * combine — the only row-proportional shuffle. The cumulative-sum
+    * window then runs over DISTINCT lengths per source (bounded by the
+    * longest doc, ~1e5 buckets at web scale — not by corpus rows), and
+    * each of those rows tests every requested quantile via a
+    * constant-size explode. No row-level sort anywhere: this is the
+    * standard exact-quantile-by-histogram decomposition. When even the
+    * distinct-length relation is too hot (e.g. percentiles of a
+    * continuous score, not an integer length), `approx_percentile`
+    * over the raw rows is the documented fallback at ±accuracy. */
+  def lengthPercentilesReport(df: DataFrame, source: Column,
+      text: Column, pcts: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0.0 && p <= 1.0),
+      s"lengthPercentilesReport: quantiles must be in (0,1], got $pcts")
+    val n = size(filter(tokens(text), t => t =!= "")).cast("long")
+    val counts = df.select(source.as("source"), n.as("token_len"))
+      .groupBy(col("source"), col("token_len"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("token_len"))
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("__c")).as("n_docs"))
+    // label "p50"/"p99.9": fixed decimal then strip the trailing .0 —
+    // deterministic strings, no double-format locale surprises
+    val labeled = cum.join(totals, Seq("source"))
+      .select(col("*"),
+        explode(array(pcts.map(lit(_).cast("double")): _*)).as("__p"))
+      .withColumn("__target", ceil(col("__p") * col("n_docs")))
+    labeled
+      .filter(col("__cum") >= col("__target") &&
+        col("__cum") - col("__c") < col("__target"))
+      .select(col("source"),
+        concat(lit("p"), regexp_replace(
+          format_number(col("__p") * 100, 1), "\\.0$", "")).as("pct"),
+        col("n_docs"), col("token_len"))
+  }
 }

@@ -215,5 +215,30 @@ object ReportQueries {
           col("text"))
         .orderBy(col("source"))
     },
+
+    // ---- exact per-source token-length percentiles ----
+    // Both engines use the same nearest-rank definition spelled out as
+    // a cumsum over (source, len) counts, so parity is by construction
+    // (DuckDB's quantile_disc interpolates rank differently).
+    Q("q127_length_percentiles",
+      """WITH lens AS (SELECT source, len(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS token_len
+        | FROM documents),
+        |c AS (SELECT source, token_len, count(*) AS c FROM lens GROUP BY 1, 2),
+        |cum AS (SELECT source, token_len, c,
+        |  SUM(c) OVER (PARTITION BY source ORDER BY token_len) AS cum FROM c),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM c GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES (0.5, 'p50'), (0.9, 'p90'), (0.99, 'p99'))
+        |  AS t(q, pct))
+        |SELECT cum.source, p.pct, tot.n_docs,
+        | CAST(cum.token_len AS BIGINT) AS token_len
+        |FROM cum JOIN tot USING (source) CROSS JOIN p
+        |WHERE cum.cum >= ceil(p.q * tot.n_docs)
+        |  AND cum.cum - cum.c < ceil(p.q * tot.n_docs)
+        |ORDER BY source, pct""".stripMargin) { (s, d) =>
+      CorpusReports.lengthPercentilesReport(t(s, d, "documents"),
+          col("source"), col("text"))
+        .orderBy(col("source"), col("pct"))
+    },
   )
 }

@@ -302,4 +302,28 @@ class CorpusReportsSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 3L, 0.75, 10L, 8L, 0.8)))
     assert(got(8L) == ((4L, 4L, 1.0, 10L, 10L, 1.0)))
   }
+
+  test("lengthPercentilesReport: nearest-rank exactness, ties, labels") {
+    // s1: lengths 1..10 — nearest-rank p50 = 5th value = 5,
+    // p90 = 9th = 9, p99 = ceil(9.9) = 10th = 10
+    val s1 = (1 to 10).map(n => ("s1", Seq.fill(n)("w").mkString(" ")))
+    // s2: all docs the same length — every percentile lands on 4
+    val s2 = Seq.fill(7)(("s2", "a b c d"))
+    val docs = (s1 ++ s2).toDF("src", "text")
+    val got = CorpusReports.lengthPercentilesReport(
+        docs, col("src"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("s1", "p50")) == ((10L, 5L)))
+    assert(got(("s1", "p90")) == ((10L, 9L)))
+    assert(got(("s1", "p99")) == ((10L, 10L)))
+    assert(got(("s2", "p50")) == ((7L, 4L)))
+    assert(got(("s2", "p99")) == ((7L, 4L)))
+    assert(got.size == 6, "exactly one row per (source, pct)")
+    // fractional quantile label keeps its decimal; whole ones drop it
+    val labels = CorpusReports.lengthPercentilesReport(
+        docs, col("src"), col("text"), pcts = Seq(0.999, 0.25))
+      .select(col("pct")).distinct().collect().map(_.getString(0)).toSet
+    assert(labels == Set("p99.9", "p25"))
+  }
 }
