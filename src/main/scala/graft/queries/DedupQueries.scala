@@ -662,5 +662,45 @@ object DedupQueries {
           col("text"))
         .orderBy(col("source"))
     },
+
+    // ---- corpus-wide repeated-line removal (C4/RefinedWeb rule) ----
+    // documents.text has no line structure, so the query PLANTS one:
+    // every doc becomes head (first 6 tokens) / optional boilerplate
+    // footer (%4 docs, in the MIDDLE — order preservation is part of
+    // the check) / tail (tokens 7+). The footer repeats corpus-wide
+    // and must vanish; head/tail lines survive except when two docs
+    // genuinely share one (same rule both engines). Short docs yield
+    // an empty tail line, which also repeats and also vanishes.
+    Q("q129_line_dedup",
+      """WITH w0 AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
+        |aug AS (SELECT doc_id,
+        |  array_to_string(ws[1:6], ' ') || chr(10) ||
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN 'all rights reserved contact the council office' || chr(10)
+        |    ELSE '' END ||
+        |  array_to_string(ws[7:], ' ') AS text FROM w0),
+        |l AS (SELECT doc_id, i, line FROM (SELECT doc_id,
+        |  unnest(string_split(text, chr(10))) AS line,
+        |  generate_subscripts(string_split(text, chr(10)), 1) AS i
+        | FROM aug)),
+        |c AS (SELECT line, count(*) AS c FROM l GROUP BY 1),
+        |k AS (SELECT doc_id, i, line FROM l JOIN c USING (line)
+        | WHERE c.c < 2)
+        |SELECT a.doc_id,
+        | coalesce(string_agg(k.line, chr(10) ORDER BY k.i), '') AS text
+        |FROM aug a LEFT JOIN k USING (doc_id)
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val ws = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+      val head = array_join(slice(ws, 1, 6), " ")
+      val tail = array_join(slice(ws, 7, Int.MaxValue), " ")
+      val footer = lit("all rights reserved contact the council office")
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat_ws("\n", head, footer, tail))
+          .otherwise(concat_ws("\n", head, tail)).as("text"))
+      graft.ops.LineDedup.removeRepeatedLines(aug, "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

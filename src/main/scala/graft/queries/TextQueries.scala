@@ -432,5 +432,57 @@ object TextQueries {
         |FROM m""".stripMargin) { (s, d) =>
       TextAnalysis.gopherFunnel(t(s, d, "documents"), "doc_id", col("text"))
     },
+
+    // ---- PII scrub (planted emails / IPs / digit runs) ----
+    // The synthetic corpus carries no PII, so the query PLANTS
+    // deterministic emails (%5), IPv4s (%7) and 16-digit runs (%11) —
+    // same construction both engines — then redacts and counts.
+    // Counts follow the redaction order (email → IP → digit run) so an
+    // email's digits never double-count; both sides use the same
+    // RE2-safe pattern text (Redact scaladoc).
+    Q("q128_pii_scrub",
+      """WITH aug AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' reach me at user' || doc_id ||
+        |    '@mail' || (doc_id % 7) || '.example.com asap' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' logged from 10.1.' ||
+        |    (doc_id % 200) || '.44 today' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' acct 4000123412341234 on file'
+        |    ELSE '' END AS text
+        | FROM documents),
+        |r1 AS (SELECT doc_id, text,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t1,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_email FROM aug),
+        |r2 AS (SELECT doc_id, n_email,
+        |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |    '<IP>', 'g') AS t2,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip
+        | FROM r1)
+        |SELECT doc_id,
+        | regexp_replace(t2, '\b\d{13,19}\b', '<ID>', 'g') AS text_redacted,
+        | n_email, n_ip,
+        | CAST(len(regexp_extract_all(t2, '\b\d{13,19}\b')) AS INT) AS n_id
+        |FROM r2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.ops.Redact
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" reach me at user"), col("doc_id"), lit("@mail"),
+              col("doc_id") % 7, lit(".example.com asap"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" logged from 10.1."), col("doc_id") % 200,
+              lit(".44 today"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" acct 4000123412341234 on file")).otherwise(lit("")))
+          .as("text"))
+      val (e, i, dd) = Redact.piiCounts(col("text"))
+      aug.select(col("doc_id"),
+          Redact.redactPii(col("text")).as("text_redacted"),
+          e.as("n_email"), i.as("n_ip"), dd.as("n_id"))
+        .orderBy(col("doc_id"))
+    },
   )
 }
