@@ -215,4 +215,36 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
     }
   }
+
+  test("q127 percentiles: the only row-proportional exchange is the count") {
+    // The exact-percentile decomposition promises the window runs over
+    // DISTINCT lengths, never rows: text collapses to a length in the
+    // scan projection, so the only strings on any exchange are the
+    // source key and the constant pct label (presentation sort) —
+    // never the raw text column.
+    val s = shuffledStringAttrs("q127_length_percentiles")
+    assert(s.subsetOf(Set("source", "pct")), s.toString)
+  }
+
+  test("q128 PII scrub is a pure projection: zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = Registry.byName("q128_pii_scrub").fn(spark, sf)
+    // the trailing orderBy is the query's presentation sort; strip it
+    // the way the noop sink sees it and nothing may exchange
+    val body = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e }
+    // one range-partitioning exchange for the final sort is the only
+    // one allowed; the scrub itself must not add any
+    assert(body.size <= 1, body.mkString("\n"))
+  }
+
+  test("q129 line dedup: count side shuffles hashes, not line text") {
+    // the kill-set aggregation groups by xxhash64(line) — its exchange
+    // carries (hash, count) pairs only. Lines legitimately cross once
+    // for the positional rebuild; the final presentation sort may
+    // carry the rebuilt text. So: every string-bearing exchange is
+    // either the rebuild (__line) or the output sort (text).
+    val s = shuffledStringAttrs("q129_line_dedup")
+    assert(s.subsetOf(Set("__line", "text")), s.toString)
+  }
 }
