@@ -702,5 +702,38 @@ object DedupQueries {
       graft.ops.LineDedup.removeRepeatedLines(aug, "doc_id", col("text"))
         .orderBy(col("doc_id"))
     },
+
+    // ---- the boilerplate review list behind q129 ----
+    // Same planted line structure; emits every corpus-repeated line
+    // with its occurrence and document counts — what an owner eyeballs
+    // before letting the removal run.
+    Q("q130_repeated_lines",
+      """WITH w0 AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
+        |aug AS (SELECT doc_id,
+        |  array_to_string(ws[1:6], ' ') || chr(10) ||
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN 'all rights reserved contact the council office' || chr(10)
+        |    ELSE '' END ||
+        |  array_to_string(ws[7:], ' ') AS text FROM w0),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        | FROM aug),
+        |c AS (SELECT line, CAST(count(*) AS BIGINT) AS n_occurrences
+        | FROM l GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT c.line, c.n_occurrences,
+        | CAST(count(DISTINCT l.doc_id) AS BIGINT) AS n_docs
+        |FROM l JOIN c ON l.line = c.line GROUP BY c.line, c.n_occurrences
+        |ORDER BY c.line""".stripMargin) { (s, d) =>
+      val ws = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+      val head = array_join(slice(ws, 1, 6), " ")
+      val tail = array_join(slice(ws, 7, Int.MaxValue), " ")
+      val footer = lit("all rights reserved contact the council office")
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat_ws("\n", head, footer, tail))
+          .otherwise(concat_ws("\n", head, tail)).as("text"))
+      graft.ops.LineDedup.repeatedLinesReport(aug, "doc_id", col("text"))
+        .orderBy(col("line"))
+    },
   )
 }

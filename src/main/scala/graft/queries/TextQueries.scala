@@ -484,5 +484,49 @@ object TextQueries {
           e.as("n_email"), i.as("n_ip"), dd.as("n_id"))
         .orderBy(col("doc_id"))
     },
+
+    // ---- per-source PII scrub report over the same planted corpus ----
+    Q("q131_pii_report",
+      """WITH aug AS (SELECT doc_id, source, text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' reach me at user' || doc_id ||
+        |    '@mail' || (doc_id % 7) || '.example.com asap' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' logged from 10.1.' ||
+        |    (doc_id % 200) || '.44 today' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' acct 4000123412341234 on file'
+        |    ELSE '' END AS text
+        | FROM documents),
+        |m AS (SELECT doc_id, source,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |  len(regexp_extract_all(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS i,
+        |  len(regexp_extract_all(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{13,19}\b')) AS d
+        | FROM aug)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+        | CAST(sum(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ip,
+        | CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_id,
+        | CAST(sum(e) AS BIGINT) AS n_email, CAST(sum(i) AS BIGINT) AS n_ip,
+        | CAST(sum(d) AS BIGINT) AS n_id
+        |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.ops.Redact
+      val aug = t(s, d, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" reach me at user"), col("doc_id"), lit("@mail"),
+              col("doc_id") % 7, lit(".example.com asap"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" logged from 10.1."), col("doc_id") % 200,
+              lit(".44 today"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" acct 4000123412341234 on file")).otherwise(lit("")))
+          .as("text"))
+      Redact.piiReport(aug, col("source"), col("text"))
+        .orderBy(col("source"))
+    },
   )
 }
