@@ -378,4 +378,54 @@ object CorpusReports {
           format_number(col("__p") * 100, 1), "\\.0$", "")).as("pct"),
         col("n_docs"), col("token_len"))
   }
+
+  /** EXACT Heaps-law vocabulary-growth curve: distinct vocabulary
+    * after each 1/K of the token stream (documents laid end to end in
+    * id order). Natural corpora grow ~N^β with β≈0.5 — a curve that
+    * flattens early signals template/duplicated text, one that stays
+    * near-linear signals OCR noise or concatenated garbage; the same
+    * diagnostic family as `zipfReport`/`hapaxReport` but over STREAM
+    * ORDER, so it also reveals when a sorted-by-source corpus stops
+    * contributing new vocabulary.
+    *
+    * Exact in ONE pass over the tokens — no per-checkpoint rescan: a
+    * word's contribution to every checkpoint is determined by its
+    * FIRST global position alone, so the curve is a cumulative sum
+    * over first-occurrence buckets. Global token positions come from
+    * the two-phase distributed prefix sum (`Packing.packByTokenBudget`
+    * — no single-task window); first positions are one (word, min)
+    * aggregation with map-side combine; the bucket cumsum runs over
+    * ≤ K rows. Checkpoint k covers tokens [0, ceil(N·k/K)), which is
+    * exactly bucket(p) = p·K div N < k — integer arithmetic both here
+    * and in the oracle, no float thresholds. The token arrays ride the
+    * one range shuffle the prefix sum already pays (1× corpus volume,
+    * the q77-rebuild allowance). */
+  def heapsCurve(df: DataFrame, id: String, text: Column,
+      checkpoints: Int = 20): DataFrame = {
+    require(checkpoints >= 1, s"heapsCurve: checkpoints=$checkpoints")
+    val toks = df.select(col(id), filter(tokens(text), t => t =!= "").as("__ws"))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+    val prefixed = Packing.packByTokenBudget(toks, Seq(col(id)),
+        col("__n"), Long.MaxValue)
+      .select(col("__ws"), col("prefix_tokens"))
+    val firsts = prefixed
+      .select(posexplode(col("__ws")).as(Seq("__i", "__w")),
+        col("prefix_tokens"))
+      .select(col("__w"), (col("prefix_tokens") + col("__i")).as("__p"))
+      .groupBy(col("__w")).agg(min(col("__p")).as("__fp"))
+    val totalDf = toks.agg(sum(col("__n")).as("__N"))
+    val buckets = firsts.crossJoin(broadcast(totalDf))
+      .select(expr(s"(__fp * $checkpoints) div __N").as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+    // dense k = 1..K spine; both sides of the b < k join are ≤ K rows
+    val spine = df.sparkSession.range(1, checkpoints + 1L)
+      .toDF("checkpoint").crossJoin(broadcast(totalDf))
+    spine.join(buckets, col("__b") < col("checkpoint"), "left")
+      .groupBy(col("checkpoint"), col("__N"))
+      .agg(coalesce(sum(col("__cnt")), lit(0L)).as("vocab"))
+      .select(col("checkpoint"),
+        expr(s"(__N * checkpoint + ${checkpoints - 1}) div $checkpoints")
+          .as("tokens_seen"),
+        col("vocab"))
+  }
 }

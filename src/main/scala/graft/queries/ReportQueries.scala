@@ -240,5 +240,34 @@ object ReportQueries {
           col("source"), col("text"))
         .orderBy(col("source"), col("pct"))
     },
+
+    // ---- exact Heaps-law vocabulary-growth curve ----
+    // Distinct vocabulary after each 1/20 of the token stream (docs
+    // laid end to end in id order). Both engines bucket each word's
+    // FIRST global position with the same integer arithmetic, so the
+    // curve is exact — no per-checkpoint rescan on either side.
+    Q("q132_heaps_curve",
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM w),
+        |pr AS (SELECT doc_id, ws, SUM(n) OVER (ORDER BY doc_id) - n AS pre
+        | FROM n),
+        |pos AS (SELECT ws[i] AS wd, pre + i - 1 AS p
+        | FROM (SELECT ws, pre, unnest(range(1, len(ws) + 1)) AS i FROM pr)),
+        |f AS (SELECT wd, MIN(p) AS fp FROM pos GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM n),
+        |b AS (SELECT (fp * 20) // N AS b, CAST(count(*) AS BIGINT) AS cnt
+        | FROM f CROSS JOIN t GROUP BY 1),
+        |k AS (SELECT unnest(range(1, 21)) AS checkpoint)
+        |SELECT k.checkpoint,
+        | (t.N * k.checkpoint + 19) // 20 AS tokens_seen,
+        | CAST(coalesce(SUM(b.cnt), 0) AS BIGINT) AS vocab
+        |FROM k CROSS JOIN t LEFT JOIN b ON b.b < k.checkpoint
+        |GROUP BY k.checkpoint, t.N ORDER BY k.checkpoint""".stripMargin) {
+      (s, d) =>
+      CorpusReports.heapsCurve(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("checkpoint"))
+    },
   )
 }

@@ -326,4 +326,25 @@ class CorpusReportsSpec extends AnyFunSuite {
       .select(col("pct")).distinct().collect().map(_.getString(0)).toSet
     assert(labels == Set("p99.9", "p25"))
   }
+
+  test("heapsCurve: exact first-occurrence accounting") {
+    // stream in doc_id order: a b a | b c | c d — N=7 tokens;
+    // first positions a:0 b:1 c:4 d:6
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    // K = N: every checkpoint adds exactly one token
+    val got = CorpusReports.heapsCurve(docs, "doc_id", col("text"),
+        checkpoints = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == (1L to 7L), "tokens_seen = k when K = N")
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 2L, 2L, 3L, 3L, 4L))
+    // K=2: ceil(7/2)=4 tokens → {a,b}; full stream → all 4 words
+    val halves = CorpusReports.heapsCurve(docs, "doc_id", col("text"),
+        checkpoints = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(halves(1L) == ((4L, 2L)))
+    assert(halves(2L) == ((7L, 4L)))
+  }
 }
