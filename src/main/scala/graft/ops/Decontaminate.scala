@@ -46,6 +46,39 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Source × benchmark contamination MATRIX — the table a corpus
+    * release publishes (per source: how many documents share ≥
+    * `minShared` word n-grams with each eval benchmark). Dense: every
+    * (source, benchmark) cell is present, zero or not, so the matrix
+    * reads without an implicit-missing convention.
+    *
+    * Scale: one `contaminationReport` per benchmark (benchmarks are a
+    * small constant; each is the bounded shingle equi-join), unioned
+    * with a literal benchmark tag, then one (source, benchmark)
+    * rollup against the corpus metadata; the dense frame comes from a
+    * sources × benchmarks cross of two tiny distinct sets. */
+  def contaminationMatrix(corpus: DataFrame, id: String, text: Column,
+      source: Column, benchmarks: Seq[(String, DataFrame)],
+      benchText: Column, n: Int = 3, minShared: Long = 1): DataFrame = {
+    require(benchmarks.nonEmpty, "contaminationMatrix: no benchmarks")
+    val meta = corpus.select(col(id), source.as("source"))
+    val hits = benchmarks.map { case (name, bench) =>
+      contaminationReport(corpus, id, text, bench, benchText, n)
+        .filter(col("n_shared") >= minShared)
+        .select(col(id), lit(name).as("benchmark"))
+    }.reduce(_.unionByName(_))
+    val counts = hits.join(meta, Seq(id))
+      .groupBy(col("source"), col("benchmark"))
+      .agg(count(lit(1)).as("contaminated_docs"))
+    val totals = meta.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val benchNames = benchmarks.map(_._1)
+    val dense = totals.select(col("source"), col("n_docs"),
+      explode(array(benchNames.map(lit(_)): _*)).as("benchmark"))
+    dense.join(counts, Seq("source", "benchmark"), "left")
+      .select(col("source"), col("benchmark"), col("n_docs"),
+        coalesce(col("contaminated_docs"), lit(0L)).as("contaminated_docs"))
+  }
+
   /** Cross-split exact-content leakage audit: test-split documents
     * whose content fingerprint (sha16 of the raw text) also appears in
     * the train split, with the train-side copy count — the check that

@@ -735,5 +735,49 @@ object DedupQueries {
       graft.ops.LineDedup.repeatedLinesReport(aug, "doc_id", col("text"))
         .orderBy(col("line"))
     },
+
+    // ---- source × benchmark contamination matrix ----
+    // Two planted benchmarks (%17, %19 docs); the rest of the corpus
+    // is audited per source against both. Dense: every (source,
+    // benchmark) cell present, zero or not.
+    Q("q133_contamination_matrix",
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        | FROM documents
+        | WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        | FROM w),
+        |corpus AS (SELECT doc_id, source FROM documents
+        | WHERE doc_id % 17 <> 0 AND doc_id % 19 <> 0),
+        |ba AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        |bb AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 0),
+        |ha AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ba USING (s)
+        | JOIN corpus c ON c.doc_id = sh.doc_id),
+        |hb AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bb USING (s)
+        | JOIN corpus c ON c.doc_id = sh.doc_id),
+        |hits AS (SELECT doc_id, 'benchA' AS benchmark FROM ha
+        | UNION ALL SELECT doc_id, 'benchB' AS benchmark FROM hb),
+        |cnt AS (SELECT c.source, h.benchmark,
+        |  CAST(count(*) AS BIGINT) AS contaminated_docs
+        | FROM hits h JOIN corpus c USING (doc_id) GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM corpus GROUP BY 1),
+        |k AS (SELECT unnest(['benchA', 'benchB']) AS benchmark)
+        |SELECT t.source, k.benchmark, t.n_docs,
+        | coalesce(cnt.contaminated_docs, CAST(0 AS BIGINT)) AS contaminated_docs
+        |FROM tot t CROSS JOIN k
+        |LEFT JOIN cnt ON cnt.source = t.source AND cnt.benchmark = k.benchmark
+        |ORDER BY t.source, k.benchmark""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 17 =!= 0 &&
+        col("doc_id") % 19 =!= 0)
+      graft.ops.Decontaminate.contaminationMatrix(corpus, "doc_id",
+          col("text"), col("source"),
+          Seq("benchA" -> docs.filter(col("doc_id") % 17 === 0),
+            "benchB" -> docs.filter(col("doc_id") % 19 === 0)),
+          col("text"))
+        .orderBy(col("source"), col("benchmark"))
+    },
   )
 }

@@ -535,4 +535,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(5L) == plain(1L), "component {1..5} must split by key 1")
     assert(got(300L) == plain(100L), "component {100,200,300} by key 100")
   }
+
+  test("contaminationMatrix: dense cells, per-benchmark hits, zero rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "s1", "alpha beta gamma delta"),   // shares a trigram with bA
+      (2L, "s1", "one two three four"),       // clean
+      (3L, "s2", "epsilon zeta eta theta")    // shares with bB
+    ).toDF("doc_id", "source", "text")
+    val bA = Seq("alpha beta gamma prime").toDF("text")
+    val bB = Seq("xx epsilon zeta eta yy").toDF("text")
+    val got = graft.ops.Decontaminate.contaminationMatrix(
+        corpus, "doc_id", col("text"), col("source"),
+        Seq("A" -> bA, "B" -> bB), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 4, "dense: 2 sources x 2 benchmarks")
+    assert(got(("s1", "A")) == ((2L, 1L)), "doc 1 hits benchmark A")
+    assert(got(("s1", "B")) == ((2L, 0L)), "zero cell present")
+    assert(got(("s2", "A")) == ((1L, 0L)))
+    assert(got(("s2", "B")) == ((1L, 1L)))
+  }
 }
