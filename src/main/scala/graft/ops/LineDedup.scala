@@ -60,6 +60,33 @@ object LineDedup {
       .select(col(id), coalesce(col("__rebuilt"), lit("")).as("text"))
   }
 
+  /** WITHIN-document line dedup: keep each line's first occurrence in
+    * its own document, preserving order — the complement of
+    * `removeRepeatedLines` (which needs corpus-wide counts): repeated
+    * nav blocks, double-pasted paragraphs and chat-log echoes collapse
+    * per document with no global state at all.
+    *
+    * Scale: the dedup groups by (doc, line-hash) — a hash-keyed
+    * shuffle carrying each line once (`first` over the group is
+    * deterministic: all members are byte-equal modulo 64-bit
+    * collision); the rebuild is the same positional collect_list as
+    * `removeRepeatedLines`. Two row-linear shuffles, no corpus-wide
+    * relation anywhere. */
+  def dedupLinesWithinDoc(df: DataFrame, id: String, text: Column,
+      sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(id), posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val firsts = lines
+      .groupBy(col(id), xxhash64(col("__line")).as("__h"))
+      .agg(min(col("__pos")).as("__pos"), first(col("__line")).as("__line"))
+    firsts
+      .groupBy(col(id))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), sep).as("text"))
+  }
+
   /** The boilerplate lines themselves: (line, n_occurrences, n_docs)
     * for every line at or over `minRepeat` — the review list a corpus
     * owner eyeballs before letting the removal run. Text reaches the

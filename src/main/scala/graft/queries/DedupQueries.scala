@@ -779,5 +779,34 @@ object DedupQueries {
           col("text"))
         .orderBy(col("source"), col("benchmark"))
     },
+
+    // ---- within-doc line dedup (first occurrence wins) ----
+    // Planted: %3 docs carry their head line twice back-to-back; the
+    // second copy must collapse while unique lines keep their order.
+    Q("q134_within_doc_line_dedup",
+      """WITH w0 AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM documents),
+        |aug AS (SELECT doc_id,
+        |  array_to_string(ws[1:6], ' ') || chr(10) ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN array_to_string(ws[1:6], ' ') || chr(10) ELSE '' END ||
+        |  array_to_string(ws[7:], ' ') AS text FROM w0),
+        |l AS (SELECT doc_id, i, line FROM (SELECT doc_id,
+        |  unnest(string_split(text, chr(10))) AS line,
+        |  generate_subscripts(string_split(text, chr(10)), 1) AS i
+        | FROM aug)),
+        |f AS (SELECT doc_id, line, MIN(i) AS i FROM l GROUP BY 1, 2)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+      val head = array_join(slice(ws, 1, 6), " ")
+      val tail = array_join(slice(ws, 7, Int.MaxValue), " ")
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat_ws("\n", head, head, tail))
+          .otherwise(concat_ws("\n", head, tail)).as("text"))
+      graft.ops.LineDedup.dedupLinesWithinDoc(aug, "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

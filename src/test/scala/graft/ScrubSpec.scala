@@ -81,6 +81,22 @@ class ScrubSpec extends AnyFunSuite {
     assert(got(3L) == "body c", "count-3 line removed")
   }
 
+  test("dedupLinesWithinDoc: first occurrence wins, order preserved") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb"),   // → a b c
+      (2L, "x\nx\nx"),          // → x
+      (3L, "solo"),
+      (4L, "a\nb")              // cross-doc repeats are NOT collapsed
+    ).toDF("doc_id", "text")
+    val got = LineDedup.dedupLinesWithinDoc(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a\nb\nc")
+    assert(got(2L) == "x")
+    assert(got(3L) == "solo")
+    assert(got(4L) == "a\nb", "within-doc only — no global state")
+    assert(got.size == 4)
+  }
+
   test("repeatedLinesReport: the boilerplate review list") {
     val docs = Seq(
       (1L, "footer\nbody a"), (2L, "footer\nbody b"),
