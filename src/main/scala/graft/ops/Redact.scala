@@ -3,13 +3,20 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** PII redaction — the scrub stage every released training corpus
-  * runs between crawl and tokenize (C4 strips lines by keyword; Dolma
-  * and FineWeb regex-replace emails/IPs with typed placeholders, which
-  * is the shape here). Placeholder tokens rather than deletion: the
-  * surrounding text keeps its structure, so downstream token counts,
-  * chunking and dedup signatures stay comparable before/after the
-  * scrub.
+/** PII redaction with order-disciplined counting — the REPORT-bearing
+  * layer over the same scrub family as `TextAnalysis.scrubPii` (q61's
+  * four-class email/SSN/phone/IP pass). This module exists for the
+  * accounting: redaction order is fixed and the per-class counts
+  * follow it (an email's digits never double-count as an IP or a
+  * digit run), which `piiCounts`-over-raw-text cannot promise; it
+  * also swaps the layout-specific SSN/phone classes for one
+  * layout-robust digit-run class and adds the per-source rollup.
+  * The email pattern is shared with `TextAnalysis.piiPatterns` — one
+  * definition, two surfaces.
+  *
+  * Placeholder tokens rather than deletion: the surrounding text
+  * keeps its structure, so downstream token counts, chunking and
+  * dedup signatures stay comparable before/after the scrub.
   *
   * Pattern notes: all three patterns are RE2-safe (no lookaround, no
   * backreferences) so the same regex text runs identically on Spark's
@@ -26,8 +33,9 @@ import org.apache.spark.sql.functions._
   */
 object Redact {
 
-  /** RE2-safe patterns, also valid (and identically behaved) in Java. */
-  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** RE2-safe patterns, also valid (and identically behaved) in Java.
+    * Email is THE shared definition (`TextAnalysis.piiPatterns` head). */
+  val EmailRe: String = TextAnalysis.piiPatterns.head._1
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   /** 13–19 contiguous digits: card/account-number shaped runs. */
   val DigitRunRe = "\\b\\d{13,19}\\b"

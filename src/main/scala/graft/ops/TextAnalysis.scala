@@ -79,7 +79,10 @@ object TextAnalysis {
 
   /** PII scrub: replace emails / SSNs / phones / IPv4s with typed
     * placeholder tokens — the standard pre-training redaction pass.
-    * A chain of codegen'd regexp_replace calls, scan-stage speed. */
+    * A chain of codegen'd regexp_replace calls, scan-stage speed.
+    * For order-disciplined per-class counts and the per-source scrub
+    * report, see `ops.Redact` (q128/q131) — same family, shared email
+    * pattern; this four-class variant is q61's contract. */
   def scrubPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
