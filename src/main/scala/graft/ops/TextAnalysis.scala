@@ -94,6 +94,48 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit(piiPatterns(2)._1), lit(0))).cast("long").as("phones"),
       size(regexp_extract_all(text, lit(piiPatterns(3)._1), lit(0))).cast("long").as("ips"))
 
+  /** Mojibake digraphs: the classic UTF-8-decoded-as-Latin-1 residue
+    * (A-tilde+copyright for e-acute, a-circumflex+euro+TM for the
+    * right single quote, ...). Literal alternation — identical under
+    * Java regex and RE2/DuckDB, so the report is oracle-checkable.
+    * Spelled in \u escapes: the source stays ASCII, immune to the
+    * compiler's platform charset. */
+  val MojibakeRe: String =
+    "\\u00C3\\u00A9|\\u00C3\\u00A8|\\u00C3\\u00A4|\\u00C3\\u00BC|\\u00C3\\u00B1|" +
+      "\\u00E2\\u20AC\\u2122|\\u00E2\\u20AC\\u0153"
+
+  /** Per-source encoding-damage report: U+FFFD replacement characters
+    * (a decoder already gave up) and mojibake digraphs (a decoder
+    * silently used the wrong charset) — the corpus-health table that
+    * catches a broken ingest path before any token-level gate would
+    * (mojibake tokens look like rare-but-valid vocabulary to
+    * frequency features). FFFD counting is regex-free (length delta
+    * under replace) — exact and cheap on both engines.
+    *
+    * Scale: pure per-row projection + one map-side-combining rollup,
+    * the `Redact.piiReport` shape. */
+  def encodingDamageReport(df: org.apache.spark.sql.DataFrame,
+      source: Column, text: Column, roundTo: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    val fffd = (length(text) - length(regexp_replace(text, "\\uFFFD", "")))
+      .cast("long")
+    val moji = regexp_count(text, lit(MojibakeRe)).cast("long")
+    df.select(source.as("source"), fffd.as("__f"), moji.as("__m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__f") > 0, 1L).otherwise(0L)).as("docs_fffd"),
+        sum(when(col("__m") > 0, 1L).otherwise(0L)).as("docs_mojibake"),
+        sum(when(col("__f") > 0 || col("__m") > 0, 1L).otherwise(0L))
+          .as("docs_damaged"),
+        sum(col("__f")).as("n_fffd"),
+        sum(col("__m")).as("n_mojibake"))
+      .select(col("source"), col("n_docs"), col("docs_fffd"),
+        col("docs_mojibake"), col("docs_damaged"), col("n_fffd"),
+        col("n_mojibake"),
+        round(lit(1.0) - col("docs_damaged").cast("double") / col("n_docs"),
+          roundTo).as("clean_rate"))
+  }
+
   /** Gopher-style repetition metrics: duplicate-token fraction and
     * duplicate-bigram fraction (1 − distinct/total; 0 for degenerate
     * inputs). High values flag boilerplate/spam for quality filters.

@@ -528,5 +528,42 @@ object TextQueries {
       Redact.piiReport(aug, col("source"), col("text"))
         .orderBy(col("source"))
     },
+
+    // ---- per-source encoding-damage report ----
+    // Planted damage: %13 docs gain mojibake digraphs (e-acute read as
+    // A-tilde+copyright), %23 docs a U+FFFD replacement char. The
+    // Spark-side regex spells the digraphs as Java-regex \uXXXX
+    // escapes; the SQL below carries the REAL characters (via Scala
+    // unicode escapes — RE2 has no \uXXXX), so both engines match the
+    // same byte sequences. FFFD counting is regex-free on both sides.
+    Q("q135_encoding_damage",
+      """WITH aug AS (SELECT doc_id, source, text ||
+        |  CASE WHEN doc_id % 13 = 0 THEN ' caf\u00C3\u00A9 d\u00C3\u00A9j\u00C3\u00A0 vu' ELSE '' END ||
+        |  CASE WHEN doc_id % 23 = 0 THEN ' bad\uFFFDbyte' ELSE '' END AS text
+        | FROM documents),
+        |m AS (SELECT source,
+        |  CAST(length(text) - length(replace(text, '\uFFFD', '')) AS BIGINT) AS f,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\u00C3\u00A9|\u00C3\u00A8|\u00C3\u00A4|\u00C3\u00BC|\u00C3\u00B1|\u00E2\u20AC\u2122|\u00E2\u20AC\u0153')) AS BIGINT) AS m
+        | FROM aug)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_fffd,
+        | CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_mojibake,
+        | CAST(sum(CASE WHEN f > 0 OR m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS docs_damaged,
+        | CAST(sum(f) AS BIGINT) AS n_fffd, CAST(sum(m) AS BIGINT) AS n_mojibake,
+        | round(1.0 - sum(CASE WHEN f > 0 OR m > 0 THEN 1 ELSE 0 END)
+        |   / CAST(count(*) AS DOUBLE), 6) AS clean_rate
+        |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val aug = t(s, d, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 13 === 0,
+            lit(" caf\u00C3\u00A9 d\u00C3\u00A9j\u00C3\u00A0 vu"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 23 === 0, lit(" bad\uFFFDbyte"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.encodingDamageReport(aug, col("source"), col("text"))
+        .orderBy(col("source"))
+    },
   )
 }

@@ -97,6 +97,23 @@ class ScrubSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("encodingDamageReport: planted FFFD and mojibake accounting") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      ("s1", "ok caf\u00C3\u00A9 text"),        // one mojibake digraph
+      ("s1", "pure"),
+      ("s2", "bad \uFFFD and \uFFFD twice"),     // two replacement chars
+      ("s2", "both \u00E2\u20AC\u2122 and \uFFFD")
+    ).toDF("src", "text")
+    val got = TextAnalysis.encodingDamageReport(docs, col("src"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    assert(got("s1") == ((2L, 0L, 1L, 1L, 0L, 1L, 0.5)))
+    assert(got("s2") == ((2L, 2L, 1L, 2L, 3L, 1L, 0.0)),
+      "doc with both damage kinds counts once in docs_damaged")
+  }
+
   test("repeatedLinesReport: the boilerplate review list") {
     val docs = Seq(
       (1L, "footer\nbody a"), (2L, "footer\nbody b"),
