@@ -356,6 +356,12 @@ object CorpusReports {
       text: Column, pcts: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p > 0.0 && p <= 1.0),
       s"lengthPercentilesReport: quantiles must be in (0,1], got $pcts")
+    // the "p99.9" label rounds to one decimal of percent — distinct
+    // requested quantiles that collide after rounding (0.999 vs
+    // 0.9994, or 0.9995 labeling as p100) would emit identically
+    // labeled rows; reject at the API rather than mislabel
+    require(pcts.map(p => math.round(p * 1000)).distinct.size == pcts.size,
+      s"lengthPercentilesReport: quantile labels collide after 1-decimal rounding: $pcts")
     val n = size(filter(tokens(text), t => t =!= "")).cast("long")
     val counts = df.select(source.as("source"), n.as("token_len"))
       .groupBy(col("source"), col("token_len"))

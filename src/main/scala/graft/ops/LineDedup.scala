@@ -36,9 +36,15 @@ object LineDedup {
 
   /** Remove every line occurring ≥ `minRepeat` times corpus-wide
     * (C4's rule is minRepeat=3; boilerplate scrubs use 2). Returns
-    * (id, cleaned text); line order within each doc is preserved. */
+    * (id, cleaned text, keepCols*); line order within each doc is
+    * preserved. `keepCols` names metadata columns of `df` (source,
+    * lang, url, …) carried through to the output — they ride the
+    * SAME final id-keyed join the doc-retention contract already
+    * pays, so a caller with metadata doesn't need a second join
+    * against the input. */
   def removeRepeatedLines(df: DataFrame, id: String, text: Column,
-      minRepeat: Long = 2, sep: String = "\n"): DataFrame = {
+      minRepeat: Long = 2, sep: String = "\n",
+      keepCols: Seq[String] = Nil): DataFrame = {
     require(minRepeat >= 2, s"removeRepeatedLines: minRepeat=$minRepeat")
     val lines = df
       .select(col(id), posexplode(split(text, java.util.regex.Pattern.quote(sep)))
@@ -55,9 +61,10 @@ object LineDedup {
       .agg(array_join(transform(
           sort_array(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line")), sep).as("__rebuilt"))
-    df.select(col(id))
+    df.select(col(id) +: keepCols.map(col): _*)
       .join(rebuilt, Seq(id), "left")
-      .select(col(id), coalesce(col("__rebuilt"), lit("")).as("text"))
+      .select(col(id) +: coalesce(col("__rebuilt"), lit("")).as("text")
+        +: keepCols.map(col): _*)
   }
 
   /** WITHIN-document line dedup: keep each line's first occurrence in
@@ -71,20 +78,29 @@ object LineDedup {
     * deterministic: all members are byte-equal modulo 64-bit
     * collision); the rebuild is the same positional collect_list as
     * `removeRepeatedLines`. Two row-linear shuffles, no corpus-wide
-    * relation anywhere. */
+    * relation anywhere.
+    *
+    * Doc-retention contract (same as `removeRepeatedLines`): EVERY
+    * input doc survives — a NULL-text doc (posexplode of null yields
+    * no rows) comes back as empty text via the left join, not as a
+    * silently dropped row. `keepCols` as in `removeRepeatedLines`. */
   def dedupLinesWithinDoc(df: DataFrame, id: String, text: Column,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n", keepCols: Seq[String] = Nil): DataFrame = {
     val lines = df
       .select(col(id), posexplode(split(text, java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__line")))
     val firsts = lines
       .groupBy(col(id), xxhash64(col("__line")).as("__h"))
       .agg(min(col("__pos")).as("__pos"), first(col("__line")).as("__line"))
-    firsts
+    val rebuilt = firsts
       .groupBy(col(id))
       .agg(array_join(transform(
           sort_array(collect_list(struct(col("__pos"), col("__line")))),
-          s => s.getField("__line")), sep).as("text"))
+          s => s.getField("__line")), sep).as("__rebuilt"))
+    df.select(col(id) +: keepCols.map(col): _*)
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id) +: coalesce(col("__rebuilt"), lit("")).as("text")
+        +: keepCols.map(col): _*)
   }
 
   /** The boilerplate lines themselves: (line, n_occurrences, n_docs)

@@ -170,6 +170,45 @@ object MiscQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // ---- §2.9, NTZ-native: hourly window computed DIRECTLY on the
+    // events.ts column — no ts_ms detour ----
+    // The testdata has shipped events.ts as timestamp[us] (surfacing
+    // as TIMESTAMP_NTZ) since the r10 regeneration, but every other
+    // time query routes through the Q.events ts_ms adapter, so the
+    // native type was exercised only by the loader cast. Here the
+    // grouping/trunc/min/max all run on the NTZ column itself; both
+    // sides emit formatted strings (micros on min/max) because a
+    // parquet-NTZ vs DuckDB-TIMESTAMP value compare would test the
+    // physical type plumbing, not the computation.
+    Q("q136_ntz_native",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+        | event_type, COUNT(*) AS n,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val df = t(s, d, "events")
+      // same type dispatch discipline as Q.events: compute natively on
+      // whatever the parquet ships, normalized to NTZ wall-clock
+      val tsNtz = df.schema("ts").dataType match {
+        case TimestampNTZType => col("ts")
+        // session TZ is UTC (GraftSession) → wall-clock-identical cast
+        case TimestampType    => col("ts").cast("timestamp_ntz")
+        case LongType         =>
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported type $other")
+      }
+      df.withColumn("__ts", tsNtz)
+        .groupBy(date_trunc("hour", col("__ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          date_format(min(col("__ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
+          date_format(max(col("__ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+        .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+          col("event_type"), col("n"), col("first_ts"), col("last_ts"))
+        .orderBy(col("hour_str"), col("event_type"))
+    },
+
     // ---- V2/K4: MERGE-by-id upsert semantics ----
     Q("q37_merge_upsert",
       """WITH state AS (SELECT doc_id, 'old' AS ver FROM documents WHERE doc_id % 3 = 0),

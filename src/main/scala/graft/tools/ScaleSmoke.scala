@@ -33,7 +33,11 @@ object ScaleSmoke {
     }
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
-    val events = spark.read.parquet(s"$d/events.parquet")
+    // Q.events, not a raw read: events.ts has shipped as both long
+    // nanos and timestamp[us] — the loader's type dispatch derives
+    // ts_ms correctly for either (a raw `ts div 1000000` fails with
+    // DATATYPE_MISMATCH on the timestamp type)
+    val events = graft.queries.Q.events(spark, d)
     val lineitem = spark.read.parquet(s"$d/lineitem.parquet")
     val orders = spark.read.parquet(s"$d/orders.parquet")
     spark.read.parquet(s"$d/lineitem.parquet").count() // warmup
@@ -60,8 +64,7 @@ object ScaleSmoke {
         p.write.format("noop").mode("overwrite").save(); 0L
       }
       // windowed sessionize shape (q36): window state per user
-      val ev = replicate(events.withColumn("ts_ms", expr("ts div 1000000")),
-        "user_id", scale, 1000000L)
+      val ev = replicate(events, "user_id", scale, 1000000L)
       T(s"window_family x$scale") {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("user_id").orderBy("ts_ms")

@@ -325,6 +325,13 @@ class CorpusReportsSpec extends AnyFunSuite {
         docs, col("src"), col("text"), pcts = Seq(0.999, 0.25))
       .select(col("pct")).distinct().collect().map(_.getString(0)).toSet
     assert(labels == Set("p99.9", "p25"))
+    // distinct quantiles that collide after 1-decimal label rounding
+    // (0.999 vs 0.9994) must be rejected, not emitted under one label
+    val ex = intercept[IllegalArgumentException] {
+      CorpusReports.lengthPercentilesReport(
+        docs, col("src"), col("text"), pcts = Seq(0.999, 0.9994))
+    }
+    assert(ex.getMessage.contains("collide"))
   }
 
   test("heapsCurve: exact first-occurrence accounting") {

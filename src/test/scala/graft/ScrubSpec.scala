@@ -97,6 +97,39 @@ class ScrubSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("line dedup: null-text docs retained as empty text (both variants)") {
+    val docs = Seq[(Long, String)]((1L, "a\nb"), (2L, null), (3L, "a\na"))
+      .toDF("doc_id", "text")
+    val within = LineDedup.dedupLinesWithinDoc(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(within == Map(1L -> "a\nb", 2L -> "", 3L -> "a"),
+      "null-text doc must survive as empty, not vanish")
+    val corpus = LineDedup.removeRepeatedLines(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus.keySet == Set(1L, 2L, 3L) && corpus(2L) == "")
+  }
+
+  test("line dedup: keepCols ride through without an extra caller join") {
+    val docs = Seq(
+      (1L, "dup\nbody a", "web", "en"),
+      (2L, "dup\nbody b", "books", "de"),
+      (3L, "solo\nsolo", "web", "fr")
+    ).toDF("doc_id", "text", "source", "lang")
+    val rr = LineDedup.removeRepeatedLines(docs, "doc_id", col("text"),
+        keepCols = Seq("source", "lang"))
+    assert(rr.columns.toSeq == Seq("doc_id", "text", "source", "lang"))
+    val rrm = rr.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    assert(rrm(1L) == (("body a", "web", "en")))
+    assert(rrm(2L) == (("body b", "books", "de")))
+    val wd = LineDedup.dedupLinesWithinDoc(docs, "doc_id", col("text"),
+        keepCols = Seq("source"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(wd(3L) == (("solo", "web")))
+  }
+
   test("encodingDamageReport: planted FFFD and mojibake accounting") {
     import graft.ops.TextAnalysis
     val docs = Seq(
