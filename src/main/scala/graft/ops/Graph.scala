@@ -47,7 +47,15 @@ object Graph {
       roundTo: Int = 9): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, "pageRank: damping must be in (0,1)")
-    val e = edges.select(col(src).as("src"), col(dst).as("dst")).localCheckpoint()
+    val spark = edges.sparkSession
+    // edge count rides the checkpoint's materialization job (same
+    // accumulator treatment as connectedComponents); retries can
+    // over-count, harmless — it only sizes loop partitions
+    val edgeAcc = spark.sparkContext.longAccumulator("pr_edges")
+    val eRaw = edges.select(col(src).as("src"), col(dst).as("dst"))
+    val e = eRaw.mapPartitions { rows =>
+      rows.map { r => edgeAcc.add(1L); r }
+    }(org.apache.spark.sql.Encoders.row(eRaw.schema)).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     // one driver-side long — the only scalar the loop needs
@@ -70,33 +78,86 @@ object Graph {
       NearDup.freeLocalCheckpoint(nodes)
       return out
     }
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val weighted = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("__w"))
-      .localCheckpoint()
-    NearDup.freeLocalCheckpoint(e)
-
-    val base = lit((1.0 - damping) / n)
-    var ranks = nodes
-      .select(col("node"), round(lit(1.0 / n), roundTo).as("rank"))
-      .localCheckpoint()
-    for (_ <- 1 to iterations) {
-      val contrib = weighted
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") * col("__w")).as("__in"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          round(base + lit(damping) * coalesce(col("__in"), lit(0.0)),
-            roundTo).as("rank"))
+    // Loop discipline mirrors connectedComponents (see its scaladoc;
+    // r12 job audit: the old loop scheduled 56 one-task jobs for 5
+    // iterations at sf0.1 — AQE stage-jobs plus a broadcast-exchange
+    // job per round, each with its own driver latency, vs 18 jobs for
+    // the whole CC query):
+    //  - AQE paused and stats-based broadcasts disabled inside the
+    //    loop — partitions are pre-sized, and every broadcast exchange
+    //    is its own scheduled job per iteration;
+    //  - loop shuffles sized to the materialized edge count (~2M edges
+    //    per partition, session default as the ceiling), not the
+    //    session default — a small graph must not pay 32-partition
+    //    exchanges × iterations;
+    //  - the stationary sides are checkpointed pre-partitioned AND
+    //    pre-sorted on their join keys (`weighted` on src, `nodes` on
+    //    node): LogicalRDD carries physical partitioning/ordering
+    //    across a localCheckpoint, so each iteration shuffles only the
+    //    moving rank/contribution rows.
+    // Results are bit-identical: ranks round to 1e-9 every iteration
+    // precisely so partitioning-dependent float sum order cannot leak
+    // into the output (see scaladoc).
+    val edgeCount = edgeAcc.value.longValue
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(defaultParts.toLong,
+      edgeCount / 2000000L + 1L)).toInt
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevAutoBcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    var weighted: DataFrame = null
+    var nodesByKey: DataFrame = null
+    var ranks: DataFrame = null
+    var ok = false
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      weighted = e.join(outDeg, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("__w"))
+        .repartition(loopParts, col("src"))
+        .sortWithinPartitions(col("src"))
         .localCheckpoint()
-      NearDup.freeLocalCheckpoint(ranks)
-      ranks = next
+      NearDup.freeLocalCheckpoint(e)
+      nodesByKey = nodes
+        .repartition(loopParts, col("node"))
+        .sortWithinPartitions(col("node"))
+        .localCheckpoint()
+      NearDup.freeLocalCheckpoint(nodes)
+
+      val base = lit((1.0 - damping) / n)
+      ranks = nodesByKey
+        .select(col("node"), round(lit(1.0 / n), roundTo).as("rank"))
+        .localCheckpoint()
+      for (_ <- 1 to iterations) {
+        val contrib = weighted
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("rank") * col("__w")).as("__in"))
+        val next = nodesByKey.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            round(base + lit(damping) * coalesce(col("__in"), lit(0.0)),
+              roundTo).as("rank"))
+          .localCheckpoint()
+        NearDup.freeLocalCheckpoint(ranks)
+        ranks = next
+      }
+      ok = true
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAutoBcast)
+      // success frees the stationary tables only (the final rank pin
+      // backs the returned frame — its consumer releases it); failure
+      // must free everything still pinned. freeLocalCheckpoint is
+      // unpersist-based, so double-freeing is a harmless no-op.
+      if (ok) Seq(weighted, nodesByKey).filter(_ != null)
+        .foreach(NearDup.freeLocalCheckpoint)
+      else Seq(e, nodes, weighted, nodesByKey, ranks).filter(_ != null)
+        .foreach(NearDup.freeLocalCheckpoint)
     }
-    val out = ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
-    NearDup.freeLocalCheckpoint(weighted)
-    NearDup.freeLocalCheckpoint(nodes)
-    out
+    ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
   }
 
   /** Duplicate-cluster size distribution over a component labeling
