@@ -23,7 +23,31 @@ object Q {
     * no-op for every other physical type, so setting it is always safe. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "embeddings") normalizeEmbedding(df) else df
+  }
+
+  /** embeddings.embedding has only ever shipped as list<float>, and the
+    * whole vector stack reads it as such (CosineSimilarity's getFloat
+    * codegen, the Seq[Float] UDF kernels). If the physical type ever
+    * drifts to list<double> — the events.ts round-10 failure mode, a
+    * silent testdata regeneration — a loader-edge cast keeps every
+    * vector query RUNNING instead of failing analysis in ~20 places.
+    * The cast is a no-op against the shipped float data; under drift,
+    * scores carry float32 rounding of the cast, which
+    * TestdataContractSpec flags loudly so oracle parity is re-checked
+    * deliberately rather than discovered at driver time.
+    */
+  private def normalizeEmbedding(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    df.schema.find(_.name == "embedding").map(_.dataType) match {
+      case Some(ArrayType(FloatType, _)) | None => df
+      case Some(ArrayType(_, _)) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case Some(other) => throw new IllegalStateException(
+        s"embeddings.embedding has unsupported type $other; expected array<float>")
+    }
   }
 
   /** events with `ts_ms` (epoch millis, exact long) derived from `ts`.

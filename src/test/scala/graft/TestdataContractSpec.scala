@@ -49,4 +49,22 @@ class TestdataContractSpec extends AnyFunSuite {
     Seq("vec_id", "embedding", "label").foreach(c =>
       assert(embCols.contains(c), s"embeddings missing $c"))
   }
+
+  test("embeddings.embedding ships as array<float> (vector-kernel contract)") {
+    assume(present, s"$sf not present")
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // Raw read on purpose: Q.t normalizes a drifted element type to
+    // array<float> so queries keep running, but a drift still changes
+    // score precision vs the DuckDB oracle (which reads the parquet
+    // natively). This test is the loud signal that the physical type
+    // moved and oracle parity must be re-checked deliberately.
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+    raw.schema.find(_.name == "embedding").map(_.dataType) match {
+      case Some(ArrayType(FloatType, _)) => ()
+      case other => fail(
+        s"embeddings.embedding is $other, not array<float>: Q.t now casts it " +
+          "so vector queries still run, but float-vs-double score rounding vs " +
+          "the DuckDB oracle must be re-verified (see Q.normalizeEmbedding)")
+    }
+  }
 }
