@@ -58,7 +58,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Default matches the driver contract (local[32]): a silently
+    // lower default turns an unset env into a 1.5-4.5× inflation on
+    // parallel-heavy rows that looks exactly like a plan regression
+    // (cost one wasted sf1 run to diagnose in round 12).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/JVM startup before any per-query timing
