@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
-import graft.ops.{NearDup, Packing}
+import graft.ops.{LineDedup, NearDup, Packing}
 
 /** Randomized invariants for the operators whose correctness rests on
   * order/partitioning discipline — the places example tests can miss
@@ -72,6 +72,108 @@ class PropertySpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val dropped = pairs.map(_._2).toSet
       kept == ids.toSet -- dropped
+    }, n = 15)
+  }
+
+  /** Driver-side union-find ground truth: node → min id reachable. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  private val graphGen = for {
+    nodes <- Gen.choose(2, 24)
+    m <- Gen.choose(1, 40)
+    pairs <- Gen.listOfN(m,
+      Gen.zip(Gen.choose(0L, nodes - 1L), Gen.choose(0L, nodes - 1L)))
+  } yield (nodes.toLong, pairs.filter { case (a, b) => a != b })
+
+  test("property: connectedComponents == driver union-find on random graphs") {
+    // The CC fixed-point is the most intricate loop in the repo
+    // (delta propagation + pointer jump + self-row invariant); this
+    // pins it to a 15-line driver union-find on arbitrary topologies —
+    // chains, cliques, stars, disjoint mixes — that the planted-graph
+    // example specs cannot enumerate.
+    check(Prop.forAll(graphGen) { case (_, pairs) =>
+      (pairs.isEmpty) || {
+        val want = unionFind(pairs)
+        val got = NearDup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want
+      }
+    }, n = 8)
+  }
+
+  test("property: dropNearDuplicatesTransitive keeps exactly each component's min") {
+    check(Prop.forAll(graphGen) { case (n, pairs) =>
+      (pairs.isEmpty) || {
+        val comp = unionFind(pairs)
+        val ids = 0L until n
+        val want = ids.filter(i => comp.get(i).forall(_ == i)).toSet
+        val df = ids.map(i => (i, s"doc$i")).toDF("doc_id", "text")
+        val kept = NearDup.dropNearDuplicatesTransitive(
+            df, "doc_id", pairs.toDF("doc_a", "doc_b"))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        kept == want
+      }
+    }, n = 8)
+  }
+
+  // -- line-dedup rebuilds vs naive per-doc models ---------------------
+  // Docs are random soups over a tiny line alphabet (lots of forced
+  // cross-doc repeats, empty lines, occasional null text — the r11
+  // contract: null text survives as empty text, not a dropped doc).
+  private val lineDocsGen: Gen[List[(Long, Option[String])]] = {
+    val line = Gen.oneOf("alpha", "beta", "gamma", "", "x y", "tail ")
+    val doc = for {
+      k <- Gen.choose(0, 8)
+      ls <- Gen.listOfN(k, line)
+    } yield ls.mkString("\n")
+    for {
+      d <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(d, Gen.frequency(9 -> doc.map(Some(_)),
+        1 -> Gen.const(None)))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  test("property: removeRepeatedLines == naive corpus count model") {
+    check(Prop.forAll(Gen.zip(lineDocsGen, Gen.choose(2, 3))) {
+      case (docs, minRepeat) =>
+        // split with limit -1: Spark's split keeps trailing empties
+        val split = docs.map { case (i, t) =>
+          (i, t.map(_.split("\n", -1).toSeq).getOrElse(Nil))
+        }
+        val counts = split.flatMap(_._2).groupBy(identity).map {
+          case (l, occ) => (l, occ.size)
+        }
+        val want = split.map { case (i, ls) =>
+          i -> ls.filter(l => counts(l) < minRepeat).mkString("\n")
+        }.toMap
+        val df = docs.toDF("doc_id", "text")
+        val got = LineDedup.removeRepeatedLines(df, "doc_id", col("text"),
+            minRepeat = minRepeat)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        got == want
+    }, n = 15)
+  }
+
+  test("property: dedupLinesWithinDoc == naive first-occurrence model") {
+    check(Prop.forAll(lineDocsGen) { docs =>
+      val want = docs.map { case (i, t) =>
+        i -> t.map(_.split("\n", -1).toSeq.distinct.mkString("\n")).getOrElse("")
+      }.toMap
+      val got = LineDedup.dedupLinesWithinDoc(
+          docs.toDF("doc_id", "text"), "doc_id", col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == want
     }, n = 15)
   }
 }
