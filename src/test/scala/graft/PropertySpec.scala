@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
-import graft.ops.{LineDedup, NearDup, Packing}
+import graft.ops.{AsOf, Chunking, LineDedup, NearDup, Packing}
 
 /** Randomized invariants for the operators whose correctness rests on
   * order/partitioning discipline — the places example tests can miss
@@ -173,6 +173,67 @@ class PropertySpec extends AnyFunSuite {
       val got = LineDedup.dedupLinesWithinDoc(
           docs.toDF("doc_id", "text"), "doc_id", col("text"))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == want
+    }, n = 15)
+  }
+
+  test("property: asofBackward == naive latest-at-or-before lookup") {
+    // The union + last-ignoring-nulls window formulation hides the
+    // subtle cases: right row AT the left timestamp (inclusive), null
+    // payload VALUE inside the latest right row (must be preserved,
+    // not skipped to an earlier row... see __p struct), null key/ord
+    // on the LEFT (never matches), several left rows at one (key, ord).
+    val gen = for {
+      nr <- Gen.choose(0, 12)
+      rights <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 3L),
+        Gen.choose(0L, 12L), Gen.option(Gen.choose(0L, 99L))))
+      nl <- Gen.choose(1, 15)
+      lefts <- Gen.listOfN(nl, Gen.zip(
+        Gen.frequency(9 -> Gen.choose(0L, 3L).map(Option(_)), 1 -> Gen.const(None)),
+        Gen.frequency(9 -> Gen.choose(0L, 12L).map(Option(_)), 1 -> Gen.const(None))))
+    } yield (rights.groupBy(r => (r._1, r._2)).values.map(_.head).toList,
+      lefts.zipWithIndex.map { case ((k, o), i) => (i.toLong, k, o) })
+    check(Prop.forAll(gen) { case (rights, lefts) =>
+      val want = lefts.map { case (rid, k, o) =>
+        rid -> (for {
+          kk <- k; oo <- o
+          best <- rights.filter(r => r._1 == kk && r._2 <= oo)
+            .sortBy(_._2).lastOption
+        } yield best._3).flatten
+      }.toMap
+      val ldf = lefts.toDF("rid", "k", "o")
+      val rdf = rights.toDF("k", "ord", "pay")
+      val got = AsOf.asofBackward(ldf, rdf, Seq("k"), "o", "ord", Seq("pay"))
+        .select("rid", "pay").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      got == want
+    }, n = 15)
+  }
+
+  test("property: chunkByTokens slices == spec model, any window/overlap") {
+    val gen = for {
+      window <- Gen.choose(1, 8)
+      overlap <- Gen.choose(0, window - 1)
+      docs <- Gen.listOfN(6, Gen.choose(0, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))))
+    } yield (window, overlap, docs.zipWithIndex.map {
+      case (ws, i) => (i.toLong, ws.mkString(" ")) })
+    check(Prop.forAll(gen) { case (window, overlap, docs) =>
+      val stride = window - overlap
+      val want = docs.flatMap { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty).toSeq
+        if (ws.isEmpty) Nil
+        else (0 to math.max(ws.length - overlap - 1, 0) by stride).zipWithIndex
+          .map { case (start, idx) =>
+            (id, idx.toLong, ws.slice(start, start + window).mkString(" "),
+              math.min(window, ws.length - start).toLong)
+          }
+      }.toSet
+      val got = Chunking.chunkByTokens(docs.toDF("doc_id", "text"),
+          "doc_id", col("text"), window = window, overlap = overlap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
       got == want
     }, n = 15)
   }
