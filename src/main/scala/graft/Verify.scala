@@ -10,7 +10,9 @@ object Verify {
     // always passes two args and gets the full suite)
     val nameFilter = args.lift(2).map(_.r)
     def wanted(n: String) = nameFilter.forall(_.findFirstIn(n).isDefined)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // default matches the driver contract (local[32]) — keep in sync
+    // with Bench.scala's reading of the same env
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, appName = "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

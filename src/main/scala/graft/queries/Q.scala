@@ -24,7 +24,7 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "embeddings") normalizeEmbedding(df) else df
+    normalizeEmbedding(df) // no-op unless an `embedding` column drifted
   }
 
   /** embeddings.embedding has only ever shipped as list<float>, and the
@@ -40,13 +40,17 @@ object Q {
     */
   private def normalizeEmbedding(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, NumericType}
     df.schema.find(_.name == "embedding").map(_.dataType) match {
       case Some(ArrayType(FloatType, _)) | None => df
-      case Some(ArrayType(_, _)) =>
+      case Some(ArrayType(_: NumericType, _)) =>
         df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      // non-numeric elements (or a non-array column) must fail HERE,
+      // loudly — a blanket cast would null-out array<string> elements
+      // under non-ANSI semantics and the vector queries would run on
+      // garbage instead of erroring
       case Some(other) => throw new IllegalStateException(
-        s"embeddings.embedding has unsupported type $other; expected array<float>")
+        s"embedding column has non-numeric-array type $other; expected array<float>")
     }
   }
 
