@@ -237,4 +237,41 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, n = 15)
   }
+
+  test("property: removeRepeatedWindows == naive Lee-et-al coverage model") {
+    // Hash-keyed windows, coverage explode, anti-join rebuild — checked
+    // against the literal definition: strip every token covered by a
+    // w-window occurring in >= 2 DISTINCT docs. A 4-word alphabet
+    // forces heavy cross-doc window collisions; short docs (< w
+    // tokens) and empty docs must come back untouched.
+    val gen = for {
+      w <- Gen.choose(2, 4)
+      docs <- Gen.listOfN(6, Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))))
+    } yield (w, docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) })
+    check(Prop.forAll(gen) { case (w, docs) =>
+      // tokens() is split(lower(trim(text)), "\\s+"): an empty doc
+      // yields ONE empty token, exactly like Java split with limit -1
+      val toks = docs.map { case (i, t) =>
+        (i, t.trim.toLowerCase.split("\\s+", -1).toSeq)
+      }
+      val winsByDoc = toks.map { case (i, ws) =>
+        (i, if (ws.length >= w) ws.sliding(w).map(_.mkString(" ")).toSeq else Nil)
+      }
+      val repeated = winsByDoc.flatMap { case (i, wins) => wins.distinct.map((_, i)) }
+        .groupBy(_._1).collect { case (win, occ) if occ.size >= 2 => win }.toSet
+      val want = toks.map { case (i, ws) =>
+        val wins = winsByDoc.find(_._1 == i).get._2
+        val covered = wins.zipWithIndex.collect {
+          case (win, p) if repeated(win) => p until (p + w)
+        }.flatten.toSet
+        val kept = ws.zipWithIndex.collect { case (t, p) if !covered(p) => t }
+        i -> (kept.mkString(" "), (ws.length - kept.length).toLong)
+      }.toMap
+      val got = NearDup.removeRepeatedWindows(
+          docs.toDF("doc_id", "text"), "doc_id", col("text"), w = w)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      got == want
+    }, n = 15)
+  }
 }
