@@ -274,4 +274,32 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, n = 15)
   }
+
+  test("property: LabelStore batched merges == one-shot CC over all pairs") {
+    // The incremental-CC invariant under ARBITRARY batch tilings:
+    // random pair batches — including cross-batch bridges, repeats,
+    // and batches of brand-new nodes — merged sequentially must land
+    // on exactly the labels a one-shot union-find over every pair
+    // assigns. Generalizes GraphSpec's hand-crafted bridge case.
+    val gen = for {
+      nb <- Gen.choose(1, 3)
+      batches <- Gen.listOfN(nb, Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L))
+          .suchThat { case (a, b) => a != b }))
+    } yield batches
+    check(Prop.forAll(gen) { batches =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ls_prop").toString + "/store"
+      try {
+        batches.foreach(b => graft.ops.LabelStore.merge(spark, dir,
+          b.toDF("doc_a", "doc_b"), buckets = 4))
+        val got = graft.ops.LabelStore.read(spark, dir)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(batches.flatten)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir).getParentFile)
+      }
+    }, n = 6)
+  }
 }
