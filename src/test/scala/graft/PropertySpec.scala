@@ -302,4 +302,62 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 6)
   }
+
+  test("property: leakageSafeSplit never separates a labeled component") {
+    // The op's whole contract: two docs sharing a dedup component MUST
+    // land on the same split side, for any component topology and any
+    // weight vector; unlabeled docs fall back to per-doc assignment.
+    val gen = for {
+      n <- Gen.choose(2, 30)
+      pairs <- Gen.listOf(Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L))
+        .suchThat { case (a, b) => a != b })
+      wTrain <- Gen.choose(0.5, 0.9)
+    } yield (n.toLong, pairs.filter { case (a, b) => a < n && b < n },
+      wTrain)
+    check(Prop.forAll(gen) { case (n, pairs, wTrain) =>
+      val rest = (1.0 - wTrain) / 2
+      val weights = Seq("train" -> wTrain, "val" -> rest, "test" -> rest)
+      val comp = unionFind(pairs)
+      val labels = comp.toSeq.toDF("node", "component")
+      val df = (0L until n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val split = graft.ops.Sampling.leakageSafeSplit(df, "doc_id", labels, weights)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      split.size == n && split.values.forall(_ != null) &&
+        comp.groupBy(_._2).values.forall(members =>
+          members.map(m => split(m._1)).toSet.size == 1)
+    }, n = 15)
+  }
+
+  test("property: redactPii is idempotent and non-PII text is untouched") {
+    // A redaction pass over already-redacted text must be a fixed
+    // point (placeholders must not re-match any pattern — the fixed
+    // email→IP→digit order exists for exactly this), and text with no
+    // PII must round-trip byte-identical.
+    val word = Gen.oneOf("call", "me", "at", "the", "office",
+      "a1b2", "x.y", "user@host.com", "10.0.0.1", "123456789", "+1 555 867 5309")
+    val gen = Gen.listOfN(8, Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+    check(Prop.forAll(gen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val once = df.select(col("id"),
+        graft.ops.Redact.redactPii(col("text")).as("text"))
+      val twice = once.select(col("id"),
+        graft.ops.Redact.redactPii(col("text")).as("text"))
+      val a = once.orderBy("id").collect().map(_.getString(1)).toSeq
+      val b = twice.orderBy("id").collect().map(_.getString(1)).toSeq
+      // clean subsequence: the same soups with the PII words stripped
+      // must round-trip byte-identical (short digit runs like a1b2 are
+      // below the digit-run floor by contract)
+      val pii = Set("user@host.com", "10.0.0.1", "123456789", "+1 555 867 5309")
+      val clean = texts.map(_.split(" ").filterNot(pii).mkString(" "))
+      val cdf = clean.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val cleanOut = cdf.select(col("id"),
+          graft.ops.Redact.redactPii(col("text")).as("text"))
+        .orderBy("id").collect().map(_.getString(1)).toSeq
+      a == b && cleanOut == clean
+    }, n = 12)
+  }
 }
