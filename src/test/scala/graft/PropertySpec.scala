@@ -360,4 +360,51 @@ class PropertySpec extends AnyFunSuite {
       a == b && cleanOut == clean
     }, n = 12)
   }
+
+  test("property: bloomPrefilteredAntiJoin == plain anti join, any fpp traffic") {
+    // The sketch is a PREFILTER, not the answer: false positives only
+    // route rows through the residual exact join, so the result must
+    // be multiset-identical to the plain anti join for any workload —
+    // including duplicate fresh rows and tiny sketches (high fpp).
+    val gen = for {
+      fresh <- Gen.listOf(Gen.choose(0L, 40L))
+      seen <- Gen.listOf(Gen.choose(0L, 40L))
+      fpp <- Gen.oneOf(0.01, 0.3)
+    } yield (fresh, seen, fpp)
+    check(Prop.forAll(gen) { case (fresh, seen, fpp) =>
+      (fresh.isEmpty || seen.isEmpty) || {
+        val fdf = fresh.toDF("k")
+        val sdf = seen.toDF("k")
+        val got = graft.ops.Dedup.bloomPrefilteredAntiJoin(
+            fdf, "k", sdf, expectedItems = seen.size.toLong, fpp = fpp)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val want = fresh.filterNot(seen.toSet).sorted
+        got == want
+      }
+    }, n = 15)
+  }
+
+  test("property: int8 quantize roundtrip error bounded by scale/254") {
+    val gen = Gen.listOfN(6, Gen.choose(2, 12).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-10.0, 10.0).map(_.toFloat))
+        .suchThat(v => v.exists(x => math.abs(x) > 1e-3))))
+    check(Prop.forAll(gen) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "vec")
+        .withColumn("scale", graft.vector.Quantize.scaleOf(col("vec")))
+      val out = df
+        .withColumn("q", graft.vector.Quantize.quantize(col("vec"), col("scale")))
+        .withColumn("dq", graft.vector.Quantize.dequantize(col("q"), col("scale")))
+        .orderBy("id").collect()
+      out.forall { r =>
+        val v = r.getSeq[Float](1)
+        val scale = r.getDouble(2)
+        val q = r.getSeq[Long](3)
+        val dq = r.getSeq[Float](4)
+        q.forall(x => x >= -127 && x <= 127) &&
+          v.indices.forall(i =>
+            math.abs(dq(i) - v(i)) <= scale / 254.0 + 1e-5)
+      }
+    }, n = 15)
+  }
 }
