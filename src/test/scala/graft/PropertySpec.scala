@@ -407,4 +407,52 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 15)
   }
+
+  test("property: resampleByWeight emits floor/ceil consecutive copies, deterministically") {
+    // Per key: copy ids must be exactly 0..n-1 with n in
+    // {floor(w), floor(w)+1}; an INTEGER weight pins n == w exactly
+    // (zero fractional mass); and a second invocation is identical
+    // (the salted hash is content-addressed, not RNG).
+    val gen = for {
+      w <- Gen.oneOf(0.0, 0.5, 1.0, 1.7, 2.0, 3.25)
+      keys <- Gen.nonEmptyListOf(Gen.choose(0L, 50L)).map(_.distinct)
+    } yield (w, keys)
+    check(Prop.forAll(gen) { case (w, keys) =>
+      val df = keys.map(k => (k, s"d$k")).toDF("id", "text")
+      def run() = graft.ops.SourceMix.resampleByWeight(df, col("id"), lit(w))
+        .select("id", "copy").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val out = run()
+      val byKey = out.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.map(_._2).sorted.toSeq }
+      val fl = math.floor(w).toLong
+      val structural = byKey.values.forall(copies =>
+        copies == (0L until copies.length) &&
+          (copies.length == fl || copies.length == fl + 1)) &&
+        keys.forall(k => byKey.get(k).map(_.length.toLong).getOrElse(0L) >= fl)
+      val exactInt = (w != math.floor(w)) ||
+        keys.forall(k => byKey.get(k).map(_.length.toLong).getOrElse(0L) == fl)
+      structural && exactInt && (out.sorted.toSeq == run().sorted.toSeq)
+    }, n = 12)
+  }
+
+  test("property: temperatureWeights == the closed-form n^a / sum(n^a)") {
+    val gen = for {
+      a <- Gen.oneOf(0.3, 0.5, 0.7, 1.0)
+      counts <- Gen.nonEmptyListOf(Gen.choose(1, 200)).map(_.take(6))
+    } yield (a, counts)
+    check(Prop.forAll(gen) { case (a, counts) =>
+      val rows = counts.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(_ => s"src$s") }
+      val df = rows.toDF("source")
+      val got = graft.ops.SourceMix.temperatureWeights(df, col("source"), a)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(3))).toMap
+      val s = counts.map(n => math.pow(n, a)).sum
+      counts.zipWithIndex.forall { case (n, i) =>
+        val (gn, gq) = got(s"src$i")
+        gn == n.toLong &&
+          math.abs(gq - math.pow(n, a) / s) < 1e-6 + 1e-9
+      } && math.abs(got.values.map(_._2).sum - 1.0) < 1e-4
+    }, n = 12)
+  }
 }
