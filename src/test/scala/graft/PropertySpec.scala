@@ -455,4 +455,46 @@ class PropertySpec extends AnyFunSuite {
       } && math.abs(got.values.map(_._2).sum - 1.0) < 1e-4
     }, n = 12)
   }
+
+  test("property: pageRank == naive power iteration on random digraphs") {
+    // The r12 loop rewrite (AQE paused, pre-partitioned stationary
+    // sides, one job per iteration) must not have changed semantics:
+    // rank'(v) = (1-d)/N + d·Σ_{u→v} rank(u)/outdeg(u), per-iteration
+    // HALF_UP rounding at 1e-9, dangling mass leaking — checked
+    // against a literal driver-side power iteration. Comparison uses
+    // a 1.1e-6 tolerance: the per-iteration 1e-9 rounding is
+    // order-dependent at exact .5 boundaries (scaladoc), while a
+    // formula regression would miss by orders of magnitude more.
+    val gen = for {
+      nodes <- Gen.choose(1, 12)
+      m <- Gen.choose(0, 25)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, nodes - 1L), Gen.choose(0L, nodes - 1L)))
+      iters <- Gen.choose(1, 4)
+    } yield (edges, iters)
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    check(Prop.forAll(gen) { case (edges, iters) =>
+      val d = 0.85
+      val got = graft.ops.Graph.pageRank(
+          edges.toDF("src", "dst"), iterations = iters, damping = d)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      if (edges.isEmpty) got.isEmpty
+      else {
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val n = nodes.length
+        val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+        var rank = nodes.map(_ -> r9(1.0 / n)).toMap
+        for (_ <- 1 to iters) {
+          val in = edges.groupBy(_._2).map { case (v, es) =>
+            v -> es.map { case (u, _) => rank(u) / outDeg(u) }.sum }
+          rank = nodes.map(v =>
+            v -> r9((1 - d) / n + d * in.getOrElse(v, 0.0))).toMap
+        }
+        got.keySet == nodes.toSet &&
+          nodes.forall(v => math.abs(got(v) - rank(v)) <= 1.1e-6)
+      }
+    }, n = 8)
+  }
 }
