@@ -497,4 +497,37 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 8)
   }
+
+  test("property: decontaminate == naive shared-shingle-count filter") {
+    // A corpus doc survives iff it shares fewer than minShared
+    // DISTINCT word n-grams with the benchmark union — including the
+    // short-doc (< n tokens → no shingles → always survives) and
+    // repeated-shingle (distinct, not occurrence, counting) contracts.
+    val soup = Gen.choose(0, 10).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+    val gen = for {
+      n <- Gen.choose(2, 3)
+      minShared <- Gen.choose(1L, 2L)
+      corpus <- Gen.listOfN(6, soup)
+      bench <- Gen.listOfN(2, soup)
+    } yield (n, minShared, corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      bench.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    check(Prop.forAll(gen) { case (n, minShared, corpus, bench) =>
+      def sh(t: String): Set[String] = {
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.length < n) Set.empty
+        else ws.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val benchSh = bench.flatMap(b => sh(b._2)).toSet
+      val want = corpus.collect {
+        case (i, t) if (sh(t) & benchSh).size < minShared => i
+      }.toSet
+      val got = graft.ops.Decontaminate.decontaminate(
+          corpus.toDF("doc_id", "text"), "doc_id", col("text"),
+          bench.toDF("bench_id", "btext"), col("btext"),
+          n = n, minShared = minShared)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      got == want
+    }, n = 15)
+  }
 }
