@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. Two pieces of sbt framing defeated that for 12 rounds:
+// the logger's "[info] " prefix on forked-process output, and the
+// "[success] Total time…" epilogue printed after it. StdoutOutput
+// sends the forked JVM's stdout through bare (no log framing);
+// showSuccess := false drops the epilogue — the bench's println is
+// then the literal final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,6 +63,14 @@ object Bench {
     // parallel-heavy rows that looks exactly like a plan regression
     // (cost one wasted sf1 run to diagnose in round 12).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Inverse of the round-12 local[4] trap: on a smaller host an unset
+    // env oversubscribes to local[32], skewing per-query timings in a
+    // way the reference can't account for. `cpus` is in the JSON; this
+    // makes the condition loud at run time too.
+    val hostCores = Runtime.getRuntime.availableProcessors
+    if (cpus > hostCores)
+      System.err.println(s"BENCH: local[$cpus] oversubscribes this host " +
+        s"($hostCores cores) — timings will not match a 32-core reference")
     val spark = GraftSession.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/JVM startup before any per-query timing

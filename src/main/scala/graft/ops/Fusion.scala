@@ -51,6 +51,8 @@ object Fusion {
     require(k > 0 && topK > 0, s"reciprocalRankFusion: k=$k topK=$topK")
     require(maxPool >= topK, s"reciprocalRankFusion: maxPool=$maxPool < topK=$topK")
     val contribs = rankings.zipWithIndex.map { case (r, i) =>
+      // Emits Spark's "No Partition Defined for Window" warning by
+      // design: the input is limit(maxPool+1)-bounded (PlanSpec pins it)
       val w = Window.orderBy(col(scoreCol).desc, col(id).asc)
       r.limit(maxPool + 1)
         .select(col(id), row_number().over(w).as("__rank"))

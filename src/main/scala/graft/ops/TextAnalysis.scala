@@ -224,6 +224,9 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
     val total = freq.agg(sum(col("n")).as("__tot"))
     val top = freq.orderBy(col("n").desc, col("term").asc).limit(k)
+    // Both windows below emit Spark's "No Partition Defined for Window"
+    // warning by design: they run over `top` = limit(k) rows (PlanSpec
+    // pins the boundedness)
     val w = Window.orderBy(col("n").desc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.crossJoin(broadcast(total))

@@ -83,5 +83,30 @@ object RetrievalQueries {
       Fusion.mmrRerank(pool, "vec_id", "embedding", lambda = 0.7, k = 10)
         .orderBy(col("mmr_rank"))
     },
+
+    // ---- MMR at lambda=1: greedy degenerates to pure-relevance top-k ----
+    // The general greedy (q111) is rows-only by contract; at lambda=1
+    // the redundancy term vanishes, the selection IS top-k by
+    // (score desc, id asc), and the same code path — pool collect,
+    // greedy loop, tie-break — gets a full hash oracle for free.
+    Q("q137_mmr_lambda1",
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT vec_id,
+        |  round(SUM(x*qx) / (sqrt(SUM(x*x)) * sqrt(SUM(qx*qx))), 6) AS score
+        | FROM u JOIN q USING (i) GROUP BY vec_id),
+        |pool AS (SELECT vec_id, score FROM cs ORDER BY score DESC, vec_id LIMIT 30)
+        |SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS mmr_rank,
+        |       score
+        |FROM pool ORDER BY mmr_rank LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val pool = Similarity.topK(emb, "vec_id", "embedding",
+          queryVec(s, d, 0), 30)
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      Fusion.mmrRerank(pool, "vec_id", "embedding", lambda = 1.0, k = 10)
+        .orderBy(col("mmr_rank"))
+    },
   )
 }

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Content fingerprint of a testdata directory: per table, the row
+  * count plus an ORDER-INSENSITIVE content hash — the decimal sum of
+  * per-row xxhash64 over every column. Sum (not xor) keeps duplicate
+  * rows visible; decimal(38,0) accumulation cannot overflow under ANSI
+  * at any realistic row count (|sum| ≤ n·2^63 < 10^38 up to ~10^18
+  * rows); parquet row/file order doesn't matter, so a repartitioned
+  * rewrite of identical content fingerprints identically.
+  *
+  * Why: `target/sf1` is REGENERATED per box (GenScale), and round 12's
+  * q113/q119 sf1 perf flags were confounded by "is this even the same
+  * data the reference rows were measured on?". GenScale is
+  * deterministic given /root/testdata/sf0.1, so the fingerprint pins
+  * the generation: Sf1FingerprintSpec compares against the committed
+  * values and names the drift if a regeneration ever diverges.
+  *
+  * Run: `sbt "runMain graft.tools.Fingerprint [dir]"` (default
+  * target/sf1) — prints one JSON line.
+  */
+object Fingerprint {
+
+  val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** (rows, decimal string of sum(xxhash64(all columns))). */
+  def table(spark: SparkSession, dir: String, name: String): (Long, String) = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val row = df.select(
+      count(lit(1)).as("n"),
+      sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("h")).head()
+    val h = Option(row.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0")
+    (row.getLong(0), h)
+  }
+
+  def all(spark: SparkSession, dir: String): Seq[(String, Long, String)] =
+    tables.map { t => val (n, h) = table(spark, dir, t); (t, n, h) }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/sf1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val parts = all(spark, dir).map { case (t, n, h) =>
+      s""""$t":{"rows":$n,"hash":"$h"}"""
+    }
+    spark.stop()
+    println(s"""{"dir":"$dir",${parts.mkString(",")}}""")
+  }
+}

@@ -238,6 +238,29 @@ class PlanSpec extends AnyFunSuite {
     assert(body.size <= 1, body.mkString("\n"))
   }
 
+  test("every unpartitioned window in every registered query is limit-bounded") {
+    // Spark warns "No Partition Defined for Window operation" at the
+    // repo's two deliberate single-partition windows (vocabCoverage's
+    // top-k cumulative share, RRF's maxPool-capped rank) — both sit
+    // over a Limit, so the single task sees a bounded row count at any
+    // corpus size. That warning noise must never hide a REAL unbounded
+    // window: sweep every registered query's optimized plan and require
+    // a Limit somewhere below each partition-less Window.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
+    val offenders = Registry.all.flatMap { q =>
+      val df = q.fn(spark, sf)
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !w.child.exists {
+              case _: GlobalLimit | _: LocalLimit => true
+              case _ => false
+            } =>
+          s"${q.name}: ${w.windowExpressions.map(_.name).mkString(",")}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded input:\n${offenders.mkString("\n")}")
+  }
+
   test("q129 line dedup: count side shuffles hashes, not line text") {
     // the kill-set aggregation groups by xxhash64(line) — its exchange
     // carries (hash, count) pairs only. Lines legitimately cross once
