@@ -534,4 +534,155 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, n = 15)
   }
+
+  // Model tokenizer for the four pins below — must replicate
+  // NearDup.tokens exactly: split(lower(trim(text)), "\\s+") yields
+  // [""] for blank input (trim first, so no leading/trailing empties).
+  private def modelTokens(t: String): Seq[String] = {
+    val s = t.trim.toLowerCase(java.util.Locale.ROOT)
+    if (s.isEmpty) Seq("") else s.split("\\s+").toSeq
+  }
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("property: bm25TopK == naive in-memory BM25 on random corpora") {
+    // Pins the distributed decomposition (filtered tf table, broadcast
+    // df/totals, TakeOrdered cut) against the textbook per-doc formula,
+    // including the blank-doc dl=1 artifact and the only-matched-docs
+    // output contract. k exceeds any corpus so the cut can't hide a
+    // scoring error; scores compare at 2e-6 (sum order vs 6dp round).
+    val word = Gen.oneOf("dup", "vector", "hash", "alpha", "beta", "x1")
+    val doc = for {
+      n <- Gen.choose(0, 12); ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val terms = Seq("dup", "vector", "hash")
+    val (k1, b) = (1.2, 0.75)
+    check(Prop.forAll(Gen.choose(1, 25).flatMap(Gen.listOfN(_, doc))) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = graft.ops.Bm25.bm25TopK(df, "id", col("text"), terms, k = 1000)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      val toks = docs.map(modelTokens)
+      val dls = toks.map(_.size.toDouble)
+      val nDocs = docs.size
+      val avgdl = dls.sum / nDocs
+      val dfreq = terms.map(t => t -> toks.count(_.contains(t))).toMap
+      val want = docs.indices.flatMap { i =>
+        val matched = terms.filter(toks(i).contains)
+        if (matched.isEmpty) None
+        else {
+          val s = matched.map { t =>
+            val tf = toks(i).count(_ == t).toDouble
+            val idf = math.log(1.0 + (nDocs - dfreq(t) + 0.5) / (dfreq(t) + 0.5))
+            idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dls(i) / avgdl))
+          }.sum
+          Some(i.toLong -> ((round6(s), matched.size.toLong)))
+        }
+      }.toMap
+      got.keySet == want.keySet && want.forall { case (id, (s, n)) =>
+        math.abs(got(id)._1 - s) <= 2e-6 && got(id)._2 == n
+      }
+    }, n = 10)
+  }
+
+  test("property: reciprocalRankFusion == naive rank model on random pools") {
+    // Pins the per-pool rank windows + full-outer fuse against the
+    // plain definition: rank by (score desc, id asc) in each pool,
+    // score = Σ 1/(k+rank), n_rankers = pools containing the id.
+    // Coarse scores (1dp) force cross-id ties so the id tie-break and
+    // the missing-from-one-pool coalesce both get exercised.
+    val pool = for {
+      n <- Gen.choose(1, 15)
+      ids <- Gen.pick(n, 0L until 20L)
+      scores <- Gen.listOfN(n, Gen.choose(0, 50).map(_ / 10.0))
+    } yield ids.toSeq.zip(scores)
+    val gen = Gen.choose(2, 3).flatMap(Gen.listOfN(_, pool))
+    check(Prop.forAll(gen) { pools =>
+      val dfs = pools.map(_.toDF("id", "score"))
+      val got = graft.ops.Fusion
+        .reciprocalRankFusion(dfs, "id", k = 60, topK = 100)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+      val contribs = pools.map { p =>
+        p.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+          .map { case ((id, _), r) => id -> (1.0 / (60 + r + 1)) }.toMap
+      }
+      val ids = contribs.flatMap(_.keySet).toSet
+      val want = ids.map { id =>
+        val cs = contribs.flatMap(_.get(id))
+        id -> ((round6(cs.sum), cs.size))
+      }.toMap
+      got.keySet == want.keySet && want.forall { case (id, (s, n)) =>
+        math.abs(got(id)._1 - s) <= 2e-6 && got(id)._2 == n
+      }
+    }, n = 10)
+  }
+
+  test("property: sourceVocabOverlap == naive top-V vocabulary model") {
+    // Pins the per-source top-V window (count desc, word asc) and the
+    // DENSE pair grid: zero-overlap pairs report 0; a source whose
+    // docs are all blank has no vocab and drops out of the grid
+    // entirely. Small topV exercises the cut mid-vocabulary.
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(0, 6).flatMap(Gen.listOfN(_, word)).map(_.mkString(" "))
+    val gen = for {
+      nSrc <- Gen.choose(2, 4)
+      topV <- Gen.choose(1, 4)
+      docs <- Gen.listOfN(nSrc, Gen.choose(1, 6).flatMap(Gen.listOfN(_, doc)))
+    } yield (topV, docs.zipWithIndex.flatMap { case (ds, s) => ds.map(("s" + s, _)) })
+    check(Prop.forAll(gen) { case (topV, rows) =>
+      val df = rows.toDF("source", "text")
+      val got = graft.ops.CorpusReports
+        .sourceVocabOverlap(df, col("source"), col("text"), topV = topV)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val vocab = rows.groupBy(_._1).map { case (s, ds) =>
+        val wc = ds.flatMap(d => modelTokens(d._2)).filter(_.nonEmpty)
+          .groupBy(identity).map { case (w, o) => (w, o.size) }
+        s -> wc.toSeq.sortBy { case (w, c) => (-c, w) }.take(topV).map(_._1).toSet
+      }.filter(_._2.nonEmpty)
+      val want = (for {
+        a <- vocab.keys; b <- vocab.keys if a < b
+        i = (vocab(a) & vocab(b)).size.toLong
+        na = vocab(a).size; nb = vocab(b).size
+      } yield (a, b) -> ((i, round6(i.toDouble / (na + nb - i))))).toMap
+      got.keySet == want.keySet && want.forall { case (k, (i, j)) =>
+        got(k)._1 == i && math.abs(got(k)._2 - j) <= 1e-9
+      }
+    }, n = 10)
+  }
+
+  test("property: sourcePairMatrix == naive unordered-pair count model") {
+    // Pins the two id joins + least/greatest fold: each pair ROW
+    // (duplicates count) whose both endpoints resolve in meta lands in
+    // exactly one unordered source cell; unresolvable ids drop (inner
+    // join contract). Diagonal cells (same source both sides) ride the
+    // same path.
+    val gen = for {
+      nIds <- Gen.choose(4, 20)
+      srcs <- Gen.listOfN(nIds, Gen.oneOf("s0", "s1", "s2"))
+      metaKeep <- Gen.listOfN(nIds, Gen.frequency(4 -> true, 1 -> false))
+      nPairs <- Gen.choose(0, 25)
+      pairs <- Gen.listOfN(nPairs, for {
+        x <- Gen.choose(0, nIds - 1); y <- Gen.choose(0, nIds - 1)
+      } yield (math.min(x, y).toLong, math.max(x, y).toLong))
+    } yield (srcs.zipWithIndex.collect { case (s, i) if metaKeep(i) => (i.toLong, s) },
+      pairs)
+    check(Prop.forAll(gen) { case (meta, pairs) =>
+      val pairsDf = pairs.toDF("doc_a", "doc_b")
+      val metaDf = meta.toDF("doc_id", "source")
+      val got = graft.ops.CorpusReports
+        .sourcePairMatrix(pairsDf, metaDf, "doc_id", col("source"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val srcOf = meta.toMap
+      val want = pairs.flatMap { case (a, b) =>
+        for (sa <- srcOf.get(a); sb <- srcOf.get(b))
+          yield if (sa <= sb) (sa, sb) else (sb, sa)
+      }.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+      got == want
+    }, n = 12)
+  }
 }
