@@ -685,4 +685,67 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, n = 12)
   }
+
+  test("property: simhash == naive sha-vote model at 16 and 64 bits") {
+    // Pins the chunked hex decode (conv in ≤8-nibble pieces, chunk 0
+    // most significant) and the ±1 vote aggregation against the plain
+    // definition: bit i of the fingerprint is set iff the sum over the
+    // token MULTISET of (bit i of the first bits/4 sha256 nibbles,
+    // mapped to ±1) is positive — including the signed-long
+    // reinterpretation of bit 63 and the [""] token of a blank doc.
+    val word = Gen.oneOf("alpha", "beta", "Gamma", "δelta", "x1", "")
+    val doc = Gen.choose(0, 8).flatMap(Gen.listOfN(_, word)).map(_.mkString(" "))
+    def modelFp(text: String, bits: Int): Long = {
+      val nNibs = bits / 4
+      val votes = new Array[Int](bits)
+      modelTokens(text).foreach { w =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hex = md.digest(w.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(nNibs)
+        val v = BigInt(hex, 16)
+        (0 until bits).foreach(i => votes(i) += (if (v.testBit(i)) 1 else -1))
+      }
+      (0 until bits).filter(votes(_) > 0)
+        .map(i => if (i == 63) Long.MinValue else 1L << i)
+        .foldLeft(0L)(_ | _)
+    }
+    check(Prop.forAll(Gen.choose(1, 8).flatMap(Gen.listOfN(_, doc))) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      Seq(16, 64).forall { bits =>
+        val got = NearDup.simhash(df, "doc_id", col("text"), bits)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        docs.indices.forall(i => got(i.toLong) == modelFp(docs(i), bits))
+      }
+    }, n = 8)
+  }
+
+  test("property: simhashHammingPairs == brute-force popcount (pigeonhole exact)") {
+    // The band equi-join promises recall 1.0 for maxHamming < nBands:
+    // on clustered random fingerprints (bases + ≤6 flipped bits, so
+    // both near and far pairs occur) the banded join must return
+    // EXACTLY the all-pairs popcount-≤3 set, with the right distances.
+    val gen = for {
+      nBase <- Gen.choose(1, 4)
+      bases <- Gen.listOfN(nBase, Gen.choose(Long.MinValue, Long.MaxValue))
+      n <- Gen.choose(2, 20)
+      docs <- Gen.listOfN(n, for {
+        b <- Gen.choose(0, nBase - 1)
+        k <- Gen.choose(0, 6)
+        flips <- Gen.listOfN(k, Gen.choose(0, 63))
+      } yield flips.foldLeft(bases(b))((fp, i) => fp ^ (1L << i)))
+    } yield docs
+    check(Prop.forAll(gen) { fps =>
+      val df = fps.zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+        .toDF("doc_id", "simhash")
+      val got = NearDup.simhashHammingPairs(df, "doc_id", col("simhash"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        a <- fps.indices; b <- fps.indices if a < b
+        h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+      } yield (a.toLong, b.toLong, h)).toSet
+      got == want
+    }, n = 12)
+  }
 }
