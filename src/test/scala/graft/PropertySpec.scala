@@ -544,6 +544,9 @@ class PropertySpec extends AnyFunSuite {
   }
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
   test("property: bm25TopK == naive in-memory BM25 on random corpora") {
     // Pins the distributed decomposition (filtered tf table, broadcast
@@ -699,10 +702,7 @@ class PropertySpec extends AnyFunSuite {
       val nNibs = bits / 4
       val votes = new Array[Int](bits)
       modelTokens(text).foreach { w =>
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        val hex = md.digest(w.getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString.take(nNibs)
-        val v = BigInt(hex, 16)
+        val v = BigInt(sha256Hex(w).take(nNibs), 16)
         (0 until bits).foreach(i => votes(i) += (if (v.testBit(i)) 1 else -1))
       }
       (0 until bits).filter(votes(_) > 0)
@@ -747,5 +747,50 @@ class PropertySpec extends AnyFunSuite {
       } yield (a.toLong, b.toLong, h)).toSet
       got == want
     }, n = 12)
+  }
+
+  test("property: importanceScoresHashed == naive hashed unigram+bigram LLR model") {
+    // Pins DSIR's bounded-vocabulary path end to end: feature ids =
+    // non-empty tokens PLUS adjacent bigrams, each pmod(first-8-sha256-
+    // hex, buckets); add-one smoothing over the UNION bucket space;
+    // per-doc mean LLR. Small bucket counts force collisions, so the
+    // pin covers the collision-folding the scale path relies on;
+    // feature-less (blank) docs must drop from the output.
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "")
+    val doc = Gen.choose(0, 6).flatMap(Gen.listOfN(_, word)).map(_.mkString(" "))
+    val gen = for {
+      raw <- Gen.choose(1, 8).flatMap(Gen.listOfN(_, doc))
+      tgt <- Gen.choose(1, 4).flatMap(Gen.listOfN(_, doc))
+      buckets <- Gen.oneOf(7, 64, 4096)
+    } yield (raw, tgt, buckets)
+    check(Prop.forAll(gen) { case (raw, tgt, buckets) =>
+      val rdf = raw.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val tdf = tgt.toDF("text")
+      val got = graft.ops.Dsir
+        .importanceScoresHashed(rdf, tdf, "id", col("text"), buckets)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      def feats(t: String): Seq[Long] = {
+        val ws = modelTokens(t).filter(_.nonEmpty)
+        val fs = ws ++ (if (ws.size >= 2)
+          ws.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty)
+        fs.map(f => (BigInt(sha256Hex(f).take(8), 16) % buckets).toLong)
+      }
+      val rinst = raw.indices.map(i => i.toLong -> feats(raw(i)))
+      val nr = rinst.flatMap(_._2).groupBy(identity).map { case (k, o) => k -> o.size }
+      val nt = tgt.flatMap(feats).groupBy(identity).map { case (k, o) => k -> o.size }
+      val vocab = nr.keySet ++ nt.keySet
+      val (tr, tt, v) = (nr.values.sum, nt.values.sum, vocab.size)
+      def llr(f: Long): Double =
+        math.log((nt.getOrElse(f, 0) + 1.0) / (tt + v)) -
+          math.log((nr.getOrElse(f, 0) + 1.0) / (tr + v))
+      val want = rinst.collect { case (id, fs) if fs.nonEmpty =>
+        id -> ((fs.size.toLong, round6(fs.map(llr).sum / fs.size)))
+      }.toMap
+      got.keySet == want.keySet && want.forall { case (id, (n, s)) =>
+        got(id)._1 == n && math.abs(got(id)._2 - s) <= 2e-6
+      }
+    }, n = 10)
   }
 }
