@@ -793,4 +793,31 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 10)
   }
+
+  test("property: topPhrases == naive sliding n-gram counts, n in 2..5") {
+    // Pins the aligned-slices zip_with construction (slice i drops the
+    // first i tokens; position j joins tokens j..j+n-1) against plain
+    // sliding windows — off-by-ones here produce phrases that LOOK
+    // plausible, so a model pin beats examples. Docs shorter than n
+    // must contribute nothing; ties cut by (count desc, phrase asc).
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(0, 9).flatMap(Gen.listOfN(_, word)).map(_.mkString(" "))
+    val gen = for {
+      n <- Gen.choose(2, 5)
+      k <- Gen.choose(1, 12)
+      docs <- Gen.choose(1, 10).flatMap(Gen.listOfN(_, doc))
+    } yield (n, k, docs)
+    check(Prop.forAll(gen) { case (n, k, docs) =>
+      val df = docs.toDF("text")
+      val got = graft.ops.CorpusReports
+        .topPhrases(df, col("text"), n = n, k = k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val counts = docs.flatMap { d =>
+        val ws = modelTokens(d).filter(_.nonEmpty)
+        if (ws.size < n) Seq.empty else ws.sliding(n).map(_.mkString(" ")).toSeq
+      }.groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+      val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(k)
+      got == want
+    }, n = 12)
+  }
 }
