@@ -20,6 +20,10 @@ run / fork := true
 // then the literal final stdout line.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt itself, not any task — without this
+// exclusion every invocation opens with five lintUnused [warn] lines,
+// undoing half the output-hygiene this block exists for.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -101,8 +101,7 @@ object Bench {
     def sentinel(): Unit = { loads += loadavg(); calibs += calibrate() }
 
     // --- start gate (see scaladoc) ---
-    val cores = Runtime.getRuntime.availableProcessors
-    val gateThreshold = cores / 2.0
+    val gateThreshold = hostCores / 2.0
     val startLoad = load1()
     var gateWaited = false
     if (startLoad > gateThreshold) {

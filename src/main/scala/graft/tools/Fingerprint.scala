@@ -25,14 +25,21 @@ object Fingerprint {
   val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** (rows, decimal string of sum(xxhash64(all columns))). */
+  /** (rows, decimal string of sum(xxhash64(all columns + null bitmap))).
+    * Spark's hash expressions SKIP null inputs (the seed passes through
+    * unchanged), so a value shifting between nullable columns around a
+    * null — ('a', null) becoming (null, 'a') — would hash identically.
+    * Appending the per-row null bitmap as an explicit array column
+    * restores sensitivity to exactly that drift. */
   def table(spark: SparkSession, dir: String, name: String): (Long, String) = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    val nullBitmap = array(df.columns.map(c => col(c).isNull): _*)
     val row = df.select(
       count(lit(1)).as("n"),
-      sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("h")).head()
+      sum(xxhash64(df.columns.map(col) :+ nullBitmap: _*)
+        .cast("decimal(38,0)")).as("h")).head()
     val h = Option(row.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0")
     (row.getLong(0), h)
   }

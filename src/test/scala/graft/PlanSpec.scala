@@ -246,14 +246,24 @@ class PlanSpec extends AnyFunSuite {
     // corpus size. That warning noise must never hide a REAL unbounded
     // window: sweep every registered query's optimized plan and require
     // a Limit somewhere below each partition-less Window.
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Structural row-count boundedness — a Limit ANYWHERE in the
+    // subtree is not enough (union/join with an unbounded side would
+    // slip through): a plan is bounded iff every path to a leaf passes
+    // a Limit, a grouping-free (one-row) Aggregate, or literal data.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case _: LocalRelation | _: OneRowRelation => true
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case u: Union => u.children.forall(bounded)
+      case _: LeafNode => false
+      case other => other.children.forall(bounded)
+    }
     val offenders = Registry.all.flatMap { q =>
       val df = q.fn(spark, sf)
       df.queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty && !w.child.exists {
-              case _: GlobalLimit | _: LocalLimit => true
-              case _ => false
-            } =>
+        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
           s"${q.name}: ${w.windowExpressions.map(_.name).mkString(",")}"
       }
     }

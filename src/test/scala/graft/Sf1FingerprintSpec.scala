@@ -13,8 +13,11 @@ import graft.tools.Fingerprint
   * bench_reference_sf1.json rows are cross-data and must be re-seeded.
   *
   * Refresh after a deliberate change:
-  *   sbt "runMain graft.tools.Fingerprint" > tools/sf1_fingerprint.json
-  * (with the StdoutOutput framing in build.sbt the JSON line is bare).
+  *   sbt -batch "runMain graft.tools.Fingerprint" | tail -1 \
+  *     > tools/sf1_fingerprint.json
+  * (StdoutOutput unframes the program's println, but sbt's own loader
+  * lines still precede it — tail -1 keeps only the JSON, the same way
+  * the driver consumes the Bench line).
   */
 class Sf1FingerprintSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
