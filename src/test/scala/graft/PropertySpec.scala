@@ -820,4 +820,36 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, n = 12)
   }
+
+  test("property: removeBoilerplateLines == naive distinct-doc count model") {
+    // DISTINCT-doc counting (a line repeated 10× inside ONE doc is not
+    // boilerplate), blank lines never count but always survive, the
+    // positional rebuild keeps within-doc duplicates of non-boiler
+    // lines, and null-text / all-boiler docs come back as "".
+    val line = Gen.oneOf("header", "footer", "body1", "body2", "", "  ")
+    val doc = Gen.frequency(
+      5 -> Gen.choose(0, 6).flatMap(Gen.listOfN(_, line)).map(_.mkString("\n")),
+      1 -> Gen.const(null: String))
+    val gen = for {
+      minDocs <- Gen.choose(2L, 3L)
+      docs <- Gen.choose(1, 10).flatMap(Gen.listOfN(_, doc))
+    } yield (minDocs, docs)
+    check(Prop.forAll(gen) { case (minDocs, docs) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.TextAnalysis
+        .removeBoilerplateLines(df, "doc_id", col("text"), minDocs)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val docLines = docs.map(t =>
+        if (t == null) Array.empty[String] else t.split("\n", -1))
+      val boiler = docLines.zipWithIndex
+        .flatMap { case (ls, i) => ls.filter(_.trim.nonEmpty).distinct.map((_, i)) }
+        .groupBy(_._1).collect { case (l, o) if o.size >= minDocs => l }.toSet
+      val want = docs.indices.map { i =>
+        i.toLong -> docLines(i)
+          .filterNot(l => l.trim.nonEmpty && boiler(l)).mkString("\n")
+      }.toMap
+      got == want
+    }, n = 12)
+  }
 }
