@@ -821,6 +821,48 @@ class PropertySpec extends AnyFunSuite {
     }, n = 12)
   }
 
+  test("property: prefixContainmentPairs == naive anchor+containment model") {
+    // Pins the anchor equi-join decomposition against the definition:
+    // normalized full-string containment among docs sharing the first
+    // anchorTokens tokens, ordered (shorter, or same-length smaller-id)
+    // → (contained, container), with the anchor-frequency skew gate
+    // dropping hot anchors ENTIRELY. A 3-word alphabet forces anchor
+    // collisions and natural prefix containment; maxAnchorFreq 2/3
+    // exercises the gate mid-data.
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val doc = Gen.choose(0, 8).flatMap(Gen.listOfN(_, word)).map(_.mkString(" "))
+    val gen = for {
+      docs <- Gen.choose(3, 10).flatMap(Gen.listOfN(_, doc))
+      maxF <- Gen.oneOf(2, 3, 1000)
+    } yield (docs, maxF)
+    check(Prop.forAll(gen) { case (docs, maxF) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = NearDup
+        .prefixContainmentPairs(df, "doc_id", col("text"),
+          anchorTokens = 2, maxAnchorFreq = maxF)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val rows = docs.zipWithIndex.flatMap { case (t, i) =>
+        val norm = t.trim.toLowerCase(java.util.Locale.ROOT)
+        val ws = norm.split("\\s+").filter(_.nonEmpty)
+        if (ws.length >= 2) Some((i.toLong, norm, ws.take(2).mkString(" ")))
+        else None
+      }
+      val freq = rows.groupBy(_._3).map { case (a, o) => a -> o.size }
+      val base = rows.filter(r => freq(r._3) <= maxF)
+      val want = (for {
+        a <- base; b <- base
+        if a._3 == b._3
+        if a._2.length < b._2.length ||
+          (a._2.length == b._2.length && a._1 < b._1)
+        if b._2.contains(a._2)
+      } yield (a._1, b._1,
+        if (a._2.length == b._2.length) "equal" else "contained")).toSet
+      got == want
+    }, n = 12)
+  }
+
   test("property: removeBoilerplateLines == naive distinct-doc count model") {
     // DISTINCT-doc counting (a line repeated 10× inside ONE doc is not
     // boilerplate), blank lines never count but always survive, the
