@@ -52,6 +52,12 @@ import org.apache.spark.sql.SparkSession
   *    listed in `contended_rows` with a contemporaneous calib +
   *    loadavg sample, so the reader knows exactly which numbers to
   *    distrust instead of guessing from the run total.
+  *  - POST-SUITE RETIME (self-heal): if `contended_rows` is non-empty
+  *    and the END-of-run calibration is quiet, each flagged row is
+  *    re-timed once on the quiet tail and the result recorded under
+  *    `retimed` (the original min stays in `queries` for honesty) —
+  *    the flag adjudicates itself inside this record instead of
+  *    costing the next round a verdict cycle.
   */
 object Bench {
   private val TimedPasses = 2
@@ -196,6 +202,38 @@ object Bench {
       name -> best
     }
     sentinel() // end
+    // --- self-heal: retime contended rows on a quiet tail ---
+    // Every round has burned a verdict cycle adjudicating rows the
+    // bench itself already knew were contended (the row's own calib
+    // sample said so). If the END-of-run calibration is quiet, the
+    // contention that inflated those rows has passed — re-time exactly
+    // those rows once, NOW, and ship both figures: `queries` keeps the
+    // original min (honesty — the suite measured what it measured),
+    // `retimed` carries the quiet-tail figure so the flag adjudicates
+    // itself inside this record instead of next round. The END
+    // sentinel sample is inflated by the suite's own residue even on
+    // a quiet box (0.30–0.35 observed on zero-contended-row runs), so
+    // the retime decision uses a FRESH probe after a short settle;
+    // 0.30 splits settled-quiet from contended (0.45+ on every
+    // flagged run to date).
+    val QuietCalib = 0.30
+    val retimed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (contendedRows.nonEmpty) {
+      Thread.sleep(2000)
+      val endCalib = calibrate()
+      if (endCalib <= QuietCalib) {
+        val byName = queryList.toMap
+        contendedRows.keys.foreach { name =>
+          byName.get(name).filterNot(_ => errors.contains(name)).foreach { fn =>
+            val t = runOnce(name, fn)
+            val c = calibrate()
+            val tag = if (c <= QuietCalib) "quiet" else "hot"
+            retimed += name -> f"retimed=$t%.3fs calib=$c%.3fs($tag) orig ${contendedRows(name)}"
+          }
+        }
+      } else System.err.println(f"BENCH: end calib $endCalib%.3fs still hot " +
+        f"— skipping the contended-row retime (rows stay flagged)")
+    }
     // JSON string escaping: Spark exception messages routinely quote
     // column names ("`col`"), carry backslashes (Windows-style paths in
     // stack frames) and newlines — raw interpolation would produce
@@ -224,10 +262,13 @@ object Bench {
     val contendedJson = contendedRows
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
+    val retimedJson = retimed
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
     def line(qs: Iterable[(String, Double)], prec: Int): String = {
       val dict = qs.map { case (k, v) => s"\"" + k + "\":" + num(v, prec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"loadavg":$loadJson,"load_gate":$gateJson,"ref_rows":${reference.size},"contended_rows":$contendedJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"loadavg":$loadJson,"load_gate":$gateJson,"ref_rows":${reference.size},"contended_rows":$contendedJson,"retimed":$retimedJson,"errors":$errJson}"""
     }
     // Full-precision, full-name line goes to a file; stdout gets a
     // COMPACT summary guaranteed to FIT the driver's ~2000-char stdout
@@ -257,7 +298,10 @@ object Bench {
       val contCompact = contendedRows.take(3)
         .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(80)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","n":${results.size},"rc":${if (errors.nonEmpty) 1 else 0},"method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"load_gate":$gateJson,"ref_rows":${reference.size},"contended_count":${contendedRows.size},"contended_rows":$contCompact,"error_count":${errors.size},"errors":$errCompact,"full_record":"target/bench.json"}"""
+      val retCompact = retimed.take(3)
+        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(80)) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","n":${results.size},"rc":${if (errors.nonEmpty) 1 else 0},"method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"load_gate":$gateJson,"ref_rows":${reference.size},"contended_count":${contendedRows.size},"contended_rows":$contCompact,"retimed":$retCompact,"error_count":${errors.size},"errors":$errCompact,"full_record":"target/bench.json"}"""
     }
     try {
       val out = java.nio.file.Paths.get("target/bench.json")

@@ -134,7 +134,13 @@ object Fusion {
     val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
     while (picked.length < math.min(k, pool.length)) {
       val best = remaining.minBy { c =>
-        val red = if (picked.isEmpty) 0.0 else picked.map(p => cos(c.vec, p.vec)).max
+        // lambda == 1.0 is relevance-only by definition: skip the
+        // O(picked·dim) redundancy term entirely — besides the wasted
+        // work, 0.0 * NaN = NaN, so a NaN vector element would
+        // otherwise perturb selection even with redundancy disabled
+        val red =
+          if (picked.isEmpty || lambda == 1.0) 0.0
+          else picked.map(p => cos(c.vec, p.vec)).max
         val mmr = lambda * c.rel - (1 - lambda) * red
         (-mmr, c.cid) // max mmr, ties to smaller id
       }

@@ -156,18 +156,8 @@ object MiscQueries {
         | FROM s)
         |SELECT user_id, session_id, COUNT(*) AS n, MIN(ms) AS start_ms, MAX(ms) AS end_ms
         |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
-      val lagMs = lag(col("ts_ms"), 1).over(w)
-      events(s, d)
-        .withColumn("new_s",
-          when(lagMs.isNull || col("ts_ms") - lagMs > 1800000, 1).otherwise(0))
-        .withColumn("session_id", sum(col("new_s"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n"), min(col("ts_ms")).as("start_ms"),
-          max(col("ts_ms")).as("end_ms"))
-        .orderBy(col("user_id"), col("session_id"))
+      graft.ops.Sessionize.byGap(events(s, d), "user_id", "ts_ms", "event_id",
+        gapMs = 1800000)
     },
 
     // ---- §2.9, NTZ-native: hourly window computed DIRECTLY on the

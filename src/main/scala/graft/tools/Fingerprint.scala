@@ -49,8 +49,16 @@ object Fingerprint {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/sf1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // Results are content hashes (order-insensitive sums), so
+    // parallelism affects only runtime — still, don't oversubscribe a
+    // smaller host: honor SPARK_GRAFT_CPUS like Bench, capped at the
+    // physical core count.
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(v =>
+      scala.util.Try(v.toInt).toOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+      .min(Runtime.getRuntime.availableProcessors).max(1)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -255,6 +255,10 @@ class PlanSpec extends AnyFunSuite {
       case _: GlobalLimit | _: LocalLimit => true
       case a: Aggregate if a.groupingExpressions.isEmpty => true
       case _: LocalRelation | _: OneRowRelation => true
+      // row-multiplying: limit(k).select(explode(...)) yields a
+      // data-dependent row count (k × array lengths), so a Generate
+      // node voids any boundedness established below it
+      case _: Generate => false
       case j: Join => bounded(j.left) && bounded(j.right)
       case u: Union => u.children.forall(bounded)
       case _: LeafNode => false

@@ -894,4 +894,218 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, n = 12)
   }
+
+  /** Driver-side replica of CosineSimilarity.nullSafeEval — same
+    * accumulation order, so doubles are bit-identical and HALF_UP
+    * rounding cannot diverge at a boundary. */
+  private def cosModel(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; nx += x * x; ny += y * y; i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Driver-side replica of Ivf's first-wins squared-L2 argmin. */
+  private def nearestCellModel(v: Seq[Float], cents: Seq[Seq[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    cents.indices.foreach { c =>
+      var d = 0.0; var i = 0
+      val n = math.min(v.length, cents(c).length)
+      while (i < n) {
+        val t = v(i).toDouble - cents(c)(i).toDouble; d += t * t; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+    }
+    best
+  }
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(4, Gen.choose(-64, 64).map(_ / 16f)).map(_.toSeq)
+
+  test("property: gumbelTopK == closed-form driver model, any partitioning") {
+    // The Gumbel key is a pure function of (salt, id, score, T):
+    // key = score/T − log(−log(u)), u = (sha32(salt:id)+1)/2^32+1 —
+    // so the WHOLE operator has a driver-side closed form. Pins
+    // partition/order invariance (repartitioned input, same page) and
+    // monotonicity-in-score for free (the model is monotone in score
+    // at fixed salt/T by construction).
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      scores <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+      k <- Gen.choose(1, 12)
+      temp <- Gen.oneOf(0.5, 1.0, 2.0)
+      salt <- Gen.oneOf("dsir", "s2", "a:b", "")
+      parts <- Gen.choose(1, 8)
+    } yield (scores, k, temp, salt, parts)
+    check(Prop.forAll(gen) { case (scores, k, temp, salt, parts) =>
+      val df = scores.zipWithIndex.map { case (sc, i) => (i.toLong, sc) }
+        .toDF("id", "score").repartition(parts)
+      val got = graft.ops.Dsir.gumbelTopK(df, "id", col("score"), k,
+          temperature = temp, salt = salt)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val want = scores.zipWithIndex.map { case (sc, i) =>
+        val hex = md.digest(s"$salt:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val h = java.lang.Long.parseLong(hex, 16)
+        val u = (h + 1.0) / 4294967297.0
+        val key = sc / temp + -math.log(-math.log(u))
+        (i.toLong, key)
+      }.sortBy { case (id, key) => (-key, id) }.take(k)
+        .map { case (id, key) =>
+          (id, java.math.BigDecimal.valueOf(key)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+        }
+      got == want
+    }, n = 15)
+  }
+
+  test("property: ivfTopK == exact top-k within probed cells (driver model)") {
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      vecs <- Gen.listOfN(n, vecGen)
+      nc <- Gen.choose(1, 5)
+      cents <- Gen.listOfN(nc, vecGen)
+      q <- vecGen
+      k <- Gen.choose(1, 8)
+      nProbe <- Gen.choose(1, 5)
+    } yield (vecs, cents, q, k, math.min(nProbe, cents.length))
+    check(Prop.forAll(gen) { case (vecs, cents, q, k, nProbe) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "embedding")
+      val centsArr = cents.map(_.toArray).toArray
+      val got = graft.vector.Ivf.ivfTopK(df, "id", "embedding",
+          q.toArray, k, centsArr, nProbe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // model: nProbe nearest cells by (d2, cid), members by first-wins
+      // argmin, then brute-force rounded cosine ordered (-score, id)
+      val probes = cents.indices.map { c =>
+        var d = 0.0; var i = 0
+        val nn = math.min(q.length, cents(c).length)
+        while (i < nn) {
+          val t = q(i).toDouble - cents(c)(i).toDouble; d += t * t; i += 1
+        }
+        (c, d)
+      }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSet
+      val want = vecs.zipWithIndex
+        .filter { case (v, _) => probes(nearestCellModel(v, cents)) }
+        .map { case (v, i) =>
+          (i.toLong, java.math.BigDecimal.valueOf(cosModel(v, q))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+        }
+        .sortBy { case (id, sc) => (-sc, id) }.take(k)
+      got == want
+    }, n = 12)
+  }
+
+  test("property: knnClassify (exact + cell path) == naive vote model") {
+    val labelGen = Gen.oneOf("a", "b", "c")
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      rows <- Gen.listOfN(n, Gen.zip(vecGen, labelGen))
+      k <- Gen.choose(1, 6)
+      nc <- Gen.choose(1, 4)
+      cents <- Gen.listOfN(nc, vecGen)
+      m <- Gen.choose(1, n)
+    } yield (rows, k, cents, m)
+    // shared vote model: top = (neighborId, neighborLabel, score) rows
+    // already cut to k by (-score, nid); returns (pred, nVotes)
+    def vote(top: Seq[(Long, String)]): (String, Long) = {
+      val counts = top.groupBy(_._2).map { case (l, v) => (l, v.size.toLong) }
+      counts.toSeq.sortBy { case (l, c) => (-c, l) }.head match {
+        case (l, c) => (l, c)
+      }
+    }
+    check(Prop.forAll(gen) { case (rows, k, cents, m) =>
+      val corpus = rows.zipWithIndex
+        .map { case ((v, l), i) => (i.toLong, v, l) }
+        .toDF("id", "embedding", "label")
+      // --- exact leave-one-out path over the first m rows as queries
+      val queries = rows.take(m).zipWithIndex
+        .map { case ((v, l), i) => (i.toLong, v, l) }
+        .toDF("id", "embedding", "label")
+      val gotE = graft.vector.KnnClassify
+        .knnClassify(corpus, "id", "embedding", "label", queries, k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getBoolean(4))).toSeq
+      def r6j(d: Double): Double = java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val wantE = rows.take(m).zipWithIndex.map { case ((qv, ql), qi) =>
+        val top = rows.zipWithIndex
+          .filter { case (_, ni) => ni != qi }
+          .map { case ((nv, nl), ni) => (ni.toLong, nl, r6j(cosModel(nv, qv))) }
+          .sortBy { case (nid, _, sc) => (-sc, nid) }.take(k)
+          .map { case (nid, nl, _) => (nid, nl) }
+        val (pred, nv) = vote(top)
+        (qi.toLong, ql, pred, nv, pred == ql)
+      }.sortBy(_._1)
+      // --- cell path over the whole corpus; singleton cells emit no row
+      val gotC = graft.vector.KnnClassify
+        .knnClassifyCells(corpus, "id", "embedding", "label",
+          graft.vector.FlatQuantizer(cents.map(_.toArray).toArray), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getBoolean(4))).toSeq
+      val cellOf = rows.zipWithIndex
+        .map { case ((v, _), i) => i.toLong -> nearestCellModel(v, cents) }
+        .toMap
+      val wantC = rows.zipWithIndex.flatMap { case ((qv, ql), qi) =>
+        val top = rows.zipWithIndex
+          .filter { case (_, ni) =>
+            ni != qi && cellOf(ni.toLong) == cellOf(qi.toLong) }
+          .map { case ((nv, nl), ni) => (ni.toLong, nl, r6j(cosModel(nv, qv))) }
+          .sortBy { case (nid, _, sc) => (-sc, nid) }.take(k)
+          .map { case (nid, nl, _) => (nid, nl) }
+        if (top.isEmpty) None
+        else {
+          val (pred, nv) = vote(top)
+          Some((qi.toLong, ql, pred, nv, pred == ql))
+        }
+      }.sortBy(_._1)
+      gotE == wantE && gotC == wantC
+    }, n = 10)
+  }
+
+  test("property: Sessionize.byGap == naive per-key gap-split model") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      evs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 300L)))
+      gap <- Gen.choose(1L, 100L)
+      parts <- Gen.choose(1, 8)
+    } yield (evs, gap, parts)
+    check(Prop.forAll(gen) { case (evs, gap, parts) =>
+      val df = evs.zipWithIndex
+        .map { case ((k, ms), i) => (k, ms, i.toLong) }
+        .toDF("user_id", "ts_ms", "event_id").repartition(parts)
+      val got = graft.ops.Sessionize
+        .byGap(df, "user_id", "ts_ms", "event_id", gap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val want = evs.zipWithIndex
+        .map { case ((k, ms), i) => (k, ms, i.toLong) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .flatMap { case (k, ks) =>
+          val ordered = ks.sortBy { case (_, ms, tie) => (ms, tie) }
+          val sessions = scala.collection.mutable.ArrayBuffer
+            .empty[scala.collection.mutable.ArrayBuffer[Long]]
+          var prev = Long.MinValue
+          ordered.foreach { case (_, ms, _) =>
+            if (sessions.isEmpty || ms - prev > gap)
+              sessions += scala.collection.mutable.ArrayBuffer(ms)
+            else sessions.last += ms
+            prev = ms
+          }
+          sessions.zipWithIndex.map { case (ss, si) =>
+            (k, (si + 1).toLong, ss.size.toLong, ss.min, ss.max)
+          }
+        }
+      got == want
+    }, n = 15)
+  }
 }
