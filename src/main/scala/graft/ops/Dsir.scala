@@ -73,8 +73,22 @@ object Dsir {
 
   /** Hashed unigram+bigram feature ids of `text` as an array column:
     * non-empty tokens, then adjacent pairs joined with one space,
-    * each mapped to pmod(first-8-sha256-hex-digits, buckets). */
+    * each mapped to pmod(first-8-sha256-hex-digits, buckets). Fused
+    * single-pass codegen kernel (expr/HashedNgramFeatures — the
+    * MinHashSig pattern); bit-equivalence to the Column composite
+    * below is property-pinned, and q92's DuckDB oracle re-derives
+    * the same buckets independently. */
   def hashedNgramFeatures(text: Column, buckets: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.expr.HashedNgramFeatures(
+      ColumnBridge.expression(text), buckets.toLong))
+  }
+
+  /** The original expression-composite form of `hashedNgramFeatures`,
+    * kept as the equivalence-spec reference model for the fused
+    * kernel (PropertySpec pins fused == composite on random text). */
+  private[graft] def hashedNgramFeaturesComposite(text: Column,
+      buckets: Int): Column = {
     val ws = filter(tokens(text), w => w =!= "")
     // zip_with over two slices, NOT shinglesFromTokens: `ws` is an
     // inline expression inside a Column-returning function (no select

@@ -1071,6 +1071,37 @@ class PropertySpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("property: fused HashedNgramFeatures == Column composite on random text") {
+    // the fused kernel must be BIT-equivalent to the original
+    // tokens→bigrams→sha2/conv/pmod composite (q92's oracle derives
+    // the same buckets from the composite's construction)
+    val word = Gen.oneOf("alpha", "beta", "Gamma", "δelta", "x1", "", " ",
+      "\tt", "ÅBC", "ß")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ", "\t", "\n")
+    } yield ws.mkString(sep)
+    val gen = for {
+      texts <- Gen.listOfN(10, Gen.frequency(
+        9 -> textGen, 1 -> Gen.const(null: String)))
+      buckets <- Gen.oneOf(2, 7, 4096)
+    } yield (texts, buckets)
+    check(Prop.forAll(gen) { case (texts, buckets) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val both = df.select(col("id"),
+          graft.ops.Dsir.hashedNgramFeatures(col("text"), buckets).as("f"),
+          graft.ops.Dsir.hashedNgramFeaturesComposite(col("text"), buckets).as("c"))
+        .collect()
+      both.forall { r =>
+        val f = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+        val c = if (r.isNullAt(2)) null else r.getSeq[Long](2)
+        f == c
+      }
+    }, n = 15)
+  }
+
   test("property: Sessionize.byGap == naive per-key gap-split model") {
     val gen = for {
       n <- Gen.choose(1, 60)
