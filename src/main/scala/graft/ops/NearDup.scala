@@ -367,10 +367,27 @@ object NearDup {
     * dedup); 16-bit keeps demo vote columns cheap. Bit 63 of a 64-bit
     * fingerprint is the sign bit — fingerprints are the signed-long
     * REINTERPRETATION of the bit pattern, same as any engine that
-    * stores u64 hashes in long columns. One explode + one hash-agg:
-    * map-side partial aggregation keeps the shuffle at one row per
-    * (doc, vote-vector), not per word. */
+    * stores u64 hashes in long columns. Fused single-pass codegen
+    * kernel (expr/SimHashFp — no explode, no vote-sum exchange:
+    * fingerprinting is a map-only stage); bit-equivalence to the
+    * original explode+agg composite below is property-pinned, and
+    * the q15/q65/q86 DuckDB oracles re-derive the construction
+    * independently. Requires unique ids (every caller's corpus
+    * contract — the composite's groupBy would merge duplicates). */
   def simhash(df: DataFrame, id: String, text: Column,
+      bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0 && bits >= 4 && bits <= 64,
+      s"simhash: bits must be a multiple of 4 in [4,64], got $bits")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    df.select(col(id), ColumnBridge.column(graft.expr.SimHashFp(
+        ColumnBridge.expression(text), bits)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** The original explode + chunked-conv + vote-agg form of
+    * `simhash`, kept as the equivalence-spec reference model for the
+    * fused kernel (PropertySpec pins fused == composite). */
+  private[graft] def simhashComposite(df: DataFrame, id: String, text: Column,
       bits: Int = 16): DataFrame = {
     require(bits % 4 == 0 && bits >= 4 && bits <= 64,
       s"simhash: bits must be a multiple of 4 in [4,64], got $bits")

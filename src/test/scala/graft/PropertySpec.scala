@@ -720,6 +720,33 @@ class PropertySpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  test("property: fused SimHashFp == explode+agg composite at 16 and 64 bits") {
+    // the fused kernel must be BIT-equivalent to the original chunked
+    // conv decode + vote aggregate (which the q15/q65/q86 oracles
+    // mirror), including whitespace runs, unicode case, blank docs,
+    // and null-text docs (fused filters nulls; composite's explode
+    // drops them — both must emit no row)
+    val word = Gen.oneOf("alpha", "beta", "Gamma", "δelta", "x1", "", "ß", "\tt")
+    val textGen = for {
+      n <- Gen.choose(0, 8)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ", "\t", "\n")
+    } yield ws.mkString(sep)
+    val gen = Gen.listOfN(8, Gen.frequency(
+      9 -> textGen, 1 -> Gen.const(null: String)))
+    check(Prop.forAll(gen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      Seq(16, 64).forall { bits =>
+        val f = NearDup.simhash(df, "doc_id", col("text"), bits)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val c = NearDup.simhashComposite(df, "doc_id", col("text"), bits)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        f == c
+      }
+    }, n = 10)
+  }
+
   test("property: simhashHammingPairs == brute-force popcount (pigeonhole exact)") {
     // The band equi-join promises recall 1.0 for maxHamming < nBands:
     // on clustered random fingerprints (bases + ≤6 flipped bits, so
