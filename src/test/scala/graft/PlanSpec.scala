@@ -36,6 +36,30 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q65 fused simhash: fingerprinting is map-only (one sort exchange)") {
+    // SimHashFp removed the per-token explode and the vote-sum hash
+    // aggregate: the whole query must be scan → project(fingerprint)
+    // → presentation sort — exactly ONE exchange (the orderBy's range
+    // partitioning), no Aggregate anywhere. A regression back to an
+    // agg-based fingerprint would add an exchange and fail here.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.byName("q65_simhash64").fn(spark, sf)
+        .queryExecution.executedPlan
+      val exchanges = p.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1, p.toString)
+      val aggs = p.collect {
+        case a: HashAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+        case a: SortAggregateExec => a
+      }
+      assert(aggs.isEmpty, p.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q68/q77 exact-substring family: no exchange carries window strings") {
     // q68 (diagnostic): every shuffle attribute is numeric — doc ids,
     // positions, and the 64-bit window keys; zero strings.
