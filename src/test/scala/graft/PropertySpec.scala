@@ -1129,6 +1129,63 @@ class PropertySpec extends AnyFunSuite {
     }, n = 15)
   }
 
+  test("property: mmrRerank == naive greedy model at every lambda") {
+    // q111's greedy is the one non-SQL-expressible operator (rows-only
+    // driver check; q137 oracle-covers lambda=1 only) — pin the FULL
+    // greedy (redundancy term, tie-breaks, null vectors) against an
+    // independently-written naive model on random pools, with discrete
+    // score/vector alphabets so exact mmr ties actually occur.
+    val vecD = Gen.listOfN(3, Gen.oneOf(-1f, 0f, 1f)).map(_.toArray)
+    val gen = for {
+      n <- Gen.choose(1, 18)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.oneOf(0.0, 0.5, 1.0),
+        Gen.frequency(9 -> vecD.map(Option(_)), 1 -> Gen.const(None))))
+      lambda <- Gen.oneOf(0.0, 0.3, 0.7, 1.0)
+      k <- Gen.choose(1, 8)
+    } yield (rows, lambda, k)
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      if (a.length != b.length || a.isEmpty) return 0.0
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    check(Prop.forAll(gen) { case (rows, lambda, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((sc, v), i) => (i.toLong, sc, v.orNull) }
+        .toDF("id", "score", "vec")
+      val got = graft.ops.Fusion.mmrRerank(df, "id", "vec",
+          lambda = lambda, k = k)
+        .orderBy(col("mmr_rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // independent greedy: max over remaining of
+      // lambda*rel - (1-lambda)*maxCosToPicked, ties to smaller id
+      case class C(id: Long, rel: Double, vec: Array[Double])
+      val pool = rows.zipWithIndex.map { case ((sc, v), i) =>
+        C(i.toLong, sc, v.map(_.map(_.toDouble)).getOrElse(Array.empty))
+      }
+      val picked = scala.collection.mutable.ArrayBuffer.empty[C]
+      val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+      while (picked.length < math.min(k, pool.length)) {
+        val best = remaining.minBy { c =>
+          // NO lambda=1 shortcut here: with finite cosines
+          // (1-1.0)*red == 0.0 exactly, so the unconditional form is
+          // the independent check of the engine's skip optimization
+          val red = if (picked.isEmpty) 0.0
+            else picked.map(p => cosD(c.vec, p.vec)).max
+          (-(lambda * c.rel - (1 - lambda) * red), c.id)
+        }
+        picked += best
+        remaining -= best
+      }
+      val want = picked.zipWithIndex
+        .map { case (c, i) => (c.id, (i + 1).toLong, c.rel) }.toSeq
+      got == want
+    }, n = 15)
+  }
+
   test("property: Sessionize.byGap == naive per-key gap-split model") {
     val gen = for {
       n <- Gen.choose(1, 60)
