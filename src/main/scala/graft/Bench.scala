@@ -225,10 +225,23 @@ object Bench {
         val byName = queryList.toMap
         contendedRows.keys.foreach { name =>
           byName.get(name).filterNot(_ => errors.contains(name)).foreach { fn =>
-            val t = runOnce(name, fn)
-            val c = calibrate()
-            val tag = if (c <= QuietCalib) "quiet" else "hot"
-            retimed += name -> f"retimed=$t%.3fs calib=$c%.3fs($tag) orig ${contendedRows(name)}"
+            // NOT runOnce: its catch records into `errors`, and a
+            // transient throw during this best-effort extra pass must
+            // not turn an otherwise-successful suite into rc=1 (the
+            // suite already measured the row 3+ times) — nor ship an
+            // elapsed-until-throw figure as a quiet-tail measurement
+            val t0 = System.nanoTime()
+            val ok =
+              try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+              catch { case _: Throwable => false }
+            val t = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            if (ok) {
+              val c = calibrate()
+              val tag = if (c <= QuietCalib) "quiet" else "hot"
+              retimed += name -> f"retimed=$t%.3fs calib=$c%.3fs($tag) orig ${contendedRows(name)}"
+            } else System.err.println(
+              s"BENCH: retime of $name threw — row stays flagged on the original figure")
           }
         }
       } else System.err.println(f"BENCH: end calib $endCalib%.3fs still hot " +
@@ -286,8 +299,13 @@ object Bench {
       "q94_label_store", "q103_region_revenue", "q116_leakage_safe_split")
     val resMap = results.toMap
     val stdoutLine = {
+      // budget arithmetic for the ~2000-char driver tail, worst case:
+      // 16-key dict ~470 + scaffolding ~420 + calib/gate ~160 +
+      // 3×80-char errors ~330 + 3×80 contended ~330 + 2×70 retimed
+      // ~190 ≈ 1900 — the retimed field must stay inside what the
+      // pre-retime line already guaranteed
       val picked = (headline ++ contendedRows.keys ++ errors.keys)
-        .distinct.flatMap(k => resMap.get(k).map(k -> _)).take(20)
+        .distinct.flatMap(k => resMap.get(k).map(k -> _)).take(16)
       val dict = picked.map { case (k, v) => jsonStr(k) + ":" + num(v, 3) }
         .mkString("{", ",", "}")
       // errors/contended stay bounded: counts always, detail capped at
@@ -298,8 +316,8 @@ object Bench {
       val contCompact = contendedRows.take(3)
         .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(80)) }
         .mkString("{", ",", "}")
-      val retCompact = retimed.take(3)
-        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(80)) }
+      val retCompact = retimed.take(2)
+        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(70)) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","n":${results.size},"rc":${if (errors.nonEmpty) 1 else 0},"method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"load_gate":$gateJson,"ref_rows":${reference.size},"contended_count":${contendedRows.size},"contended_rows":$contCompact,"retimed":$retCompact,"error_count":${errors.size},"errors":$errCompact,"full_record":"target/bench.json"}"""
     }

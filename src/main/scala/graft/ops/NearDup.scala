@@ -227,31 +227,56 @@ object NearDup {
         s"rowsPerBand=$rowsPerBand — trailing hashes would be silently " +
         "dropped from banding (reduced recall)")
     val mhCols = (0 until numHashes).map(j => s"mh$j")
-    // The signature columns RIDE the band explode, so the agreement
-    // count is computed straight off the band self-join — no join
-    // back to the signature table. That cuts the plan from three
-    // exchanges (band join + two sig join-backs) to ONE, and the
-    // map-only signature subtree (the fused sha kernel) is evaluated
-    // once instead of once per join branch. The band keys are the
-    // same byte construction as bandedSignatures, so the candidate
-    // set is identical to lshCandidatePairs'.
-    val nBands = numHashes / rowsPerBand
-    val bandKeys = array((0 until nBands).map { b =>
-      concat_ws("|", lit(b.toString) +:
-        (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}")): _*)
-    }: _*)
-    val banded = sigs.select(col(id).as("__id") +: mhCols.map(col) :+
-      explode(bandKeys).as("__band"): _*)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val agree = mhCols.map(c =>
-      when(col(s"a.$c") === col(s"b.$c"), 1).otherwise(0))
-      .reduce(_ + _)
-    a.join(b, col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        round(agree.cast("double") / numHashes, 6).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEstimate)
-      .distinct()
+    if (numHashes <= 8) {
+      // NARROW signatures (the oracle-checkable 4-hash width): the
+      // signature columns RIDE the band explode, so the agreement
+      // count is computed straight off the band self-join — no join
+      // back to the signature table, the candidate-generating
+      // exchanges collapse to the one band exchange (the pair
+      // distinct still adds its own), and the map-only signature
+      // subtree (the fused sha kernel) is evaluated once instead of
+      // once per join branch. Riding costs nBands copies of the
+      // signature per doc through the exchange — cheap at ≤8 hashes.
+      // The band keys are the same byte construction as
+      // bandedSignatures, so the candidate set is identical to
+      // lshCandidatePairs'.
+      val nBands = numHashes / rowsPerBand
+      val bandKeys = array((0 until nBands).map { b =>
+        concat_ws("|", lit(b.toString) +:
+          (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}")): _*)
+      }: _*)
+      val banded = sigs.select(col(id).as("__id") +: mhCols.map(col) :+
+        explode(bandKeys).as("__band"): _*)
+      val a = banded.as("a")
+      val b = banded.as("b")
+      val agree = mhCols.map(c =>
+        when(col(s"a.$c") === col(s"b.$c"), 1).otherwise(0))
+        .reduce(_ + _)
+      a.join(b, col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+          round(agree.cast("double") / numHashes, 6).as("est_jaccard"))
+        .filter(col("est_jaccard") >= minEstimate)
+        .distinct()
+    } else {
+      // WIDE signatures (production 64–128 hashes): riding the full
+      // signature through every band copy would shuffle
+      // ~nBands × numHashes values per doc per side — far more bytes
+      // than the narrow (id, band) candidate join plus two
+      // one-row-per-id signature join-backs. Keep the join-back shape
+      // at width.
+      val pairs = lshCandidatePairs(sigs, id, numHashes, rowsPerBand)
+      val a = sigs.select(col(id).as("doc_a") +:
+        mhCols.map(c => col(c).as(s"__a_$c")): _*)
+      val b = sigs.select(col(id).as("doc_b") +:
+        mhCols.map(c => col(c).as(s"__b_$c")): _*)
+      val agree = mhCols.map(c =>
+        when(col(s"__a_$c") === col(s"__b_$c"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(agree.cast("double") / numHashes, 6).as("est_jaccard"))
+        .filter(col("est_jaccard") >= minEstimate)
+    }
   }
 
   /** Incremental LSH: candidate pairs between a NEW batch and an

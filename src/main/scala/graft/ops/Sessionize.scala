@@ -29,6 +29,15 @@ object Sessionize {
 
   def byGap(df: DataFrame, key: String, ts: String, tie: String,
       gapMs: Long): DataFrame = {
+    // the working/output names are fixed — a caller re-sessionizing a
+    // frame that already carries them (e.g. prior byGap output) must
+    // hear about the collision, not have columns silently clobbered
+    val reserved = Seq("new_s", "session_id", "n", "start_ms", "end_ms")
+      .filterNot(c => c == key || c == ts || c == tie)
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"Sessionize.byGap: input already has column(s) ${clash.mkString(", ")} " +
+        "— these are reserved working/output names; rename or drop them first")
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
     val lagMs = lag(col(ts), 1).over(w)
     df.withColumn("new_s",

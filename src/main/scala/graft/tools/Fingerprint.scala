@@ -49,14 +49,17 @@ object Fingerprint {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/sf1")
-    // Results are content hashes (order-insensitive sums), so
-    // parallelism affects only runtime — still, don't oversubscribe a
-    // smaller host: honor SPARK_GRAFT_CPUS like Bench, capped at the
-    // physical core count.
-    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(v =>
-      scala.util.Try(v.toInt).toOption)
-      .getOrElse(Runtime.getRuntime.availableProcessors)
-      .min(Runtime.getRuntime.availableProcessors).max(1)
+    // SPARK_GRAFT_CPUS semantics match Bench exactly: an explicit
+    // value is honored verbatim (malformed throws, oversubscription
+    // warns) so the env var means ONE thing across both mains. Only
+    // the default differs — host cores, not the 32-core bench
+    // contract — because results are content hashes (order-
+    // insensitive sums): parallelism affects runtime only.
+    val hostCores = Runtime.getRuntime.availableProcessors
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(hostCores)
+    if (cpus > hostCores)
+      System.err.println(s"FINGERPRINT: local[$cpus] oversubscribes this host " +
+        s"($hostCores cores) — hashes are unaffected, runtime only")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -142,6 +142,28 @@ class OpsSpec extends AnyFunSuite {
     assert(sh(0) != sh(2))
   }
 
+  test("simhash unique-id contract: duplicate ids emit per-ROW fingerprints") {
+    // The fused projection cannot merge duplicate ids' token streams
+    // the way the old groupBy composite did — that is a DOCUMENTED
+    // contract (every caller's corpus has unique ids; an uniqueness
+    // require() would cost a corpus-scale count-distinct job per
+    // call). This test pins the divergence ON PURPOSE so it is a
+    // known behavior, not a silent surprise: two rows with the same
+    // id yield two fingerprint rows, each of its own text.
+    val dup = Seq((1L, "alpha beta"), (1L, "gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val fused = NearDup.simhash(dup, "doc_id", col("text"), bits = 64).collect()
+    assert(fused.length == 2)
+    val perRow = Seq("alpha beta", "gamma delta epsilon zeta").map { t =>
+      NearDup.simhash(Seq((9L, t)).toDF("doc_id", "text"), "doc_id",
+        col("text"), bits = 64).head().getLong(1)
+    }
+    assert(fused.map(_.getLong(1)).toSet == perRow.toSet)
+    // while the composite merges them into ONE fingerprint
+    assert(NearDup.simhashComposite(dup, "doc_id", col("text"), bits = 64)
+      .count() == 1)
+  }
+
   test("simhash 64-bit: top 16 bits reproduce the 16-bit fingerprint") {
     // both widths slice the SAME sha256 prefix MSB-first, so the
     // 64-bit fingerprint's high quarter must equal the 16-bit one —

@@ -1129,6 +1129,49 @@ class PropertySpec extends AnyFunSuite {
     }, n = 15)
   }
 
+  test("property: estimatedJaccardPairs == naive band+agreement model, both widths") {
+    // numHashes=4 exercises the narrow signature-riding branch,
+    // numHashes=16 the wide join-back branch — ONE model checks both,
+    // so the hybrid split cannot make the two shapes drift apart.
+    // Tiny hash alphabet forces band collisions and partial agreement.
+    val hash = Gen.oneOf("aa", "bb", "cc")
+    val gen = for {
+      numHashes <- Gen.oneOf(4, 16)
+      n <- Gen.choose(2, 12)
+      sigs <- Gen.listOfN(n, Gen.listOfN(numHashes, hash))
+      minEst <- Gen.oneOf(0.0, 0.5)
+    } yield (numHashes, sigs, minEst)
+    check(Prop.forAll(gen) { case (numHashes, sigs, minEst) =>
+      val cols = "doc_id" +: (0 until numHashes).map(j => s"mh$j")
+      val rows = sigs.zipWithIndex.map { case (s, i) =>
+        org.apache.spark.sql.Row.fromSeq(i.toLong +: s)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+        (0 until numHashes).map(j => org.apache.spark.sql.types.StructField(
+          s"mh$j", org.apache.spark.sql.types.StringType, nullable = false)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), schema)
+      val got = graft.ops.NearDup
+        .estimatedJaccardPairs(df, "doc_id", numHashes, 2, minEst)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val nBands = numHashes / 2
+      def bands(s: Seq[String]): Seq[String] =
+        (0 until nBands).map(b => s"$b|${s(2 * b)}|${s(2 * b + 1)}")
+      val want = (for {
+        i <- sigs.indices; j <- sigs.indices
+        if i < j && bands(sigs(i)).intersect(bands(sigs(j))).nonEmpty
+        agree = (0 until numHashes).count(h => sigs(i)(h) == sigs(j)(h))
+        est = BigDecimal(agree.toDouble / numHashes)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if est >= minEst
+      } yield (i.toLong, j.toLong, est)).toSet
+      got == want
+    }, n = 12)
+  }
+
   test("property: mmrRerank == naive greedy model at every lambda") {
     // q111's greedy is the one non-SQL-expressible operator (rows-only
     // driver check; q137 oracle-covers lambda=1 only) — pin the FULL
