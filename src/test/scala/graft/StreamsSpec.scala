@@ -288,4 +288,50 @@ class StreamsSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(spark.read.parquet(s"$dir/state").count() == 50)
   }
+
+  test("sessionizeStream == Sessionize.byGap on randomized in-order flows") {
+    // The batch twin (ops/Sessionize, q36's gap logic) is property-
+    // pinned against a naive model; this ties the STREAM twin to it on
+    // randomized inputs. All real events arrive in batch 1 (the
+    // within-batch gap-grouping is the exact regime); batch 2 carries
+    // one far-future sentinel per user so every real session closes
+    // (inline or by watermark timeout) — sessions compare as sets of
+    // (user, start, end, n), the stream output having no session ids.
+    val rnd = new scala.util.Random(20260814)
+    (1 to 4).foreach { sample =>
+      val dir = TestSpark.tempDir(s"sessprop$sample")
+      val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val events = (0 until 40 + rnd.nextInt(60)).map { i =>
+        (rnd.nextInt(3).toLong, base + rnd.nextInt(6 * 3600) * 1000L, i.toLong)
+      }
+      def write(rows: Seq[(Long, Long)], path: String) =
+        rows.toDF("user_id", "ms")
+          .withColumn("tstamp", timestamp_millis(col("ms"))).drop("ms")
+          .coalesce(1).write.parquet(path)
+      write(events.map(e => (e._1, e._2)), s"$dir/in/f=1")
+      val sentinelMs = base + 10L * 24 * 3600 * 1000
+      write((0L until 3L).map(u => (u, sentinelMs)), s"$dir/in/f=2")
+      val schema = spark.read.parquet(s"$dir/in/f=1").schema
+      val stream = Streams.fileStream(spark, s"$dir/in/*/", schema,
+        maxFilesPerTrigger = 1)
+      val q = Streams.sessionizeStream(spark, stream, "user_id", "tstamp")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"sessprop$sample")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = spark.table(s"sessprop$sample").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = graft.ops.Sessionize.byGap(
+          events.toDF("user_id", "ts_ms", "event_id"),
+          "user_id", "ts_ms", "event_id", gapMs = 30 * 60 * 1000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2)))
+        .toSet
+      assert(streamed == batch,
+        s"sample $sample: stream ${streamed.size} vs batch ${batch.size}")
+    }
+  }
 }
