@@ -52,12 +52,14 @@ import org.apache.spark.sql.SparkSession
   *    listed in `contended_rows` with a contemporaneous calib +
   *    loadavg sample, so the reader knows exactly which numbers to
   *    distrust instead of guessing from the run total.
-  *  - POST-SUITE RETIME (self-heal): if `contended_rows` is non-empty
-  *    and the END-of-run calibration is quiet, each flagged row is
-  *    re-timed once on the quiet tail and the result recorded under
-  *    `retimed` (the original min stays in `queries` for honesty) —
-  *    the flag adjudicates itself inside this record instead of
-  *    costing the next round a verdict cycle.
+  *  - POST-SUITE RETIME (self-heal): if any row flagged contended
+  *    (3×+ over reference) OR landed in the 2–3× noise band (worst 6
+  *    by ratio — the sub-1.5 s sf1 rows the 3× retry never touches)
+  *    and a FRESH settled-probe calibration is quiet, each such row
+  *    is re-timed (min of 2 passes) on the quiet tail and recorded
+  *    under `retimed` (the original min stays in `queries` for
+  *    honesty) — the flag adjudicates itself inside this record
+  *    instead of costing the next round a verdict cycle.
   */
 object Bench {
   private val TimedPasses = 2
@@ -202,50 +204,75 @@ object Bench {
       name -> best
     }
     sentinel() // end
-    // --- self-heal: retime contended rows on a quiet tail ---
+    // --- self-heal: retime contended AND noise rows on a quiet tail ---
     // Every round has burned a verdict cycle adjudicating rows the
     // bench itself already knew were contended (the row's own calib
     // sample said so). If the END-of-run calibration is quiet, the
     // contention that inflated those rows has passed — re-time exactly
-    // those rows once, NOW, and ship both figures: `queries` keeps the
+    // those rows, NOW, and ship both figures: `queries` keeps the
     // original min (honesty — the suite measured what it measured),
     // `retimed` carries the quiet-tail figure so the flag adjudicates
     // itself inside this record instead of next round. The END
     // sentinel sample is inflated by the suite's own residue even on
     // a quiet box (0.30–0.35 observed on zero-contended-row runs), so
-    // the retime decision uses a FRESH probe after a short settle;
-    // 0.30 splits settled-quiet from contended (0.45+ on every
-    // flagged run to date).
-    val QuietCalib = 0.30
+    // the retime decision uses a FRESH probe after a short settle.
+    // The gate sits ABOVE the documented quiet-residue band (r14's
+    // 0.30 gate excluded a legitimately-quiet box reading 0.31), and
+    // the retime itself is a min-of-2 so the healing figure is no
+    // noisier than the suite mins it adjudicates.
+    //
+    // Beyond the 3× contended flags, rows landing 2–3× over reference
+    // are retimed too (capped at the worst NoiseRetimeMax by ratio):
+    // the sf1 suites kept producing sub-1.5 s single-run noise rows in
+    // that band (q132 2.54×, q74 2.08× in r14) that the 3× retry never
+    // touches and that previously cost a PLANS.md adjudication each.
+    val QuietCalib = 0.35
+    val NoiseRatio = 2.0
+    val NoiseRetimeMax = 6
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    if (contendedRows.nonEmpty) {
+    val resByName = results.toMap
+    val noiseRows: Seq[String] = results
+      .filterNot { case (n, _) => contendedRows.contains(n) || errors.contains(n) }
+      .flatMap { case (n, v) =>
+        reference.get(n).filter(r => v > NoiseRatio * r).map(r => (n, v / r)) }
+      .sortBy(-_._2).take(NoiseRetimeMax).map(_._1)
+    val toRetime = (contendedRows.keys.toSeq ++ noiseRows).distinct
+    if (toRetime.nonEmpty) {
       Thread.sleep(2000)
       val endCalib = calibrate()
       if (endCalib <= QuietCalib) {
         val byName = queryList.toMap
-        contendedRows.keys.foreach { name =>
+        toRetime.foreach { name =>
           byName.get(name).filterNot(_ => errors.contains(name)).foreach { fn =>
             // NOT runOnce: its catch records into `errors`, and a
             // transient throw during this best-effort extra pass must
             // not turn an otherwise-successful suite into rc=1 (the
             // suite already measured the row 3+ times) — nor ship an
             // elapsed-until-throw figure as a quiet-tail measurement
-            val t0 = System.nanoTime()
-            val ok =
-              try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-              catch { case _: Throwable => false }
-            val t = (System.nanoTime() - t0) / 1e9
-            spark.catalog.clearCache()
-            if (ok) {
-              val c = calibrate()
-              val tag = if (c <= QuietCalib) "quiet" else "hot"
-              retimed += name -> f"retimed=$t%.3fs calib=$c%.3fs($tag) orig ${contendedRows(name)}"
-            } else System.err.println(
-              s"BENCH: retime of $name threw — row stays flagged on the original figure")
+            def pass(): Option[Double] = {
+              val t0 = System.nanoTime()
+              val ok =
+                try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+                catch { case _: Throwable => false }
+              val t = (System.nanoTime() - t0) / 1e9
+              spark.catalog.clearCache()
+              if (ok) Some(t) else None
+            }
+            (pass(), pass()) match {
+              case (a, b) if a.nonEmpty || b.nonEmpty =>
+                val t = (a.toSeq ++ b.toSeq).min
+                val c = calibrate()
+                val tag = if (c <= QuietCalib) "quiet" else "hot"
+                val orig = contendedRows.getOrElse(name,
+                  f"min=${resByName(name)}%.2fs ref=${reference.getOrElse(name, 0.0)}%.2fs (noise 2-3x band)")
+                retimed += name -> f"retimed=$t%.3fs calib=$c%.3fs($tag) orig $orig"
+              case _ => System.err.println(
+                s"BENCH: retime of $name threw — row stays flagged on the original figure")
+            }
           }
         }
       } else System.err.println(f"BENCH: end calib $endCalib%.3fs still hot " +
-        f"— skipping the contended-row retime (rows stay flagged)")
+        f"— skipping the flagged-row retime (rows stay flagged)")
     }
     // JSON string escaping: Spark exception messages routinely quote
     // column names ("`col`"), carry backslashes (Windows-style paths in
@@ -297,7 +324,6 @@ object Bench {
       "q14_lsh_neardup_pairs", "q64_connected_components",
       "q66_transitive_keep_best", "q70_semdedup", "q83_pagerank",
       "q94_label_store", "q103_region_revenue", "q116_leakage_safe_split")
-    val resMap = results.toMap
     val stdoutLine = {
       // budget arithmetic for the ~2000-char driver tail, worst case:
       // 16-key dict ~470 + scaffolding ~420 + calib/gate ~160 +
@@ -305,7 +331,7 @@ object Bench {
       // ~190 ≈ 1900 — the retimed field must stay inside what the
       // pre-retime line already guaranteed
       val picked = (headline ++ contendedRows.keys ++ errors.keys)
-        .distinct.flatMap(k => resMap.get(k).map(k -> _)).take(16)
+        .distinct.flatMap(k => resByName.get(k).map(k -> _)).take(16)
       val dict = picked.map { case (k, v) => jsonStr(k) + ":" + num(v, 3) }
         .mkString("{", ",", "}")
       // errors/contended stay bounded: counts always, detail capped at

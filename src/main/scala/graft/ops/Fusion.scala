@@ -152,4 +152,56 @@ object Fusion {
       .map { case (c, i) => (c.cid, (i + 1).toLong, c.rel) }.toSeq
       .toDF(id, "mmr_rank", scoreCol)
   }
+
+  /** MMR over arbitrarily large candidate pools: a distributed
+    * cluster-prune pre-stage reduces the pool to a bounded page, then
+    * the exact greedy (`mmrRerank`) runs on the page. Pools that
+    * already fit `maxPool` skip the prune entirely — `mmrRerankLarge`
+    * is then IDENTICAL to `mmrRerank` (property-pinned), so callers
+    * can use it unconditionally.
+    *
+    * The prune: random-hyperplane LSH cells (`Similarity
+    * .withLshBucket`, the q20 construction — deterministic, sha-
+    * derived, engine-reproducible) partition the pool by similarity
+    * neighborhood; each cell keeps its top `maxPool/(2^nPlanes+1)`
+    * rows by (`scoreCol` DESC, id ASC) — Spark's WindowGroupLimit
+    * pushes the rank cut map-side, so no cell's full membership ever
+    * shuffles (the +1 budgets a possible null-vector cell). Near-dups
+    * land in the same cell, so redundant low-relevance rows are what
+    * the cut drops — the rows MMR would never pick anyway.
+    *
+    * Guarantees: the page always contains the global top-`perCell` by
+    * relevance (every global top row is a top row of its own cell), so
+    * at lambda = 1 the pruned result EQUALS the unpruned greedy for
+    * any pool size (property-pinned). At lambda < 1 the prune is the
+    * standard ANN approximation: exact on the page, page chosen by
+    * similarity-aware cells.
+    *
+    * One bounded extra job: a `limit(maxPool+1).count()` probe decides
+    * whether the pool needs pruning at all (reads at most maxPool+1
+    * rows, never the corpus). */
+  def mmrRerankLarge(candidates: DataFrame, id: String, vecCol: String,
+      lambda: Double = 0.7, k: Int = 10, scoreCol: String = "score",
+      maxPool: Int = 10000, nPlanes: Int = 5, seed: Long = 42L): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 16,
+      s"mmrRerankLarge: nPlanes=$nPlanes out of [1,16]")
+    val cells = (1 << nPlanes) + 1 // +1: null-vector rows form a cell
+    val perCell = maxPool / cells
+    require(perCell >= k,
+      s"mmrRerankLarge: maxPool=$maxPool over $cells cells keeps only " +
+        s"$perCell rows per cell < k=$k — lower nPlanes or raise maxPool")
+    val n = candidates.limit(maxPool + 1).count()
+    if (n <= maxPool) {
+      mmrRerank(candidates, id, vecCol, lambda, k, scoreCol, maxPool)
+    } else {
+      val w = Window.partitionBy(col("__cell"))
+        .orderBy(col(scoreCol).desc, col(id).asc)
+      val page = graft.vector.Similarity
+        .withLshBucket(candidates, vecCol, nPlanes, seed, as = "__cell")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= perCell)
+        .drop("__cell", "__rn")
+      mmrRerank(page, id, vecCol, lambda, k, scoreCol, maxPool)
+    }
+  }
 }

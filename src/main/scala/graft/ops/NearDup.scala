@@ -222,6 +222,10 @@ object NearDup {
   def estimatedJaccardPairs(sigs: DataFrame, id: String,
       numHashes: Int = 4, rowsPerBand: Int = 2,
       minEstimate: Double = 0.0): DataFrame = {
+    // BEHAVIOR CHANGE (r14): non-divisible widths now throw where they
+    // previously ran with the trailing hashes silently dropped from
+    // banding — that silence was real recall loss. External callers
+    // relying on the lenient behavior must pad or trim numHashes.
     require(numHashes % rowsPerBand == 0,
       s"estimatedJaccardPairs: numHashes=$numHashes not divisible by " +
         s"rowsPerBand=$rowsPerBand — trailing hashes would be silently " +
@@ -476,7 +480,12 @@ object NearDup {
     * (64 bits, 4 × 16-bit bands, d <= 3) is the standard web-dedup
     * configuration (Manku et al., WWW'07). Banding is one map-side
     * posexplode (no repeated scans); the 8-byte fingerprint rides
-    * along so the refine needs no join back to the corpus. */
+    * along so the refine needs no join back to the corpus.
+    *
+    * Fingerprints from `simhash` inherit its unique-id contract:
+    * duplicate ids produce per-row (not merged-token) fingerprints
+    * upstream, so the pairs here would reflect each row separately —
+    * dedup ids before fingerprinting if that matters. */
   def simhashHammingPairs(fps: DataFrame, id: String,
       fp: Column, bits: Int = 64, nBands: Int = 4,
       maxHamming: Int = 3): DataFrame = {

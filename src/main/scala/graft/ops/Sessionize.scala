@@ -31,13 +31,16 @@ object Sessionize {
       gapMs: Long): DataFrame = {
     // the working/output names are fixed — a caller re-sessionizing a
     // frame that already carries them (e.g. prior byGap output) must
-    // hear about the collision, not have columns silently clobbered
-    val reserved = Seq("new_s", "session_id", "n", "start_ms", "end_ms")
-      .filterNot(c => c == key || c == ts || c == tie)
-    val clash = df.columns.toSet.intersect(reserved.toSet)
+    // hear about the collision, not have columns silently clobbered.
+    // No exemption for key/ts/tie: a key literally named "n" would
+    // emit duplicate output columns (group key n + count().as("n")),
+    // and a ts named "new_s" would be clobbered mid-plan — reserved
+    // names are rejected in every role.
+    val reserved = Set("new_s", "session_id", "n", "start_ms", "end_ms")
+    val clash = (df.columns.toSet ++ Set(key, ts, tie)).intersect(reserved)
     require(clash.isEmpty,
-      s"Sessionize.byGap: input already has column(s) ${clash.mkString(", ")} " +
-        "— these are reserved working/output names; rename or drop them first")
+      s"Sessionize.byGap: column(s) ${clash.mkString(", ")} collide with " +
+        "reserved working/output names; rename or drop them first")
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
     val lagMs = lag(col(ts), 1).over(w)
     df.withColumn("new_s",

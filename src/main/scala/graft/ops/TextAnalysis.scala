@@ -338,8 +338,32 @@ object TextAnalysis {
   /** The raw (unrounded) Gopher metrics both the per-doc report and
     * the funnel aggregate from: (id, n_tokens, __mwl, __fa, __twf,
     * __tbf nullable). Ratios of exact integer counts in double, so
-    * downstream threshold comparisons reproduce across engines. */
-  private def gopherRawMetrics(df: org.apache.spark.sql.DataFrame,
+    * downstream threshold comparisons reproduce across engines.
+    *
+    * Fused single-pass codegen kernel (expr/GopherStats): the two
+    * explodes, four hash aggregations and per-doc join of the original
+    * composite collapse into one projection — per-doc quality gating
+    * is a map-only stage (the 100 TB shape: metrics at scan speed, no
+    * exchange until the caller aggregates). The composite is retained
+    * below as the property-pin reference model; docs with zero
+    * nonempty tokens are dropped (the composite's explode semantics),
+    * hence the null filter. */
+  private[graft] def gopherRawMetrics(df: org.apache.spark.sql.DataFrame,
+      id: String, text: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val g = ColumnBridge.column(
+      graft.expr.GopherStats(ColumnBridge.expression(text)))
+    df.select(col(id), g.as("__g"))
+      .filter(col("__g").isNotNull)
+      .select(col(id), col("__g.n_tokens").as("n_tokens"),
+        col("__g.mwl").as("__mwl"), col("__g.fa").as("__fa"),
+        col("__g.twf").as("__twf"), col("__g.tbf").as("__tbf"))
+  }
+
+  /** The original explode + agg + join form, kept as the equivalence
+    * reference model for the fused kernel (PropertySpec pins fused ==
+    * composite across tokenization edge cases). */
+  private[graft] def gopherRawMetricsComposite(df: org.apache.spark.sql.DataFrame,
       id: String, text: Column): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(id),
       explode(filter(tokens(text), w => w =!= "")).as("__w"))

@@ -108,5 +108,37 @@ object RetrievalQueries {
       Fusion.mmrRerank(pool, "vec_id", "embedding", lambda = 1.0, k = 10)
         .orderBy(col("mmr_rank"))
     },
+
+    // ---- distributed MMR page: cluster-prune pre-stage, lambda=1 ----
+    // The CORPUS-sized pool (every embedding scored against query
+    // vec 0 — 500 rows at sf0.01, 2000 at sf0.1, always > maxPool=360)
+    // forces mmrRerankLarge's LSH-cell prune: 8 hyperplane cells (+1
+    // null cell) each keep their top-40 by (score, id) map-side, the
+    // bounded page feeds the exact greedy. At lambda=1 the prune is
+    // EXACT for any pool (the page provably contains the global
+    // relevance top-k), so the scale path gets a full hash oracle:
+    // top-10 by (score desc, vec_id). PropertySpec pins the ≤maxPool
+    // passthrough and the lambda=1 pruned==unpruned guarantee.
+    Q("q138_mmr_large",
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT vec_id,
+        |  round(SUM(x*qx) / (sqrt(SUM(x*x)) * sqrt(SUM(qx*qx))), 6) AS score
+        | FROM u JOIN q USING (i) GROUP BY vec_id)
+        |SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS mmr_rank,
+        |       score
+        |FROM cs ORDER BY mmr_rank LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = queryVec(s, d, 0)
+      val pool = emb.select(col("vec_id"),
+        round(Similarity.cosineSim(col("embedding"), typedlit(q.toSeq)), 6)
+          .as("score"),
+        col("embedding"))
+      Fusion.mmrRerankLarge(pool, "vec_id", "embedding", lambda = 1.0,
+          k = 10, maxPool = 360, nPlanes = 3)
+        .orderBy(col("mmr_rank"))
+    },
   )
 }

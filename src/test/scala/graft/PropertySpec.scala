@@ -1229,6 +1229,49 @@ class PropertySpec extends AnyFunSuite {
     }, n = 15)
   }
 
+  test("property: mmrRerankLarge == mmrRerank (passthrough + lambda=1 pruned)") {
+    // Two guarantees of the distributed MMR page: (1) a pool within
+    // maxPool bypasses the prune — identical output to the plain
+    // greedy at ANY lambda; (2) at lambda=1 the LSH-cell prune is
+    // EXACT for pools of any size (every global relevance-top row is
+    // a top row of its own cell, so the page contains the greedy's
+    // whole selection) — pinned against the unpruned greedy given a
+    // corpus-sized maxPool.
+    val vecD = Gen.listOfN(4, Gen.oneOf(-1f, 0f, 1f)).map(_.toArray)
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 100).map(_ / 100.0),
+        Gen.frequency(9 -> vecD.map(Option(_)), 1 -> Gen.const(None))))
+      lambda <- Gen.oneOf(0.0, 0.3, 0.7, 1.0)
+      k <- Gen.choose(1, 5)
+    } yield (rows, lambda, k)
+    check(Prop.forAll(gen) { case (rows, lambda, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((sc, v), i) => (i.toLong, sc, v.orNull) }
+        .toDF("id", "score", "vec")
+      def snap(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy(col("mmr_rank")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // (1) passthrough: pool fits maxPool=10000 at every lambda
+      val small = snap(graft.ops.Fusion.mmrRerankLarge(
+        df, "id", "vec", lambda = lambda, k = k))
+      val plain = snap(graft.ops.Fusion.mmrRerank(
+        df, "id", "vec", lambda = lambda, k = k))
+      // (2) lambda=1 with a maxPool that FORCES the prune (nPlanes=2
+      // → 5 cells; maxPool = 5*k keeps exactly k per cell)
+      val prunedOk = rows.length <= 5 * k || {
+        val pruned = snap(graft.ops.Fusion.mmrRerankLarge(
+          df, "id", "vec", lambda = 1.0, k = k,
+          maxPool = 5 * k, nPlanes = 2))
+        val unpruned = snap(graft.ops.Fusion.mmrRerank(
+          df, "id", "vec", lambda = 1.0, k = k))
+        pruned == unpruned
+      }
+      small == plain && prunedOk
+    }, n = 10)
+  }
+
   test("property: Sessionize.byGap == naive per-key gap-split model") {
     val gen = for {
       n <- Gen.choose(1, 60)
@@ -1265,5 +1308,100 @@ class PropertySpec extends AnyFunSuite {
         }
       got == want
     }, n = 15)
+  }
+
+  test("Sessionize.byGap rejects reserved names in ANY role, not just as extra columns") {
+    // A key literally named "n" would emit duplicate output columns
+    // (group key n + count().as("n")); a ts named "new_s" is clobbered
+    // mid-plan. The require must catch reserved names used AS
+    // key/ts/tie, not only as bystander columns.
+    val df = Seq((1L, 10L, 0L)).toDF("n", "ts_ms", "event_id")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Sessionize.byGap(df, "n", "ts_ms", "event_id", 5L)
+    }
+    assert(e.getMessage.contains("reserved"))
+    val df2 = Seq((1L, 10L, 0L)).toDF("user_id", "new_s", "event_id")
+    intercept[IllegalArgumentException] {
+      graft.ops.Sessionize.byGap(df2, "user_id", "new_s", "event_id", 5L)
+    }
+  }
+
+  test("property: fused GopherStats == explode+agg+join composite") {
+    // The fused kernel must reproduce the composite's raw metrics
+    // EXACTLY (same doubles, same dropped zero-token docs, same null
+    // tbf for single-token docs) across tokenization edge cases:
+    // whitespace runs, tabs/newlines, unicode case and letters,
+    // repeated tokens (top-word/top-bigram multiplicity), blank and
+    // null docs, single-token docs.
+    val word = Gen.oneOf("alpha", "beta", "beta", "Gamma", "δelta",
+      "x1", "42", "...", "ß", "İstanbul")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+      pad <- Gen.oneOf("", " ", "\t", "  ")
+    } yield pad + ws.mkString(sep) + pad
+    val gen = Gen.choose(1, 8).flatMap(Gen.listOfN(_,
+      Gen.frequency(9 -> textGen, 1 -> Gen.const(null: String))))
+    check(Prop.forAll(gen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def snap(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+      val fused = snap(graft.ops.TextAnalysis
+        .gopherRawMetrics(df, "doc_id", col("text")))
+      val comp = snap(graft.ops.TextAnalysis
+        .gopherRawMetricsComposite(df, "doc_id", col("text")))
+      fused == comp
+    }, n = 12)
+  }
+
+  test("property: multimodal withFeatures == naive digest-embed model") {
+    // Pins the stub feature kernel (payload → sha256 digest → hex-byte
+    // token stream → feature-hash embed, L2-normalized) against a
+    // driver model built straight from MessageDigest — the same
+    // randomized-model treatment the r14 fused kernels got; the kernel
+    // was oracle-checked (q40) but this is its first naive-model pin
+    // across payload edge cases: null, empty, single-byte, repeated
+    // bytes (vote cancellation across identical tokens), random binary.
+    val byteGen = Gen.choose(-128, 127).map(_.toByte)
+    val payloadGen: Gen[Array[Byte]] = Gen.frequency(
+      1 -> Gen.const(null: Array[Byte]),
+      1 -> Gen.const(Array.emptyByteArray),
+      2 -> byteGen.map(Array(_)),
+      2 -> Gen.zip(Gen.choose(2, 64), byteGen).map { case (n, b) => Array.fill(n)(b) },
+      6 -> Gen.choose(0, 64).flatMap(n => Gen.listOfN(n, byteGen).map(_.toArray)))
+    def model(payload: Array[Byte], dim: Int): Array[Float] = {
+      def sha(bs: Array[Byte]) =
+        java.security.MessageDigest.getInstance("SHA-256").digest(bs)
+      val digest = sha(if (payload == null) Array.emptyByteArray else payload)
+      val v = new Array[Float](dim)
+      digest.foreach { b =>
+        val d = sha(f"42:$b%02x".getBytes("UTF-8"))
+        val idx = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % dim
+        v(idx) += (if (((d(2) >> 4) & 1) == 0) 1f else -1f)
+      }
+      var norm = 0.0
+      v.foreach(x => norm += x.toDouble * x)
+      if (norm > 0) {
+        val inv = (1.0 / math.sqrt(norm)).toFloat
+        v.indices.foreach(j => v(j) = v(j) * inv)
+      }
+      v
+    }
+    check(Prop.forAll(Gen.choose(1, 6).flatMap(Gen.listOfN(_, payloadGen))) { payloads =>
+      val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "payload")
+      val got = graft.multimodal.Multimodal.withFeatures(df, "payload", dim = 64)
+        .select("id", "features").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      payloads.indices.forall { i =>
+        val want = model(payloads(i), 64)
+        val g = got(i.toLong)
+        g.length == want.length && g.indices.forall(j => g(j) == want(j))
+      }
+    }, n = 12)
   }
 }
