@@ -628,6 +628,18 @@ object NearDup {
     *    jump term), so each round joins edges against the CHANGED
     *    labels only. The delta shrinks geometrically — late rounds
     *    shuffle a handful of delta rows against the stationary edges.
+    *  - BROADCAST-DELTA rounds (new r15): once the delta fits
+    *    `maxBroadcastDelta` rows, the round flips to a broadcast
+    *    shape — the delta is broadcast, every join becomes a map-side
+    *    probe, and the label table stops traveling through exchanges
+    *    entirely (the r12 audit measured a ~39 k-record/round
+    *    stationary floor from the node-table legs; this removes it).
+    *    At 100 TB the early heavy rounds keep the shuffle shape and
+    *    the convergence tail — where fixed round cost dominates —
+    *    gets the cheap one. Candidate semantics are identical
+    *    (delta-restricted jump legs; see the in-loop comment for the
+    *    fold-invariant argument) and the union-find property pin
+    *    exercises both shapes.
     *  - ONE scheduled job per iteration: the changed-row count rides
     *    the checkpoint's own materialization job via an accumulator
     *    (a transformation-side accumulator can over-count on task
@@ -653,7 +665,8 @@ object NearDup {
     * Returns one row per node appearing in `pairs`:
     * (node, component = min id reachable). */
   def connectedComponents(pairs: DataFrame, colA: String = "doc_a",
-      colB: String = "doc_b", maxIterations: Int = 20): DataFrame = {
+      colB: String = "doc_b", maxIterations: Int = 20,
+      maxBroadcastDelta: Long = 250000L): DataFrame = {
     val spark = pairs.sparkSession
     // The edge count rides the checkpoint's own materialization job
     // via an accumulator instead of a second count() action — same
@@ -717,11 +730,16 @@ object NearDup {
       // initialization already IS the first hash-min round: label(x) =
       // min(x, min neighbor) from one groupBy over the checkpointed
       // edges — same single shuffle a distinct-nodes init would cost,
-      // one fewer loop iteration
-      checkpointed = edgesByDst.groupBy(col("src"))
+      // one fewer loop iteration. The node count rides the checkpoint
+      // job via an accumulator (it gates the round-1 broadcast path).
+      val nodeAcc = spark.sparkContext.longAccumulator("cc_nodes")
+      val initRaw = edgesByDst.groupBy(col("src"))
         .agg(min(col("dst")).as("__m"))
         .select(col("src").as("node"),
           least(col("src"), col("__m")).as("component"))
+      checkpointed = initRaw.mapPartitions { rows =>
+        rows.map { r => nodeAcc.add(1L); r }
+      }(org.apache.spark.sql.Encoders.row(initRaw.schema))
         .localCheckpoint()
       labels = checkpointed
       // Incremental (delta) propagation: a label can only decrease
@@ -734,7 +752,9 @@ object NearDup {
       // table (everything "changed" at initialization), which
       // reproduces the classic full hash-min round.
       var delta = labels
-      var prevChanged = Long.MaxValue
+      // round 1's delta is the whole init table — gate its path by the
+      // node count the init checkpoint just accumulated
+      var prevChanged = nodeAcc.value.longValue
       var iter = 0
       var done = false
       while (!done) {
@@ -743,41 +763,87 @@ object NearDup {
         require(iter <= maxIterations,
           s"connectedComponents: no fixpoint after $maxIterations iterations " +
             "— raise maxIterations (component diameter exceeds 2^n bound)")
-        val viaEdges = edgesByDst.as("e")
-          .join(delta.as("dd"), col("e.dst") === col("dd.node"))
-          .select(col("e.src").as("node"), col("dd.component").as("__cand"))
-        // full pointer jump every round (label ∘ label): must use the
-        // WHOLE label table, not the delta — only then does the jump
-        // compound (2^t reach) and keep convergence logarithmic in
-        // component diameter. The label table is the node set, far
-        // smaller than the edge list this round avoids re-joining.
-        // (A label⁴ variant — composing the jump with itself once
-        // more per round — was measured here: it saved only one round
-        // on the sf0.1 graph while its extra node-table joins doubled
-        // the steady-state wall. Reverted; the round count is
-        // diameter-bound, not compounding-bound, on real dup graphs.)
-        val viaJump = labels.as("x")
-          .join(labels.as("y"), col("x.component") === col("y.node"))
-          .select(col("x.node").as("node"), col("y.component").as("__cand"))
-        // the node's CURRENT label rides the same aggregation as a
-        // flagged candidate — min over {edge cands, jump cands, self}
-        // is the new label, and the flagged row recovers the previous
-        // one. This folds the old labels-join (a fourth shuffle per
-        // iteration, there only to fetch prev for the change count)
-        // into the groupBy that already runs. Every node has its self
-        // row, so no node can drop out of the label table.
-        val viaSelf = labels
-          .select(col("node"), col("component").as("__cand"))
-        val computed = viaEdges.withColumn("__self", lit(0))
-          .unionByName(viaJump.withColumn("__self", lit(0)))
-          .unionByName(viaSelf.withColumn("__self", lit(1)))
-          .groupBy(col("node"))
-          .agg(min(col("__cand")).as("component"),
-            max(when(col("__self") === 1, col("__cand"))).as("__prev"))
+        // Two round shapes, same candidate semantics, chosen by the
+        // delta size the previous round measured:
+        //
+        // BROADCAST round (delta <= maxBroadcastDelta rows): the delta
+        // is broadcast once and every join becomes a map-side probe —
+        // the label table NEVER travels through an exchange. The jump
+        // splits into its two delta-restricted legs (x's label just
+        // changed → look up label(new target); target's label just
+        // changed → push it to everyone pointing there): a candidate
+        // with BOTH sides unchanged is identical to one already folded
+        // in an earlier round, and labels are monotone non-increasing,
+        // so re-generating it cannot improve anything (the same
+        // argument the edge leg's delta restriction has always used).
+        // The merged label = least(current, min candidate) via a
+        // broadcast left join — map-only over the label scan, every
+        // node keeps its row, __prev comes straight from the current
+        // table. Convergence detection is unchanged: if a round
+        // reports 0 changes, every candidate either regenerated a
+        // folded value or was provably unable to improve, so the full
+        // round would also report 0 — the fixpoint is the same.
+        //
+        // SHUFFLE round (big delta, the 100 TB early rounds): the
+        // original full-jump + union + groupBy shape — no driver-side
+        // collect of an unbounded delta, all heavy lifting in keyed
+        // exchanges. (A label⁴ variant — composing the jump with
+        // itself once more per round — was measured here: it saved
+        // only one round on the sf0.1 graph while its extra
+        // node-table joins doubled the steady-state wall. Reverted.)
+        //
+        // Tail rounds (a handful of changed rows) are where the fixed
+        // per-round cost lived — the r12 audit measured a ~0.22 MB /
+        // 39 k-record floor per round from the stationary node-table
+        // legs; the broadcast shape removes exactly that floor.
+        val computed = if (prevChanged <= maxBroadcastDelta) {
+          val bd = broadcast(delta)
+          val viaEdges = edgesByDst.as("e")
+            .join(bd.as("dd"), col("e.dst") === col("dd.node"))
+            .select(col("e.src").as("node"), col("dd.component").as("__cand"))
+          val jump1 = bd.as("x")
+            .join(labels.as("y"), col("x.component") === col("y.node"))
+            .select(col("x.node").as("node"), col("y.component").as("__cand"))
+          val jump2 = labels.as("x")
+            .join(bd.as("y"), col("x.component") === col("y.node"))
+            .select(col("x.node").as("node"), col("y.component").as("__cand"))
+          val cands = viaEdges.unionByName(jump1).unionByName(jump2)
+            .groupBy(col("node")).agg(min(col("__cand")).as("__cand"))
+          labels.join(broadcast(cands), Seq("node"), "left")
+            .select(col("node"),
+              least(col("component"), coalesce(col("__cand"), col("component")))
+                .as("component"),
+              col("component").as("__prev"))
+        } else {
+          val viaEdges = edgesByDst.as("e")
+            .join(delta.as("dd"), col("e.dst") === col("dd.node"))
+            .select(col("e.src").as("node"), col("dd.component").as("__cand"))
+          // full pointer jump (label ∘ label) over the WHOLE label
+          // table — compounds 2^t reach, keeps convergence
+          // logarithmic in component diameter
+          val viaJump = labels.as("x")
+            .join(labels.as("y"), col("x.component") === col("y.node"))
+            .select(col("x.node").as("node"), col("y.component").as("__cand"))
+          // the node's CURRENT label rides the same aggregation as a
+          // flagged candidate — min over {edge cands, jump cands,
+          // self} is the new label, and the flagged row recovers the
+          // previous one. Every node has its self row, so no node can
+          // drop out of the label table.
+          val viaSelf = labels
+            .select(col("node"), col("component").as("__cand"))
+          viaEdges.withColumn("__self", lit(0))
+            .unionByName(viaJump.withColumn("__self", lit(0)))
+            .unionByName(viaSelf.withColumn("__self", lit(1)))
+            .groupBy(col("node"))
+            .agg(min(col("__cand")).as("component"),
+              max(when(col("__self") === 1, col("__cand"))).as("__prev"))
+        }
         val changed = spark.sparkContext.longAccumulator("cc_changed")
         val counted = computed.mapPartitions { rows =>
           rows.map { r => if (r.get(1) != r.get(2)) changed.add(1L); r }
         }(org.apache.spark.sql.Encoders.row(computed.schema))
+        if (sys.env.contains("GRAFT_CC_EXPLAIN") && iter == 2)
+          println("CC round plan:\n" + counted.queryExecution.executedPlan)
         val next = counted.localCheckpoint() // eager: one job, fills `changed`
         freeLocalCheckpoint(checkpointed)
         checkpointed = next

@@ -105,9 +105,15 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(graphGen) { case (_, pairs) =>
       (pairs.isEmpty) || {
         val want = unionFind(pairs)
+        // default path: broadcast-delta rounds (delta always fits on
+        // these graphs); maxBroadcastDelta=0 forces every round down
+        // the shuffle shape — both must match the ground truth
         val got = NearDup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        got == want
+        val gotShuffle = NearDup.connectedComponents(
+            pairs.toDF("doc_a", "doc_b"), maxBroadcastDelta = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want && gotShuffle == want
       }
     }, n = 8)
   }
