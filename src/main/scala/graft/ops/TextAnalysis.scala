@@ -158,6 +158,18 @@ object TextAnalysis {
       .otherwise(lit(1.0) - size(array_distinct(g)) / size(g).cast("double"))
   }
 
+  /** Fused fast path for BOTH repetition fractions straight from the
+    * text (expr/RepetitionStats — one string pass, no token-array or
+    * shingle materialization): struct(dup_tok_frac, dup_bigram_frac).
+    * Use when computing the pair per row (q62); the array combinators
+    * above remain the reference model (PropertySpec pins fused ==
+    * composite) and serve callers that already hold a token array. */
+  def repetitionStats(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      graft.expr.RepetitionStats(ColumnBridge.expression(text)))
+  }
+
   /** Fused fast path: all four text statistics in one string pass (a
     * struct of n_tokens/char_nws/punct_n/stop_hits) — use instead of
     * the individual combinators when computing several stats per row;

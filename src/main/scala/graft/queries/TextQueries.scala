@@ -165,10 +165,10 @@ object TextQueries {
         | END AS dup_bigram_frac
         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
-        .withColumn("__w", graft.ops.NearDup.tokens(col("text")))
+        .withColumn("__r", TextAnalysis.repetitionStats(col("text")))
         .select(col("doc_id"),
-          round(TextAnalysis.dupTokenFrac(col("__w")), 6).as("dup_tok_frac"),
-          round(TextAnalysis.dupBigramFrac(col("__w")), 6).as("dup_bigram_frac"))
+          round(col("__r.dup_tok_frac"), 6).as("dup_tok_frac"),
+          round(col("__r.dup_bigram_frac"), 6).as("dup_bigram_frac"))
         .orderBy(col("doc_id"))
     },
 

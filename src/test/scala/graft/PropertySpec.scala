@@ -1332,6 +1332,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: fused RepetitionStats == array-combinator composite") {
+    // One string pass must reproduce the dupTokenFrac/dupBigramFrac
+    // Column composite EXACTLY (same doubles) — including the
+    // unfiltered-token contract (empty edge tokens from tabs/newlines
+    // COUNT, a blank doc is [""] with dup_tok_frac 0), repeated
+    // tokens/bigrams, unicode case, and single-token docs.
+    val word = Gen.oneOf("alpha", "beta", "beta", "Gamma", "δelta", "x1", "ß")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ", "\t", "\n")
+      pad <- Gen.oneOf("", " ", "\t")
+    } yield pad + ws.mkString(sep) + pad
+    check(Prop.forAll(Gen.choose(1, 8).flatMap(Gen.listOfN(_, textGen))) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fused = df
+        .withColumn("__r", graft.ops.TextAnalysis.repetitionStats(col("text")))
+        .select(col("doc_id"), col("__r.dup_tok_frac"), col("__r.dup_bigram_frac"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val comp = df
+        .withColumn("__w", graft.ops.NearDup.tokens(col("text")))
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.dupTokenFrac(col("__w")),
+          graft.ops.TextAnalysis.dupBigramFrac(col("__w")))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      fused == comp
+    }, n = 12)
+  }
+
   test("property: fused GopherStats == explode+agg+join composite") {
     // The fused kernel must reproduce the composite's raw metrics
     // EXACTLY (same doubles, same dropped zero-token docs, same null
