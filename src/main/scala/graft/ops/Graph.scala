@@ -44,7 +44,7 @@ object Graph {
     * than k edges, and a singleton-cell vector is absent entirely. */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
       iterations: Int = 5, damping: Double = 0.85,
-      roundTo: Int = 9): DataFrame = {
+      roundTo: Int = 9, maxBroadcastNodes: Long = 250000L): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, "pageRank: damping must be in (0,1)")
     val spark = edges.sparkSession
@@ -130,12 +130,26 @@ object Graph {
       ranks = nodesByKey
         .select(col("node"), round(lit(1.0 / n), roundTo).as("rank"))
         .localCheckpoint()
+      // Same two round shapes as connectedComponents (r15): when the
+      // rank table fits maxBroadcastNodes rows, broadcast it into the
+      // stationary weighted-edge join and broadcast the contribution
+      // table back over the node scan — the rank table stops
+      // traveling through exchanges (only the small per-round
+      // contribution agg shuffles). Results are bit-identical either
+      // way: the per-iteration 1e-9 rounding already makes the sum
+      // order immaterial (the cross-engine contract), and the
+      // property pin vs naive power iteration drives both shapes.
+      // Big graphs keep the keyed-exchange shape.
+      val bcastRounds = n <= maxBroadcastNodes
       for (_ <- 1 to iterations) {
+        val rankSrc = ranks.withColumnRenamed("node", "src")
         val contrib = weighted
-          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(if (bcastRounds) broadcast(rankSrc) else rankSrc, "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("rank") * col("__w")).as("__in"))
-        val next = nodesByKey.join(contrib, Seq("node"), "left")
+        val next = nodesByKey
+          .join(if (bcastRounds) broadcast(contrib) else contrib,
+            Seq("node"), "left")
           .select(col("node"),
             round(base + lit(damping) * coalesce(col("__in"), lit(0.0)),
               roundTo).as("rank"))

@@ -490,7 +490,14 @@ class PropertySpec extends AnyFunSuite {
       val got = graft.ops.Graph.pageRank(
           edges.toDF("src", "dst"), iterations = iters, damping = d)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      if (edges.isEmpty) got.isEmpty
+      // maxBroadcastNodes=0 forces the keyed-exchange round shape
+      // (r15 added broadcast rounds for small graphs) — both shapes
+      // must match the naive model
+      val gotShuffle = graft.ops.Graph.pageRank(
+          edges.toDF("src", "dst"), iterations = iters, damping = d,
+          maxBroadcastNodes = 0L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      if (edges.isEmpty) got.isEmpty && gotShuffle.isEmpty
       else {
         val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
         val n = nodes.length
@@ -502,8 +509,8 @@ class PropertySpec extends AnyFunSuite {
           rank = nodes.map(v =>
             v -> r9((1 - d) / n + d * in.getOrElse(v, 0.0))).toMap
         }
-        got.keySet == nodes.toSet &&
-          nodes.forall(v => math.abs(got(v) - rank(v)) <= 1.1e-6)
+        Seq(got, gotShuffle).forall(g => g.keySet == nodes.toSet &&
+          nodes.forall(v => math.abs(g(v) - rank(v)) <= 1.1e-6))
       }
     }, n = 8)
   }
