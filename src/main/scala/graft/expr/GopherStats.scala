@@ -78,7 +78,7 @@ object GopherStatsKernel {
   def compute(v: UTF8String): InternalRow = {
     // Spark-exact normalization (shared with SimHashFpKernel); the
     // composite filters empty tokens, so only non-ws runs count
-    val toks = v.toLowerCase.trim().toString.split("\\s+", -1)
+    val toks = Tok.sparkTokens(v)
     val wc = new java.util.HashMap[String, Long]()
     val bc = new java.util.HashMap[String, Long]()
     var total = 0L

@@ -57,7 +57,7 @@ object HashedNgramFeaturesKernel {
     // Spark-exact normalization, shared with MinHashSigKernel:
     // UTF8String lower (simple case map) + trim (ASCII space only),
     // then Java regex split keeping edge tokens
-    val raw = v.toLowerCase.trim().toString.split("\\s+", -1)
+    val raw = Tok.sparkTokens(v)
     var n = 0
     var i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) n += 1; i += 1 }

@@ -68,7 +68,7 @@ object MinHashSigKernel {
     // Spark-exact normalization: UTF8String lower (simple case map),
     // trim (ASCII space only), then Java regex split keeping edge
     // tokens — identical to split(lower(trim(text)), "\s+")
-    val toks = v.toLowerCase.trim().toString.split("\\s+", -1)
+    val toks = Tok.sparkTokens(v)
     val nShingles = toks.length - shingleSize + 1
     if (nShingles <= 0) return null
     val md = Sha.sha256() // thread-local: no per-row provider lookup

@@ -58,7 +58,7 @@ object RepetitionStatsKernel {
     // Spark-exact normalization + split, shared with SimHashFpKernel
     // (its property pin proves the tokenization bit-equal): empty
     // edge tokens kept, [""] for a blank doc
-    val toks = v.toLowerCase.trim().toString.split("\\s+", -1)
+    val toks = Tok.sparkTokens(v)
     val n = toks.length
     val dt = new java.util.HashSet[String]()
     var i = 0

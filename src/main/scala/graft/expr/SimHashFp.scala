@@ -58,7 +58,7 @@ object SimHashFpKernel {
     // Spark-exact normalization, shared with MinHashSigKernel — and
     // NO empty-token filter: split of a blank string yields [""] and
     // the composite lets it vote
-    val toks = v.toLowerCase.trim().toString.split("\\s+", -1)
+    val toks = Tok.sparkTokens(v)
     val counts = new Array[Int](bits)
     val md = Sha.sha256()
     val nNibs = bits / 4

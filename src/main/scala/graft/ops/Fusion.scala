@@ -87,9 +87,10 @@ object Fusion {
     * capped at `maxPool` rows (throws above — this operator re-ranks
     * a top-N page, it does not scan corpora; the 100 TB work happened
     * in the ranker that built the pool). Relevance is read from
-    * `scoreCol` (pre-rounded upstream for reproducibility); ties at
-    * every argmax break to the smaller id, so the output is
-    * deterministic. Output: (id, mmr_rank, score). */
+    * `scoreCol` (pre-rounded upstream for reproducibility); rows with
+    * a null or NaN score are dropped as unrankable (r15 — previously
+    * null NPE'd); ties at every argmax break to the smaller id, so
+    * the output is deterministic. Output: (id, mmr_rank, score). */
   def mmrRerank(candidates: DataFrame, id: String, vecCol: String,
       lambda: Double = 0.7, k: Int = 10, scoreCol: String = "score",
       maxPool: Int = 10000): DataFrame = {
@@ -106,7 +107,14 @@ object Fusion {
           "map string ids (e.g. sha16 keys) to a numeric surrogate first")
     }
     val spark = candidates.sparkSession
+    // null/NaN relevance rows are DROPPED, not ranked: a null score
+    // previously NPE'd the collect, and NaN orders differently in
+    // Spark sorts (greatest) vs the driver greedy — neither is a
+    // rankable candidate, and dropping them here keeps mmrRerankLarge's
+    // pruned path (whose rank window would sort them arbitrarily)
+    // exactly equivalent to this one on every real row
     val rows = candidates
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
       .select(col(id).cast("long"), col(scoreCol).cast("double"), col(vecCol))
       .limit(maxPool + 1).collect()
     require(rows.length <= maxPool,
@@ -190,14 +198,20 @@ object Fusion {
     require(perCell >= k,
       s"mmrRerankLarge: maxPool=$maxPool over $cells cells keeps only " +
         s"$perCell rows per cell < k=$k — lower nPlanes or raise maxPool")
-    val n = candidates.limit(maxPool + 1).count()
+    // drop unrankable rows BEFORE the size probe so both branches see
+    // the identical pool (mmrRerank drops them too — see its scaladoc;
+    // without this a null-score row would count toward the prune
+    // decision and then sort arbitrarily in the rank window)
+    val ranked = candidates
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
+    val n = ranked.limit(maxPool + 1).count()
     if (n <= maxPool) {
-      mmrRerank(candidates, id, vecCol, lambda, k, scoreCol, maxPool)
+      mmrRerank(ranked, id, vecCol, lambda, k, scoreCol, maxPool)
     } else {
       val w = Window.partitionBy(col("__cell"))
         .orderBy(col(scoreCol).desc, col(id).asc)
       val page = graft.vector.Similarity
-        .withLshBucket(candidates, vecCol, nPlanes, seed, as = "__cell")
+        .withLshBucket(ranked, vecCol, nPlanes, seed, as = "__cell")
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= perCell)
         .drop("__cell", "__rn")

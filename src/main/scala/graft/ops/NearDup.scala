@@ -630,10 +630,12 @@ object NearDup {
     *    shuffle a handful of delta rows against the stationary edges.
     *  - BROADCAST-DELTA rounds (new r15): once the delta fits
     *    `maxBroadcastDelta` rows, the round flips to a broadcast
-    *    shape — the delta is broadcast, every join becomes a map-side
-    *    probe, and the label table stops traveling through exchanges
-    *    entirely (the r12 audit measured a ~39 k-record/round
-    *    stationary floor from the node-table legs; this removes it).
+    *    shape — the delta is broadcast, candidate generation becomes
+    *    map-side probes, and the label table's per-round exchanges
+    *    drop from three-plus to the merge join's one (the r12 audit
+    *    measured a ~39 k-record/round stationary floor from the
+    *    node-table legs; only the bounded delta is ever broadcast —
+    *    the affected-node set is not delta-bounded and is not).
     *    At 100 TB the early heavy rounds keep the shuffle shape and
     *    the convergence tail — where fixed round cost dominates —
     *    gets the cheap one. Candidate semantics are identical
@@ -767,22 +769,23 @@ object NearDup {
         // delta size the previous round measured:
         //
         // BROADCAST round (delta <= maxBroadcastDelta rows): the delta
-        // is broadcast once and every join becomes a map-side probe —
-        // the label table NEVER travels through an exchange. The jump
-        // splits into its two delta-restricted legs (x's label just
-        // changed → look up label(new target); target's label just
-        // changed → push it to everyone pointing there): a candidate
-        // with BOTH sides unchanged is identical to one already folded
-        // in an earlier round, and labels are monotone non-increasing,
-        // so re-generating it cannot improve anything (the same
-        // argument the edge leg's delta restriction has always used).
-        // The merged label = least(current, min candidate) via a
-        // broadcast left join — map-only over the label scan, every
-        // node keeps its row, __prev comes straight from the current
-        // table. Convergence detection is unchanged: if a round
-        // reports 0 changes, every candidate either regenerated a
-        // folded value or was provably unable to improve, so the full
-        // round would also report 0 — the fixpoint is the same.
+        // is broadcast once and CANDIDATE GENERATION becomes map-side
+        // probes — the edge leg and both jump legs stop shuffling the
+        // label table. The jump splits into its two delta-restricted
+        // legs (x's label just changed → look up label(new target);
+        // target's label just changed → push it to everyone pointing
+        // there): a candidate with BOTH sides unchanged is identical
+        // to one already folded in an earlier round, and labels are
+        // monotone non-increasing, so re-generating it cannot improve
+        // anything (the same argument the edge leg's delta restriction
+        // has always used). The merged label = least(current, min
+        // candidate) via a keyed left join (see the merge comment for
+        // why cands must not broadcast); every node keeps its row,
+        // __prev comes straight from the current table. Convergence
+        // detection is unchanged: if a round reports 0 changes, every
+        // candidate either regenerated a folded value or was provably
+        // unable to improve, so the full round would also report 0 —
+        // the fixpoint is the same.
         //
         // SHUFFLE round (big delta, the 100 TB early rounds): the
         // original full-jump + union + groupBy shape — no driver-side
@@ -804,12 +807,25 @@ object NearDup {
           val jump1 = bd.as("x")
             .join(labels.as("y"), col("x.component") === col("y.node"))
             .select(col("x.node").as("node"), col("y.component").as("__cand"))
-          val jump2 = labels.as("x")
-            .join(bd.as("y"), col("x.component") === col("y.node"))
-            .select(col("x.node").as("node"), col("y.component").as("__cand"))
-          val cands = viaEdges.unionByName(jump1).unionByName(jump2)
+          // round 1 has delta == labels, making jump2 the identical
+          // join to jump1 — skip the redundant second probe of the
+          // heaviest broadcast round
+          val jumps =
+            if (delta eq labels) Seq(jump1)
+            else Seq(jump1, labels.as("x")
+              .join(bd.as("y"), col("x.component") === col("y.node"))
+              .select(col("x.node").as("node"), col("y.component").as("__cand")))
+          val cands = (viaEdges +: jumps).reduce(_ unionByName _)
             .groupBy(col("node")).agg(min(col("__cand")).as("__cand"))
-          labels.join(broadcast(cands), Seq("node"), "left")
+          // The merge stays a KEYED join, not a broadcast: `cands` is
+          // one row per AFFECTED node — neighbors of the delta plus
+          // every node pointing at a changed label — which the delta
+          // gate does NOT bound (one relabeled mega-component root =
+          // component-sized cands). Only the bounded delta broadcasts;
+          // cands (usually tiny) and the label table take one exchange
+          // each — still three full-table exchanges fewer per round
+          // than the shuffle shape.
+          labels.join(cands, Seq("node"), "left")
             .select(col("node"),
               least(col("component"), coalesce(col("__cand"), col("component")))
                 .as("component"),

@@ -1254,7 +1254,10 @@ class PropertySpec extends AnyFunSuite {
     val gen = for {
       n <- Gen.choose(1, 60)
       rows <- Gen.listOfN(n, Gen.zip(
-        Gen.choose(0, 100).map(_ / 100.0),
+        // null-score arm: unrankable rows must be DROPPED identically
+        // by both paths (r15 contract), never NPE or sort arbitrarily
+        Gen.frequency(9 -> Gen.choose(0, 100).map(x => Option(x / 100.0)),
+          1 -> Gen.const(None: Option[Double])),
         Gen.frequency(9 -> vecD.map(Option(_)), 1 -> Gen.const(None))))
       lambda <- Gen.oneOf(0.0, 0.3, 0.7, 1.0)
       k <- Gen.choose(1, 5)
@@ -1352,19 +1355,25 @@ class PropertySpec extends AnyFunSuite {
       sep <- Gen.oneOf(" ", "  ", "\t", "\n")
       pad <- Gen.oneOf("", " ", "\t")
     } yield pad + ws.mkString(sep) + pad
-    check(Prop.forAll(Gen.choose(1, 8).flatMap(Gen.listOfN(_, textGen))) { docs =>
+    // the null arm pins the kernel's documented null contract (null
+    // text → null struct, matching the composite's null propagation)
+    val gen = Gen.choose(1, 8).flatMap(Gen.listOfN(_,
+      Gen.frequency(9 -> textGen, 1 -> Gen.const(null: String))))
+    check(Prop.forAll(gen) { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
+      def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
       val fused = df
         .withColumn("__r", graft.ops.TextAnalysis.repetitionStats(col("text")))
         .select(col("doc_id"), col("__r.dup_tok_frac"), col("__r.dup_bigram_frac"))
-        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        .collect().map(r => r.getLong(0) -> (d(r, 1), d(r, 2))).toMap
       val comp = df
         .withColumn("__w", graft.ops.NearDup.tokens(col("text")))
         .select(col("doc_id"),
           graft.ops.TextAnalysis.dupTokenFrac(col("__w")),
           graft.ops.TextAnalysis.dupBigramFrac(col("__w")))
-        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        .collect().map(r => r.getLong(0) -> (d(r, 1), d(r, 2))).toMap
       fused == comp
     }, n = 12)
   }
