@@ -72,6 +72,114 @@ object Sinks {
         s"swap recovery: could not restore $b to $p")
   }
 
+  /** Partial-rewrite commit for a bucket-partitioned swap-managed
+    * store: replace ONLY the `affected` bucket partitions of `path`
+    * with the matching partitions of `newContent`, leaving every
+    * other bucket directory physically untouched — same files, same
+    * bytes (spec-asserted). This is what makes an incremental merge
+    * cost O(touched buckets) instead of O(store): the K1 whole-store
+    * swap rewrites the corpus-sized table per batch by construction.
+    *
+    * Crash story (the K1 swap generalized to many directories):
+    *  1. staged data fully materializes under `path + ".bstaging"`
+    *     (a normal partitioned write — crash here leaves the live
+    *     store untouched);
+    *  2. an intent manifest (`path + ".bswap"`, written to a temp
+    *     file and renamed into place atomically) records every
+    *     affected bucket dir and whether it had prior data;
+    *  3. each affected live dir is moved aside to `path + ".bold"`,
+    *     then its staged dir renamed in (renames are atomic; a
+    *     bucket whose new content is empty simply has no staged dir
+    *     and ends removed — its rows moved to other buckets);
+    *  4. the manifest is deleted LAST — the commit point — then the
+    *     backups and staging are cleaned up.
+    *
+    * `recoverBucketSwap` rolls a manifest-present store BACK to its
+    * exact pre-swap state (backups restored, staged-in dirs of
+    * previously-absent buckets removed), so a crash anywhere in the
+    * sequence reads — after recovery — as the merge never having
+    * run; re-running the batch is the caller's retry, and
+    * `LabelStore.merge` is idempotent by construction. Roll-back-
+    * always is deliberate: rolling FORWARD would need the recovery
+    * path to distinguish a complete rename pass from a partial one,
+    * and the backward answer is always correct under idempotent
+    * retries. A crash between the last rename and the manifest
+    * delete also rolls back — indistinguishable from the batch not
+    * having run, which the retry then re-runs. */
+  def swapBuckets(spark: SparkSession, path: String, newContent: DataFrame,
+      bucketCol: String, affected: Seq[Long]): Unit = {
+    recoverBucketSwap(spark, path) // a crashed earlier swap rolls back first
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(path)),
+      s"swapBuckets: no store at $path — bootstrap with overwriteInPlace")
+    if (affected.isEmpty) return
+    val staging = path + ".bstaging"
+    fs.delete(new Path(staging), true)
+    newContent.write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
+      .parquet(staging)
+    val dirs = affected.map(b => s"$bucketCol=$b")
+    val manifest = new Path(path + ".bswap")
+    val tmp = new Path(path + ".bswap.tmp")
+    // hadPrior is recorded BEFORE any rename: rollback needs to know
+    // whether a missing backup means "move-aside never ran, live is
+    // still the original" (keep) or "bucket never existed" (delete)
+    val lines = dirs.map(d =>
+      s"$d\t${if (fs.exists(new Path(path, d))) 1 else 0}")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(s"bucket swap: could not arm $manifest")
+    val boldRoot = new Path(path + ".bold")
+    fs.mkdirs(boldRoot)
+    for (d <- dirs) {
+      val live = new Path(path, d)
+      val stg = new Path(staging, d)
+      if (fs.exists(live) && !fs.rename(live, new Path(boldRoot, d)))
+        throw new java.io.IOException(s"bucket swap: could not move $live aside")
+      if (fs.exists(stg) && !fs.rename(stg, live))
+        throw new java.io.IOException(s"bucket swap: could not promote $stg")
+    }
+    fs.delete(manifest, false) // commit point
+    fs.delete(boldRoot, true)
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Roll back an interrupted `swapBuckets` (manifest present): every
+    * affected bucket returns to its pre-swap content, then the
+    * manifest and work dirs are removed. Idempotent; a no-op (bar
+    * leftover-dir cleanup) when no swap was in flight. Every op that
+    * reads or rewrites a bucket-swapped store must call this first —
+    * the bucket-level analog of `recoverSwap`'s contract. */
+  def recoverBucketSwap(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(path + ".bswap")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      for (line <- text.split("\n").map(_.trim).filter(_.nonEmpty)) {
+        val parts = line.split("\t")
+        val (d, hadPrior) = (parts(0), parts(1) == "1")
+        val live = new Path(path, d)
+        val bak = new Path(path + ".bold", d)
+        if (hadPrior) {
+          if (fs.exists(bak)) {
+            if (fs.exists(live)) fs.delete(live, true)
+            if (!fs.rename(bak, live))
+              throw new java.io.IOException(
+                s"bucket swap recovery: could not restore $bak")
+          } // else: the move-aside never ran; live still holds the original
+        } else if (fs.exists(live)) {
+          fs.delete(live, true) // staged-in dir of a previously-absent bucket
+        }
+      }
+      fs.delete(manifest, false)
+    }
+    Seq(".bold", ".bstaging", ".bswap.tmp")
+      .foreach(s => fs.delete(new Path(path + s), true))
+  }
+
   /** Shared maintenance body for the bucket-partitioned swap-managed
     * stores (signature store, label store): recover an interrupted
     * swap, optionally anti-join a delete feed on `idCol`, and rewrite
@@ -82,6 +190,7 @@ object Sinks {
   def rewriteBucketed(spark: SparkSession, path: String, bucketCol: String,
       antiJoin: Option[(DataFrame, String)] = None): Unit = {
     recoverSwap(spark, path)
+    recoverBucketSwap(spark, path)
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path)))

@@ -35,23 +35,28 @@ import org.apache.spark.sql.functions._
   *  3. re-converge ONLY that subgraph: `connectedComponents` over
   *     (touched stars ∪ new pairs) — iterative work proportional to
   *     the batch and the components it touches, never the corpus;
-  *  4. merge: untouched rows pass through (an anti join whose build
-  *     side is the re-labeled subgraph's node set), re-labeled rows
-  *     replace, and the result swaps in via the K1 staging rename —
-  *     a crashed merge leaves the previous labels intact, and
-  *     re-running the same batch is idempotent (star edges of
-  *     already-merged components re-converge to the same labels).
+  *  4. merge: ONLY the affected `comp_bucket` partitions rewrite
+  *     (`Sinks.swapBuckets` — per-bucket staging renames behind an
+  *     intent manifest, r16). Affected = the touched components' old
+  *     buckets ∪ the re-converged labels' new buckets; rows of
+  *     untouched components that merely share an affected bucket
+  *     pass through within that bucket's rewrite (an anti join whose
+  *     build side is the re-labeled subgraph's node set), and every
+  *     OTHER bucket directory is never read, never written —
+  *     byte-identical after the merge (spec-asserted). A crashed
+  *     merge rolls back to the previous labels
+  *     (`Sinks.recoverBucketSwap`), and re-running the same batch is
+  *     idempotent (star edges of already-merged components
+  *     re-converge to the same labels).
   *
-  * Per-batch cost: the touched-subgraph CC plus linear, shuffle-free
-  * passes over the label table (lookup scan, pruned star pull,
-  * pass-through rewrite). The label table is two longs per corpus
-  * document — orders smaller than the pairs log it contracts. At
-  * 100 TB the remaining linear term is the rewrite; a table format
-  * with partition-level commits (or dynamic partition overwrite
-  * fronted by a manifest) would cut that to the touched buckets, at
-  * the price of the multi-partition crash-consistency machinery this
-  * engine deliberately keeps behind the single K1 swap.
-  */
+  * Per-batch cost: the touched-subgraph CC plus one partition-pruned
+  * lookup scan of the store and a rewrite of the affected buckets
+  * only. NOTHING in the merge is proportional to the corpus: the
+  * label table is two longs per document, and a daily batch touching
+  * k components reads and writes ≤ 2k of its bucket partitions
+  * (capped at `buckets`) regardless of how many documents the store
+  * labels — the probe pins a fixed batch's merge cost flat across a
+  * 100× corpus. */
 object LabelStore {
 
   /** Merge a batch of candidate pairs into the label store at `path`,
@@ -79,6 +84,11 @@ object LabelStore {
     // pass-through rewrite of the corpus-sized label table.
     if (newPairs.isEmpty) return
     dbg("isEmpty")
+    // recover BOTH swap flavors before reading: a crashed whole-store
+    // swap promotes its backup, a crashed bucket swap rolls back —
+    // either way the read below sees one consistent pre-merge store
+    graft.io.Sinks.recoverSwap(spark, path)
+    graft.io.Sinks.recoverBucketSwap(spark, path)
     val existing = graft.io.Sinks.readStateOrBackup(spark, path)
     dbg("read")
     // the CC result is localCheckpoint-pinned; released after the swap
@@ -94,13 +104,20 @@ object LabelStore {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val labels = existing match {
+    existing match {
       case None =>
         val boot = NearDup.connectedComponents(newPairs, colA, colB,
             maxIterations)
           .select(col("node"), col("component"))
         pinnedCc = Some(boot)
-        boot
+        // bootstrap is the one full write the store ever pays; one
+        // writer task per bucket — without this, every shuffle task
+        // writes a sliver file into every bucket dir it touches
+        graft.io.Sinks.overwriteInPlace(
+          boot.withColumn("comp_bucket",
+              pmod(xxhash64(col("component")), lit(buckets.toLong)))
+            .repartition(buckets, col("comp_bucket")),
+          path, partitionBy = Seq("comp_bucket"))
       case Some(storedRaw) =>
         val stored = storedRaw.select(col("node"), col("component"),
           col("comp_bucket"))
@@ -155,24 +172,38 @@ object LabelStore {
           star.unionByName(contracted), colA, colB, maxIterations)
         dbg("cc")
         pinnedCc = Some(sub)
-        // 4. untouched rows pass through; every re-labeled node's old
-        // row (if any) sat in a touched component, so the anti join
-        // fully covers the replacements
-        val untouched = stored.select(col("node"), col("component"))
+        // 4. rewrite ONLY the affected buckets (r16): the touched
+        // components' old buckets plus wherever the re-converged
+        // labels hash — a merged component's new min-id can land in
+        // a different bucket than any of its constituents, and its
+        // members' old rows must leave their old buckets while the
+        // new rows enter the new one. ≤ `buckets` longs, the same
+        // driver bound as touchedBuckets (sub is checkpoint-pinned,
+        // so this collect is a cheap scan, not a CC re-run).
+        val newBuckets = sub
+          .select(pmod(xxhash64(col("component")), lit(buckets.toLong)))
+          .distinct().collect().map(_.getLong(0))
+        val affected = (touchedBuckets ++ newBuckets).distinct
+        // Per-bucket content: rows of untouched components that merely
+        // share an affected bucket pass through (anti join against the
+        // re-labeled node set — every re-labeled node's old row sat in
+        // a touched bucket, so this fully covers the replacements);
+        // re-labeled rows replace. The scan is partition-pruned to the
+        // affected buckets; buckets outside `affected` are never read,
+        // never written. One writer task per affected bucket, the same
+        // sliver-file discipline as the bootstrap write.
+        val passThrough = stored
+          .filter(col("comp_bucket").isin(affected: _*))
+          .select(col("node"), col("component"))
           .join(sub.select(col("node")), Seq("node"), "left_anti")
-        untouched.unionByName(sub.select(col("node"), col("component")))
+        val content = passThrough
+          .unionByName(sub.select(col("node"), col("component")))
+          .withColumn("comp_bucket",
+            pmod(xxhash64(col("component")), lit(buckets.toLong)))
+          .repartition(math.max(1, affected.length), col("comp_bucket"))
+        graft.io.Sinks.swapBuckets(spark, path, content, "comp_bucket",
+          affected)
     }
-    // One writer task per bucket: without this, every shuffle task
-    // writes a sliver file into every bucket dir it touches (tasks ×
-    // buckets tiny files per merge — measured 4× the merge wall at
-    // demo sizes, and a file-count explosion at any size). Callers
-    // size `buckets` so one bucket ≈ one task's worth of rows, the
-    // same contract as the signature store's band_bucket.
-    graft.io.Sinks.overwriteInPlace(
-      labels.withColumn("comp_bucket",
-          pmod(xxhash64(col("component")), lit(buckets.toLong)))
-        .repartition(buckets, col("comp_bucket")),
-      path, partitionBy = Seq("comp_bucket"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     dbg("write")
     // the swap consumed the pinned CC labels — release their blocks
@@ -183,8 +214,10 @@ object LabelStore {
   /** Compact the label store: rewrite every `comp_bucket` partition
     * into (at most) one file. A merge already funnels each bucket
     * through one writer task, so steady-state merges keep the store
-    * at ~1 file per bucket — but a store inherited from a different
-    * writer (or a future partial-rewrite optimization) can fragment,
+    * at ~1 file per bucket (the r16 bucket swap REPLACES each
+    * affected dir wholesale, so partial rewrites don't fragment
+    * either) — but a store inherited from a different writer can
+    * fragment,
     * and the signature store's compaction cadence
     * (`NearDup.compactSignatureStore`) wants a same-shaped analog
     * here. Same K1 staging swap; GraphSpec asserts read-equivalence
@@ -219,10 +252,14 @@ object LabelStore {
       antiJoin = Some((removedIds.select(col(idCol).as("node")), "node")))
 
   /** The current labels: (node, component), crash-recovering through
-    * the K1 backup like any swap-managed state. */
-  def read(spark: SparkSession, path: String): DataFrame =
+    * the K1 backup like any swap-managed state — and rolling back an
+    * interrupted bucket swap first, so a reader never sees a
+    * half-renamed partition set. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    graft.io.Sinks.recoverBucketSwap(spark, path)
     graft.io.Sinks.readStateOrBackup(spark, path)
       .getOrElse(throw new java.util.NoSuchElementException(
         s"LabelStore.read: no label store at $path"))
       .select(col("node"), col("component"))
+  }
 }

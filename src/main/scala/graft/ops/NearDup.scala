@@ -666,6 +666,14 @@ object NearDup {
     *
     * Returns one row per node appearing in `pairs`:
     * (node, component = min id reachable). */
+  /** Test hook: observes each CC round's (iteration, pre-round delta
+    * size, shape — true = broadcast-delta) so a spec can assert the
+    * mid-loop shuffle→broadcast flip actually occurs at a given gate
+    * without env-var plumbing. None in production: one Option check
+    * per ROUND (not per row), zero cost. */
+  @volatile private[graft] var ccRoundListener:
+    Option[(Int, Long, Boolean) => Unit] = None
+
   def connectedComponents(pairs: DataFrame, colA: String = "doc_a",
       colB: String = "doc_b", maxIterations: Int = 20,
       maxBroadcastDelta: Long = 250000L): DataFrame = {
@@ -734,6 +742,10 @@ object NearDup {
       // edges — same single shuffle a distinct-nodes init would cost,
       // one fewer loop iteration. The node count rides the checkpoint
       // job via an accumulator (it gates the round-1 broadcast path).
+      // Task retries/speculation can only OVER-count it, which at
+      // worst pushes round 1 past the gate onto the shuffle shape —
+      // a forgone optimization, never a correctness risk (the same
+      // caveat as the edge-count accumulator above).
       val nodeAcc = spark.sparkContext.longAccumulator("cc_nodes")
       val initRaw = edgesByDst.groupBy(col("src"))
         .agg(min(col("dst")).as("__m"))
@@ -799,6 +811,8 @@ object NearDup {
         // per-round cost lived — the r12 audit measured a ~0.22 MB /
         // 39 k-record floor per round from the stationary node-table
         // legs; the broadcast shape removes exactly that floor.
+        ccRoundListener.foreach(
+          _(iter, prevChanged, prevChanged <= maxBroadcastDelta))
         val computed = if (prevChanged <= maxBroadcastDelta) {
           val bd = broadcast(delta)
           val viaEdges = edgesByDst.as("e")

@@ -217,6 +217,95 @@ class GraphSpec extends AnyFunSuite {
       s"scanned=$scanned of ${all.inputFiles.length}")
   }
 
+  test("label store: a merge leaves untouched bucket FILES byte-identical") {
+    // The r16 contract that makes merge cost O(touched buckets): a
+    // batch touching one component must rewrite ONLY that component's
+    // bucket partition(s) — every other bucket directory keeps the
+    // same files with the same bytes, not merely the same rows.
+    val path = s"${TestSpark.tempDir("labelpartial")}/labels"
+    // 40 disjoint 2-node components spread across 8 buckets
+    val b1 = (0L until 40L).map(i => (i * 100L, i * 100L + 1L))
+    graft.ops.LabelStore.merge(spark, path, b1.toDF("doc_a", "doc_b"),
+      buckets = 8)
+    def snapshot(): Map[String, Seq[(String, String)]] = {
+      val root = new java.io.File(path)
+      root.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("comp_bucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.isFile).sortBy(_.getName)
+            .toSeq.map { f =>
+              val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+              (f.getName, java.util.Base64.getEncoder.encodeToString(
+                java.security.MessageDigest.getInstance("SHA-256")
+                  .digest(bytes)))
+            }
+        }.toMap
+    }
+    val before = snapshot()
+    assert(before.size >= 4, s"want components spread over buckets: $before")
+    // batch 2 extends component 0 with one new node — touches exactly
+    // component 0, whose old and new label (min id 0) share a bucket
+    graft.ops.LabelStore.merge(spark, path,
+      Seq((0L, 99999L)).toDF("doc_a", "doc_b"), buckets = 8)
+    val after = snapshot()
+    val affectedDir = "comp_bucket=" + spark.range(1)
+      .select(pmod(xxhash64(lit(0L)), lit(8L))).head.getLong(0)
+    assert(before.keySet == after.keySet)
+    (before.keySet - affectedDir).foreach { d =>
+      assert(after(d) == before(d),
+        s"bucket $d rewritten by a merge that never touched it")
+    }
+    assert(after(affectedDir) != before(affectedDir))
+    // and the labels still tile the one-shot CC
+    val got = graft.ops.LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.ops.NearDup.connectedComponents(
+        (b1 :+ (0L -> 99999L)).toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("label store: a crashed bucket swap rolls back to the pre-merge labels") {
+    val path = s"${TestSpark.tempDir("labelcrash")}/labels"
+    graft.ops.LabelStore.merge(spark, path,
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b"),
+      buckets = 4)
+    val before = graft.ops.LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // fake a crash mid-swap, both manifest cases at once:
+    //  - a hadPrior bucket moved aside to .bold whose staged rename
+    //    never ran (live dir missing — the worst window), and
+    //  - a previously-absent bucket whose staged dir DID rename in
+    //    (junk that must be removed, or the post-recovery read breaks)
+    val dir = fs.listStatus(p(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("comp_bucket="))
+      .head.getPath
+    fs.mkdirs(p(path + ".bold"))
+    assert(fs.rename(dir, p(path + ".bold/" + dir.getName)))
+    val junk = fs.create(p(path + "/comp_bucket=999/junk.parquet"), true)
+    junk.write(Array[Byte](1, 2, 3)); junk.close()
+    val mf = fs.create(p(path + ".bswap.tmp"), true)
+    mf.write(s"${dir.getName}\t1\ncomp_bucket=999\t0\n".getBytes("UTF-8"))
+    mf.close()
+    assert(fs.rename(p(path + ".bswap.tmp"), p(path + ".bswap")))
+    // any read (or the next merge) rolls back to the pre-swap store
+    val after = graft.ops.LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+    assert(!fs.exists(p(path + ".bswap")) && !fs.exists(p(path + ".bold")))
+    assert(!fs.exists(p(path + "/comp_bucket=999")))
+    // recovery is idempotent and the rolled-back store keeps merging
+    graft.ops.LabelStore.merge(spark, path,
+      Seq((2L, 20L)).toDF("doc_a", "doc_b"), buckets = 4)
+    val merged = graft.ops.LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == Set((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 1L), (21L, 1L)))
+  }
+
   test("label store: a pair-less FIRST merge does not create a broken store") {
     // an empty partitioned parquet write emits only _SUCCESS; if the
     // first (bootstrap) merge wrote it, every later read would die on

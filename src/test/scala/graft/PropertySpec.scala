@@ -118,6 +118,51 @@ class PropertySpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  test("property: CC flips shuffle→broadcast MID-LOOP and still matches union-find") {
+    // The union-find pin drives both round shapes via gate 0 vs the
+    // default, but neither run ever CHANGES shape inside one loop —
+    // the exact transition a production 100× run takes when the delta
+    // shrinks through the gate. Self-calibrating witness: measure the
+    // delta sequence once (gate 0 = all shuffle), set the gate between
+    // the observed extremes, re-run, and require both shapes to occur
+    // with the gate honored round-by-round and labels == union-find.
+    val chain = (0L until 96L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val want = unionFind(chain)
+    def run(gate: Long): (Map[Long, Long], Seq[(Long, Boolean)]) = {
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+      val self = Thread.currentThread().getId
+      NearDup.ccRoundListener = Some((_, d, b) =>
+        if (Thread.currentThread().getId == self) rounds += ((d, b)))
+      try {
+        val got = NearDup.connectedComponents(chain.toDF("doc_a", "doc_b"),
+            maxBroadcastDelta = gate).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (got, rounds.toSeq)
+      } finally NearDup.ccRoundListener = None
+    }
+    val (allShuffle, observed) = run(0L)
+    assert(allShuffle == want)
+    assert(observed.nonEmpty && observed.forall(!_._2))
+    val ds = observed.map(_._1)
+    assert(ds.max > ds.min, s"degenerate delta sequence $ds")
+    val gate = (ds.max + ds.min) / 2
+    val (got, rounds) = run(gate)
+    assert(got == want)
+    assert(rounds.exists(!_._2) && rounds.exists(_._2),
+      s"no mid-loop flip at gate=$gate: rounds=$rounds")
+    rounds.foreach { case (d, b) =>
+      assert(b == (d <= gate), s"shape disobeyed gate=$gate at delta=$d") }
+    // and randomized: a tiny mid-gate on arbitrary topologies (most
+    // runs flip somewhere) never perturbs the fixpoint
+    check(Prop.forAll(graphGen) { case (_, pairs) =>
+      pairs.isEmpty || {
+        NearDup.connectedComponents(pairs.toDF("doc_a", "doc_b"),
+            maxBroadcastDelta = 3L).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap == unionFind(pairs)
+      }
+    }, n = 6)
+  }
+
   test("property: dropNearDuplicatesTransitive keeps exactly each component's min") {
     check(Prop.forAll(graphGen) { case (n, pairs) =>
       (pairs.isEmpty) || {
@@ -509,6 +554,11 @@ class PropertySpec extends AnyFunSuite {
           rank = nodes.map(v =>
             v -> r9((1 - d) / n + d * in.getOrElse(v, 0.0))).toMap
         }
+        // the two round shapes must be BIT-equal to each other (the
+        // per-iteration 1e-9 rounding makes sum order immaterial —
+        // the code's own claim, pinned here), and both within the
+        // rounding-tie tolerance of the naive model
+        got == gotShuffle &&
         Seq(got, gotShuffle).forall(g => g.keySet == nodes.toSet &&
           nodes.forall(v => math.abs(g(v) - rank(v)) <= 1.1e-6))
       }
