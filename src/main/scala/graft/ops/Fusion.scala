@@ -94,34 +94,50 @@ object Fusion {
   def mmrRerank(candidates: DataFrame, id: String, vecCol: String,
       lambda: Double = 0.7, k: Int = 10, scoreCol: String = "score",
       maxPool: Int = 10000): DataFrame = {
-    require(lambda >= 0 && lambda <= 1, s"mmrRerank: lambda=$lambda")
-    require(k > 0, s"mmrRerank: k=$k")
-    // the greedy page keys candidates by long id; a silent cast of a
-    // string id (e.g. the sha16 surrogate keys) would null every row
-    // and die later in an opaque NPE — fail loudly at the boundary
-    locally {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val idType = candidates.schema(id).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
-        s"mmrRerank: id column '$id' must be an integral type, got $idType — " +
-          "map string ids (e.g. sha16 keys) to a numeric surrogate first")
-    }
-    val spark = candidates.sparkSession
-    // null/NaN relevance rows are DROPPED, not ranked: a null score
-    // previously NPE'd the collect, and NaN orders differently in
-    // Spark sorts (greatest) vs the driver greedy — neither is a
-    // rankable candidate, and dropping them here keeps mmrRerankLarge's
-    // pruned path (whose rank window would sort them arbitrarily)
-    // exactly equivalent to this one on every real row
-    val rows = candidates
-      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
-      .select(col(id).cast("long"), col(scoreCol).cast("double"), col(vecCol))
-      .limit(maxPool + 1).collect()
+    validateMmrArgs(candidates, id, lambda, k, "mmrRerank")
+    val rows = collectPool(candidates, id, vecCol, scoreCol, maxPool)
     require(rows.length <= maxPool,
       s"mmrRerank: candidate pool exceeds maxPool=$maxPool — MMR re-ranks " +
         "a bounded top-N page; cut the pool in the upstream ranker")
-    final case class Cand(cid: Long, rel: Double, vec: Array[Double])
-    val pool = rows.map { r =>
+    greedyFrame(candidates.sparkSession, parseCands(rows), id, scoreCol,
+      lambda, k)
+  }
+
+  private def validateMmrArgs(candidates: DataFrame, id: String,
+      lambda: Double, k: Int, op: String): Unit = {
+    require(lambda >= 0 && lambda <= 1, s"$op: lambda=$lambda")
+    require(k > 0, s"$op: k=$k")
+    // the greedy page keys candidates by long id; a silent cast of a
+    // string id (e.g. the sha16 surrogate keys) would null every row
+    // and die later in an opaque NPE — fail loudly at the boundary
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = candidates.schema(id).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"$op: id column '$id' must be an integral type, got $idType — " +
+        "map string ids (e.g. sha16 keys) to a numeric surrogate first")
+  }
+
+  /** null/NaN relevance rows are DROPPED, not ranked: a null score
+    * previously NPE'd the collect, and NaN orders differently in
+    * Spark sorts (greatest) vs the driver greedy — neither is a
+    * rankable candidate, and dropping them identically on every path
+    * keeps the pruned and unpruned pipelines row-equivalent. */
+  private def rankable(candidates: DataFrame, scoreCol: String): DataFrame =
+    candidates.filter(col(scoreCol).isNotNull &&
+      !isnan(col(scoreCol).cast("double")))
+
+  /** ONE bounded collect of the rankable pool: at most `cap`+1 rows
+    * reach the driver regardless of the input's size. */
+  private def collectPool(candidates: DataFrame, id: String, vecCol: String,
+      scoreCol: String, cap: Int): Array[org.apache.spark.sql.Row] =
+    rankable(candidates, scoreCol)
+      .select(col(id).cast("long"), col(scoreCol).cast("double"), col(vecCol))
+      .limit(cap + 1).collect()
+
+  private final case class Cand(cid: Long, rel: Double, vec: Array[Double])
+
+  private def parseCands(rows: Array[org.apache.spark.sql.Row]): Array[Cand] =
+    rows.map { r =>
       val v = r.getSeq[Any](2) match {
         case null => Array.empty[Double]
         case s => s.map {
@@ -132,6 +148,11 @@ object Fusion {
       }
       Cand(r.getLong(0), r.getDouble(1), v)
     }.sortBy(c => (-c.rel, c.cid))
+
+  /** The exact driver-side greedy over a parsed pool (pool already
+    * sorted by (rel DESC, id ASC) — `parseCands`). */
+  private def greedyPick(pool: Array[Cand], lambda: Double,
+      k: Int): Seq[Cand] = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       if (a.length != b.length || a.isEmpty) return 0.0
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -155,9 +176,15 @@ object Fusion {
       picked += best
       remaining -= best
     }
+    picked.toSeq
+  }
+
+  private def greedyFrame(spark: org.apache.spark.sql.SparkSession,
+      pool: Array[Cand], id: String, scoreCol: String, lambda: Double,
+      k: Int): DataFrame = {
     import spark.implicits._
-    picked.zipWithIndex
-      .map { case (c, i) => (c.cid, (i + 1).toLong, c.rel) }.toSeq
+    greedyPick(pool, lambda, k).zipWithIndex
+      .map { case (c, i) => (c.cid, (i + 1).toLong, c.rel) }
       .toDF(id, "mmr_rank", scoreCol)
   }
 
@@ -185,9 +212,13 @@ object Fusion {
     * standard ANN approximation: exact on the page, page chosen by
     * similarity-aware cells.
     *
-    * One bounded extra job: a `limit(maxPool+1).count()` probe decides
-    * whether the pool needs pruning at all (reads at most maxPool+1
-    * rows, never the corpus). */
+    * Cost shape: the size probe IS the passthrough collect — one
+    * bounded job reading at most maxPool+1 rows (r16, ADVICE fix: the
+    * old `limit().count()` probe ran the pool's upstream lineage a
+    * second time for ≤maxPool pools, the common case — an expensive
+    * pool source paid double). Only an OVERFLOWING pool re-executes
+    * its lineage (probe + prune), and that second pass is the
+    * distributed prune that never collects the corpus. */
   def mmrRerankLarge(candidates: DataFrame, id: String, vecCol: String,
       lambda: Double = 0.7, k: Int = 10, scoreCol: String = "score",
       maxPool: Int = 10000, nPlanes: Int = 5, seed: Long = 42L): DataFrame = {
@@ -198,24 +229,88 @@ object Fusion {
     require(perCell >= k,
       s"mmrRerankLarge: maxPool=$maxPool over $cells cells keeps only " +
         s"$perCell rows per cell < k=$k — lower nPlanes or raise maxPool")
-    // drop unrankable rows BEFORE the size probe so both branches see
-    // the identical pool (mmrRerank drops them too — see its scaladoc;
+    validateMmrArgs(candidates, id, lambda, k, "mmrRerankLarge")
+    // unrankable rows drop BEFORE the probe so both branches see the
+    // identical pool (collectPool drops them on the passthrough side;
     // without this a null-score row would count toward the prune
     // decision and then sort arbitrarily in the rank window)
-    val ranked = candidates
-      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
-    val n = ranked.limit(maxPool + 1).count()
-    if (n <= maxPool) {
-      mmrRerank(ranked, id, vecCol, lambda, k, scoreCol, maxPool)
+    val ranked = rankable(candidates, scoreCol)
+    val rows = collectPool(ranked, id, vecCol, scoreCol, maxPool)
+    if (rows.length <= maxPool) {
+      greedyFrame(candidates.sparkSession, parseCands(rows), id, scoreCol,
+        lambda, k)
     } else {
-      val w = Window.partitionBy(col("__cell"))
-        .orderBy(col(scoreCol).desc, col(id).asc)
-      val page = graft.vector.Similarity
-        .withLshBucket(ranked, vecCol, nPlanes, seed, as = "__cell")
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= perCell)
-        .drop("__cell", "__rn")
-      mmrRerank(page, id, vecCol, lambda, k, scoreCol, maxPool)
+      mmrRerank(prunedPage(ranked, id, vecCol, scoreCol, perCell, nPlanes,
+        seed), id, vecCol, lambda, k, scoreCol, maxPool)
     }
+  }
+
+  /** The distributed prune stage of `mmrRerankLarge`: LSH-cell the
+    * pool, keep each cell's top `perCell` by (`scoreCol` DESC, id ASC)
+    * — WindowGroupLimit pushes the cut map-side, so no cell's full
+    * membership ever shuffles. Page size ≤ cells·perCell. */
+  private def prunedPage(ranked: DataFrame, id: String, vecCol: String,
+      scoreCol: String, perCell: Int, nPlanes: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy(col("__cell"))
+      .orderBy(col(scoreCol).desc, col(id).asc)
+    graft.vector.Similarity
+      .withLshBucket(ranked, vecCol, nPlanes, seed, as = "__cell")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCell)
+      .drop("__cell", "__rn")
+  }
+
+  /** Measured prune quality for `mmrRerankLarge` below lambda = 1 —
+    * the RecallReport-style probe that turns "standard ANN
+    * approximation" into a number instead of an assertion. For each
+    * lambda in the grid, runs the exact greedy on the FULL pool and
+    * on the FORCED pruned page (forced regardless of pool size —
+    * otherwise any pool ≤ maxPool would passthrough and report a
+    * vacuous 1.0), and reports their top-k set overlap.
+    *
+    * Bounded audit op, not a corpus scan: both sides must run the
+    * driver greedy, so the pool is capped at `maxEval` rows (throws
+    * above — sample the pool upstream to audit a larger ranker). The
+    * page is built ONCE (cell membership and the per-cell cut don't
+    * depend on lambda); the grid loops only the driver-side greedy.
+    *
+    * Returns one row per lambda: (lambda, k, pool_n, page_n,
+    * overlap_at_k) with overlap_at_k = |pruned∩unpruned| / |unpruned|
+    * ∈ [0,1]. At lambda = 1 the containment guarantee makes it
+    * exactly 1.0 (spec-pinned alongside the q137/q138 oracles). */
+  def mmrPruneQualityReport(candidates: DataFrame, id: String, vecCol: String,
+      lambdas: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9, 1.0), k: Int = 10,
+      scoreCol: String = "score", maxPool: Int = 10000, nPlanes: Int = 5,
+      seed: Long = 42L, maxEval: Int = 10000): DataFrame = {
+    require(lambdas.nonEmpty, "mmrPruneQualityReport: empty lambda grid")
+    lambdas.foreach(l => require(l >= 0 && l <= 1,
+      s"mmrPruneQualityReport: lambda=$l"))
+    validateMmrArgs(candidates, id, 1.0, k, "mmrPruneQualityReport")
+    require(nPlanes >= 1 && nPlanes <= 16,
+      s"mmrPruneQualityReport: nPlanes=$nPlanes out of [1,16]")
+    val cells = (1 << nPlanes) + 1
+    val perCell = maxPool / cells
+    require(perCell >= k,
+      s"mmrPruneQualityReport: maxPool=$maxPool over $cells cells keeps " +
+        s"only $perCell rows per cell < k=$k — lower nPlanes or raise maxPool")
+    val spark = candidates.sparkSession
+    val ranked = rankable(candidates, scoreCol)
+    val fullRows = collectPool(ranked, id, vecCol, scoreCol, maxEval)
+    require(fullRows.length <= maxEval,
+      s"mmrPruneQualityReport: pool exceeds maxEval=$maxEval — the audit " +
+        "runs the exact greedy on the full pool; sample it upstream")
+    val fullPool = parseCands(fullRows)
+    val pagePool = parseCands(collectPool(
+      prunedPage(ranked, id, vecCol, scoreCol, perCell, nPlanes, seed),
+      id, vecCol, scoreCol, maxEval))
+    import spark.implicits._
+    lambdas.map { l =>
+      val exact = greedyPick(fullPool, l, k).map(_.cid).toSet
+      val approx = greedyPick(pagePool, l, k).map(_.cid).toSet
+      val overlap =
+        if (exact.isEmpty) 1.0
+        else (exact & approx).size.toDouble / exact.size
+      (l, k, fullPool.length.toLong, pagePool.length.toLong, overlap)
+    }.toDF("lambda", "k", "pool_n", "page_n", "overlap_at_k")
   }
 }

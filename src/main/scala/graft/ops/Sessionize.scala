@@ -36,6 +36,12 @@ object Sessionize {
     // emit duplicate output columns (group key n + count().as("n")),
     // and a ts named "new_s" would be clobbered mid-plan — reserved
     // names are rejected in every role.
+    // BEHAVIOR CHANGE (r15): earlier releases exempted key/ts/tie
+    // from the reserved-name check, so e.g. a ts column literally
+    // named "start_ms" used to pass (and silently produced duplicate
+    // output columns); it now throws. Rename the input column — the
+    // estimatedJaccardPairs precedent for recording tightened
+    // contracts in place.
     val reserved = Set("new_s", "session_id", "n", "start_ms", "end_ms")
     val clash = (df.columns.toSet ++ Set(key, ts, tie)).intersect(reserved)
     require(clash.isEmpty,

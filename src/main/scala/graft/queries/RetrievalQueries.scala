@@ -129,7 +129,13 @@ object RetrievalQueries {
         | FROM u JOIN q USING (i) GROUP BY vec_id)
         |SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS mmr_rank,
         |       score
-        |FROM cs ORDER BY mmr_rank LIMIT 10""".stripMargin) { (s, d) =>
+        |FROM cs WHERE score IS NOT NULL AND NOT isnan(score)
+        |ORDER BY mmr_rank LIMIT 10""".stripMargin) { (s, d) =>
+      // the oracle's NaN/NULL guard mirrors mmrRerankLarge's explicit
+      // unrankable-row drop: a zero-norm embedding scores NaN, which
+      // DuckDB's ORDER BY DESC would sort FIRST while Spark drops it —
+      // the two sides must share the drop semantics by construction,
+      // not by the generated data happening to have no zero-norm rows
       val emb = t(s, d, "embeddings")
       val q = queryVec(s, d, 0)
       val pool = emb.select(col("vec_id"),
