@@ -81,6 +81,16 @@ object Bench {
         s"($hostCores cores) — timings will not match a 32-core reference")
     val spark = GraftSession.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec WARNs "No Partition Defined" once per un-partitioned
+    // window STAGE — ~120 lines per full-suite run (~90% of the
+    // driver's bounded stdout tail, crowding the JSON record it
+    // exists to parse). Every such window here ranks a bounded pool
+    // by contract (RRF/MMR pools, report tables — PlanSpec pins the
+    // caps), so the warning carries no signal this run can act on.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // logging must never kill a bench
     // absorb session/JVM startup before any per-query timing
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }

@@ -105,9 +105,21 @@ object Sinks {
     * and the backward answer is always correct under idempotent
     * retries. A crash between the last rename and the manifest
     * delete also rolls back — indistinguishable from the batch not
-    * having run, which the retry then re-runs. */
+    * having run, which the retry then re-runs.
+    *
+    * Filesystem assumption: directory RENAME is atomic (local FS,
+    * HDFS). Object stores (S3A and friends) emulate rename as
+    * copy+delete — neither atomic nor cheap — so a bucket-swapped
+    * store on an object store needs a rename-capable layer
+    * underneath; don't point this at bare S3.
+    *
+    * Concurrency contract: ONE writer per store path. Within a JVM,
+    * swaps and recoveries on the same path serialize on a per-path
+    * lock; across processes, the manifest's `#writer` token makes a
+    * recovery racing a LIVE writer refuse instead of destroying its
+    * in-flight renames (see `recoverBucketSwap`). */
   def swapBuckets(spark: SparkSession, path: String, newContent: DataFrame,
-      bucketCol: String, affected: Seq[Long]): Unit = {
+      bucketCol: String, affected: Seq[Long]): Unit = swapLock(path).synchronized {
     recoverBucketSwap(spark, path) // a crashed earlier swap rolls back first
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(path)),
@@ -118,15 +130,33 @@ object Sinks {
     newContent.write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
       .parquet(staging)
     val dirs = affected.map(b => s"$bucketCol=$b")
+    // A staged partition outside `affected` would never be promoted —
+    // written to staging, then deleted at cleanup: silent row loss.
+    // LabelStore guarantees content ⊆ affected by construction, but
+    // this utility is public; a future caller's miscomputed affected
+    // set must fail LOUDLY here, before any rename runs.
+    val staged = fs.listStatus(new Path(staging))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(bucketCol + "="))
+      .map(_.getPath.getName)
+    val orphans = staged.filterNot(dirs.toSet)
+    require(orphans.isEmpty,
+      s"swapBuckets: newContent has partitions outside affected — " +
+        s"their rows would be silently dropped: ${orphans.mkString(", ")}")
     val manifest = new Path(path + ".bswap")
     val tmp = new Path(path + ".bswap.tmp")
     // hadPrior is recorded BEFORE any rename: rollback needs to know
     // whether a missing backup means "move-aside never ran, live is
-    // still the original" (keep) or "bucket never existed" (delete)
+    // still the original" (keep) or "bucket never existed" (delete).
+    // The `#writer` header identifies THIS process (pid@host plus the
+    // /proc starttime that disambiguates pid reuse): recovery refuses
+    // to roll back a manifest whose writer is provably still alive —
+    // a reader racing a live merge must not destroy its in-flight
+    // renames (the read-side data-loss window the r16 design opened).
     val lines = dirs.map(d =>
       s"$d\t${if (fs.exists(new Path(path, d))) 1 else 0}")
     val out = fs.create(tmp, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((s"#writer\t$writerToken\n" + lines.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, manifest))
       throw new java.io.IOException(s"bucket swap: could not arm $manifest")
@@ -145,20 +175,117 @@ object Sinks {
     fs.delete(new Path(staging), true)
   }
 
+  // One lock object per store path (JVM-wide): serializes a reader's
+  // crash-recovery against a writer's in-flight swap in the SAME
+  // process — the streaming `lshDedupSink` tick merging while an
+  // ad-hoc `LabelStore.read` runs is the common single-JVM race, and
+  // the lock removes it entirely (the writer-token check below covers
+  // the cross-process case). Keyed by the raw path string; callers
+  // already address one store by one spelling.
+  private val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def swapLock(path: String): Object =
+    swapLocks.computeIfAbsent(path, _ => new Object)
+
+  /** This process's identity for the `#writer` manifest header:
+    * `pid@host@starttime`. The starttime (clock ticks since boot,
+    * /proc/self/stat field 22) disambiguates pid reuse after a
+    * reboot or wrap; empty when /proc is unavailable (non-Linux). */
+  private def writerToken: String = {
+    val pid = ProcessHandle.current().pid()
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    s"$pid@$host@${procStartTicks(pid).getOrElse("")}"
+  }
+
+  private def procStartTicks(pid: Long): Option[String] =
+    try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/proc/$pid/stat")), "UTF-8")
+      // field 2 (comm) may contain spaces/parens; fields count from
+      // after the LAST ')' — starttime is field 22 overall, so index
+      // 19 in the post-comm tail (state=3rd field = tail index 0)
+      val tail = stat.substring(stat.lastIndexOf(')') + 1).trim.split("\\s+")
+      if (tail.length > 19) Some(tail(19)) else None
+    } catch { case _: Throwable => None }
+
+  /** Is the manifest's writer provably this process, or provably
+    * dead? Returns true when rollback is SAFE: the token is ours
+    * (the per-path lock guarantees no swap is in flight in this JVM
+    * while we hold it), or the pid no longer exists on this host, or
+    * it exists but with a different starttime (pid reuse). Returns
+    * false — rollback must refuse — when the pid is alive with the
+    * recorded starttime, or the token names another host (liveness
+    * unverifiable from here). A missing/legacy token returns true:
+    * pre-r17 manifests carry no header and single-writer discipline
+    * was their only guard. */
+  private def safeToRollBack(token: Option[String]): Boolean = token match {
+    case None => true
+    case Some(t) =>
+      val parts = t.split("@", -1)
+      if (parts.length < 2) true
+      else {
+        val (pidStr, host) = (parts(0), parts(1))
+        val ticks = if (parts.length > 2) parts(2) else ""
+        if (t == writerToken) true // our own crashed swap (lock held)
+        else if (host != java.net.InetAddress.getLocalHost.getHostName)
+          false // cannot verify a foreign writer's death
+        else scala.util.Try(pidStr.toLong).toOption match {
+          case None => true
+          case Some(pid) => procStartTicks(pid) match {
+            case None => true // pid gone — writer dead
+            case Some(now) => ticks.nonEmpty && now != ticks // pid reused?
+          }
+        }
+      }
+  }
+
   /** Roll back an interrupted `swapBuckets` (manifest present): every
     * affected bucket returns to its pre-swap content, then the
     * manifest and work dirs are removed. Idempotent; a no-op (bar
     * leftover-dir cleanup) when no swap was in flight. Every op that
     * reads or rewrites a bucket-swapped store must call this first —
-    * the bucket-level analog of `recoverSwap`'s contract. */
-  def recoverBucketSwap(spark: SparkSession, path: String): Unit = {
+    * the bucket-level analog of `recoverSwap`'s contract.
+    *
+    * Refuses (throws) when the manifest's writer is still ALIVE: a
+    * rollback racing a live writer would move that writer's renames
+    * out from under it — in the worst window (live dir just moved to
+    * `.bold`, staged rename not yet run) the recovery's final `.bold`
+    * cleanup would delete a bucket's only copy. Same-process races
+    * are serialized by the per-path lock instead (never refused); a
+    * manifest naming a DIFFERENT host is refused too, since liveness
+    * can't be verified from here — after confirming the writer is
+    * dead, recover on its host or use `forceRecoverBucketSwap`. */
+  def recoverBucketSwap(spark: SparkSession, path: String): Unit =
+    swapLock(path).synchronized {
+      recoverBucketSwapImpl(spark, path, force = false)
+    }
+
+  /** `recoverBucketSwap` without the live-writer refusal — the
+    * operator escape hatch for a manifest whose writer host is
+    * unreachable. ONLY safe once the writer is confirmed dead. */
+  def forceRecoverBucketSwap(spark: SparkSession, path: String): Unit =
+    swapLock(path).synchronized {
+      recoverBucketSwapImpl(spark, path, force = true)
+    }
+
+  private def recoverBucketSwapImpl(spark: SparkSession, path: String,
+      force: Boolean): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = new Path(path + ".bswap")
     if (fs.exists(manifest)) {
       val in = fs.open(manifest)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      for (line <- text.split("\n").map(_.trim).filter(_.nonEmpty)) {
+      val allLines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+      val token = allLines.find(_.startsWith("#writer\t"))
+        .map(_.stripPrefix("#writer\t"))
+      if (!force && !safeToRollBack(token))
+        throw new IllegalStateException(
+          s"bucket swap at $path is in flight by a live writer " +
+            s"(${token.getOrElse("?")}) — refusing rollback; retry after " +
+            "the merge finishes, or forceRecoverBucketSwap once the " +
+            "writer is confirmed dead")
+      for (line <- allLines.filterNot(_.startsWith("#"))) {
         val parts = line.split("\t")
         val (d, hadPrior) = (parts(0), parts(1) == "1")
         val live = new Path(path, d)

@@ -254,7 +254,15 @@ object LabelStore {
   /** The current labels: (node, component), crash-recovering through
     * the K1 backup like any swap-managed state — and rolling back an
     * interrupted bucket swap first, so a reader never sees a
-    * half-renamed partition set. */
+    * half-renamed partition set.
+    *
+    * Reading is therefore NOT pure: it may mutate the store (the
+    * rollback). Safe alongside a concurrent merge — same-JVM races
+    * serialize on the store's swap lock, and a manifest left by a
+    * LIVE writer in another process makes recovery refuse loudly
+    * rather than roll back its in-flight renames (r17; see
+    * `Sinks.recoverBucketSwap`). A refused read should simply retry
+    * after the merge completes. */
   def read(spark: SparkSession, path: String): DataFrame = {
     graft.io.Sinks.recoverBucketSwap(spark, path)
     graft.io.Sinks.readStateOrBackup(spark, path)

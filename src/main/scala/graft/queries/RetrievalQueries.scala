@@ -146,5 +146,43 @@ object RetrievalQueries {
           k = 10, maxPool = 360, nPlanes = 3)
         .orderBy(col("mmr_rank"))
     },
+
+    // ---- MMR prune-quality audit, lambda=1 row ----
+    // q138's FORCED prune measured instead of asserted: the report
+    // runs the exact greedy on the full pool and on the pruned page
+    // for each lambda in the grid and emits their top-k overlap. The
+    // lambda=1 row is SQL-expressible end-to-end — the containment
+    // guarantee (every cell's top-perCell includes the global
+    // relevance top-k) makes overlap_at_k exactly 1.0, and pool_n is
+    // the rankable-row count — so the audit op itself gets a full
+    // hash oracle. The lambda<1 rows (approximation quality, no
+    // closed form) are pinned by FusionSpec's planted near-dup pool;
+    // page_n is LSH-cell-dependent and checked there too (page_n <
+    // pool_n under a forced cut).
+    Q("q139_mmr_prune_quality",
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT vec_id,
+        |  round(SUM(x*qx) / (sqrt(SUM(x*x)) * sqrt(SUM(qx*qx))), 6) AS score
+        | FROM u JOIN q USING (i) GROUP BY vec_id)
+        |SELECT CAST(1.0 AS DOUBLE) AS lambda, CAST(10 AS INTEGER) AS k,
+        |       CAST(count(*) AS BIGINT) AS pool_n,
+        |       CAST(1.0 AS DOUBLE) AS overlap_at_k
+        |FROM cs WHERE score IS NOT NULL AND NOT isnan(score)""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = queryVec(s, d, 0)
+      val pool = emb.select(col("vec_id"),
+        round(Similarity.cosineSim(col("embedding"), typedlit(q.toSeq)), 6)
+          .as("score"),
+        col("embedding"))
+      // maxEval 30000 keeps the audit runnable at sf1 (20k embeddings)
+      Fusion.mmrPruneQualityReport(pool, "vec_id", "embedding",
+          lambdas = Seq(0.7, 1.0), k = 10, maxPool = 360, nPlanes = 3,
+          maxEval = 30000)
+        .filter(col("lambda") === 1.0)
+        .select(col("lambda"), col("k"), col("pool_n"), col("overlap_at_k"))
+    },
   )
 }

@@ -157,6 +157,52 @@ object Sf10Probe {
         graft.ops.LabelStore.merge(spark, lpath, batchPairs)
         graft.ops.LabelStore.read(spark, lpath).count()
       }
+      // r17 evidence line for the bucket-swap claim: at probe scale a
+      // merge must (a) leave untouched bucket dirs byte-identical
+      // (sha256 per file — name+len+mtime can miss a same-size
+      // rewrite) and (b) read ≪ the store's bytes (task inputMetrics
+      // summed across the merge; includes the batch's checkpoint
+      // blocks, so the figure is an over-estimate of store reads).
+      // The re-merge is idempotent but exercises the identical
+      // read/CC/rewrite path as a fresh batch.
+      def dirSnapshot(): Map[String, Seq[(String, String)]] = {
+        val root = new java.io.File(lpath)
+        root.listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("comp_bucket="))
+          .map { d =>
+            d.getName -> d.listFiles().filter(_.isFile).sortBy(_.getName)
+              .toSeq.map { f =>
+                val dig = java.security.MessageDigest.getInstance("SHA-256")
+                  .digest(java.nio.file.Files.readAllBytes(f.toPath))
+                (f.getName, java.util.Base64.getEncoder.encodeToString(dig))
+              }
+          }.toMap
+      }
+      val beforeSnap = dirSnapshot()
+      val storeBytes = new java.io.File(lpath).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).map(_.length).sum
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong
+      val bl = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(bl)
+      T(s"labels_merge_instrumented vs $tag corpus") {
+        graft.ops.LabelStore.merge(spark, lpath, batchPairs); 0L
+      }
+      Thread.sleep(1000) // let the async listener bus drain task events
+      spark.sparkContext.removeSparkListener(bl)
+      val afterSnap = dirSnapshot()
+      val changed = afterSnap.keySet.union(beforeSnap.keySet)
+        .filter(d => beforeSnap.get(d) != afterSnap.get(d))
+      val untouchedOk = (beforeSnap.keySet -- changed)
+        .forall(d => beforeSnap(d) == afterSnap(d))
+      println(s"PROBE labels_merge_evidence $tag: " +
+        s"buckets_total=${beforeSnap.size} buckets_changed=${changed.size} " +
+        s"untouched_identical=$untouchedOk " +
+        s"merge_bytes_read=${bytesRead.get} store_bytes=$storeBytes")
     }
     batchPairs.unpersist()
     spark.stop()

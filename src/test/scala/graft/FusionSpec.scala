@@ -87,6 +87,65 @@ class FusionSpec extends AnyFunSuite {
     assert(rel == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("MMR prune-quality report: forced cut on a near-dup-heavy pool") {
+    // The audit op behind q139: 6 planted clusters × 20 near-identical
+    // members (scores descending within a cluster) — the pool MMR's
+    // prune is built for. nPlanes=2 → 5 cells, maxPool=15 → perCell=3:
+    // a forced, heavy cut (page ≤ 15 of 120).
+    val dirs = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f),
+      Seq(0f, 0f, 0f, 1f), Seq(0.7f, 0.7f, 0f, 0f), Seq(0f, 0f, 0.7f, 0.7f))
+    val rows = for {
+      (dir, c) <- dirs.zipWithIndex
+      m <- 0 until 20
+    } yield ((c * 100 + m).toLong,
+      0.9 - 0.1 * c - 0.001 * m,
+      dir.map(_ + 0.001f * m))
+    // one unrankable row: must not count toward pool_n (the report
+    // audits the pool mmrRerankLarge itself would rank)
+    val pool = rows.toDF("id", "score", "vec").unionByName(
+      Seq((9999L, Double.NaN, Seq(1f, 0f, 0f, 0f))).toDF("id", "score", "vec"))
+    def report(nPlanes: Int, maxPool: Int) =
+      Fusion.mmrPruneQualityReport(pool, "id", "vec",
+          lambdas = Seq(0.5, 1.0), k = 3, maxPool = maxPool, nPlanes = nPlanes)
+        .collect().map(r =>
+          (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // a well-provisioned prune (17 cells for 6 clusters) and a starved
+    // one (5 cells — clusters must collide, and a colliding cell's
+    // score cut drops the weaker cluster entirely)
+    val fine = report(nPlanes = 4, maxPool = 105)
+    val starved = report(nPlanes = 2, maxPool = 15)
+    for (rep <- Seq(fine, starved)) {
+      assert(rep.map(_._1).toSeq == Seq(0.5, 1.0))
+      rep.foreach { case (_, k, poolN, pageN, _) =>
+        assert(k == 3)
+        assert(poolN == 120L, s"unrankable row must not count: $poolN")
+        assert(pageN < poolN, s"the cut must actually fire: page $pageN")
+      }
+      // the page is built once — lambda must not change its size
+      assert(rep.map(_._4).distinct.length == 1)
+      // lambda=1: the containment guarantee makes overlap EXACTLY 1.0
+      // under ANY provisioning — the q139 oracle row
+      assert(rep.find(_._1 == 1.0).get._5 == 1.0)
+    }
+    // lambda<1 is what the audit exists to measure: near-dups cluster
+    // into cells, so with enough cells each cluster's representatives
+    // survive the cut and the greedy agrees with the exact one; a
+    // starved cell grid reads LOW — the report flags the bad config
+    // instead of hiding it (values deterministic: sha-derived planes,
+    // fixed seed; observed 1.0 vs 1/3)
+    val fineOv = fine.find(_._1 == 0.5).get._5
+    val starvedOv = starved.find(_._1 == 0.5).get._5
+    assert(fineOv >= 0.9, s"well-provisioned overlap at lambda=0.5: $fineOv")
+    assert(starvedOv <= 0.5, s"starved overlap should read low: $starvedOv")
+    assert(starvedOv < fineOv)
+    // the audit refuses pools it cannot exactly-greedy on the driver
+    val e = intercept[IllegalArgumentException] {
+      Fusion.mmrPruneQualityReport(pool, "id", "vec", maxEval = 50)
+    }
+    assert(e.getMessage.contains("maxEval"))
+  }
+
   test("MMR: deterministic, k-bounded, and pool-capped") {
     val pool = Seq(
       (5L, 0.5, Seq(1.0f, 0.0f)), (6L, 0.5, Seq(0.0f, 1.0f)))

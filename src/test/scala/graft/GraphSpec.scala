@@ -306,6 +306,76 @@ class GraphSpec extends AnyFunSuite {
       (20L, 1L), (21L, 1L)))
   }
 
+  test("bucket swap recovery refuses a LIVE writer's manifest, rolls back a dead one") {
+    // r17 (ADVICE): recovery racing a live merge in another process
+    // must refuse — in the worst window (live dir just moved to
+    // .bold) a rollback's cleanup would delete a bucket's only copy.
+    // A dead writer's manifest (pid gone, or pid reused with a
+    // different starttime) still rolls back as before.
+    val path = s"${TestSpark.tempDir("labellive")}/labels"
+    graft.ops.LabelStore.merge(spark, path,
+      Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b"), buckets = 4)
+    val before = graft.ops.LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    def ticksOf(pid: Long): String = {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/proc/$pid/stat")), "UTF-8")
+      stat.substring(stat.lastIndexOf(')') + 1).trim.split("\\s+")(19)
+    }
+    val dir = fs.listStatus(p(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("comp_bucket="))
+      .head.getPath
+    def armSwap(token: String): Unit = {
+      fs.mkdirs(p(path + ".bold"))
+      assert(fs.rename(dir, p(path + ".bold/" + dir.getName)))
+      val mf = fs.create(p(path + ".bswap.tmp"), true)
+      mf.write(s"#writer\t$token\n${dir.getName}\t1\n".getBytes("UTF-8"))
+      mf.close()
+      assert(fs.rename(p(path + ".bswap.tmp"), p(path + ".bswap")))
+    }
+    // pid 1 is alive (and is not this JVM): recovery must refuse and
+    // leave the in-flight state exactly as it found it
+    armSwap(s"1@$host@${ticksOf(1L)}")
+    val ex = intercept[IllegalStateException] {
+      graft.ops.LabelStore.read(spark, path)
+    }
+    assert(ex.getMessage.contains("live writer"))
+    assert(fs.exists(p(path + ".bswap")), "refusal must not consume the manifest")
+    assert(fs.exists(p(path + ".bold/" + dir.getName)),
+      "refusal must not touch the writer's in-flight renames")
+    // same pid, WRONG starttime = pid reuse: the writer is dead — roll back
+    val mf2 = fs.create(p(path + ".bswap"), true)
+    mf2.write(s"#writer\t1@$host@${ticksOf(1L)}0\n${dir.getName}\t1\n"
+      .getBytes("UTF-8"))
+    mf2.close()
+    assert(graft.ops.LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    assert(!fs.exists(p(path + ".bswap")) && !fs.exists(p(path + ".bold")))
+  }
+
+  test("swapBuckets fails loudly on staged partitions outside `affected`") {
+    // r17 (ADVICE): a miscomputed affected set must be an error, not
+    // silent row loss — staged-but-never-promoted dirs vanish at
+    // cleanup. LabelStore can't trip this by construction; a future
+    // caller could.
+    val path = s"${TestSpark.tempDir("labelorphan")}/labels"
+    graft.ops.LabelStore.merge(spark, path,
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), buckets = 4)
+    val content = Seq((1L, 1L, 0L), (2L, 1L, 3L))
+      .toDF("node", "component", "comp_bucket")
+    val ex = intercept[IllegalArgumentException] {
+      graft.io.Sinks.swapBuckets(spark, path, content, "comp_bucket",
+        affected = Seq(0L))
+    }
+    assert(ex.getMessage.contains("comp_bucket=3"))
+    // the guard fired before any rename: the store still reads clean
+    assert(graft.ops.LabelStore.read(spark, path).count() == 2)
+  }
+
   test("label store: a pair-less FIRST merge does not create a broken store") {
     // an empty partitioned parquet write emits only _SUCCESS; if the
     // first (bootstrap) merge wrote it, every later read would die on

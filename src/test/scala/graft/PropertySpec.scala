@@ -554,11 +554,16 @@ class PropertySpec extends AnyFunSuite {
           rank = nodes.map(v =>
             v -> r9((1 - d) / n + d * in.getOrElse(v, 0.0))).toMap
         }
-        // the two round shapes must be BIT-equal to each other (the
-        // per-iteration 1e-9 rounding makes sum order immaterial —
-        // the code's own claim, pinned here), and both within the
-        // rounding-tie tolerance of the naive model
-        got == gotShuffle &&
+        // the two round shapes must agree to within ONE 1e-9
+        // rounding-grid step (r17, ADVICE: a pre-rounding sum landing
+        // within an ulp of a grid midpoint can legally round to
+        // adjacent steps under the shapes' different summation orders
+        // — bit-equality held in practice but is not a guarantee the
+        // code makes), and both within the rounding-tie tolerance of
+        // the naive model
+        got.keySet == gotShuffle.keySet &&
+        got.keySet.forall(v =>
+          math.abs(got(v) - gotShuffle(v)) <= 1.0000001e-9) &&
         Seq(got, gotShuffle).forall(g => g.keySet == nodes.toSet &&
           nodes.forall(v => math.abs(g(v) - rank(v)) <= 1.1e-6))
       }
