@@ -669,10 +669,15 @@ object NearDup {
   /** Test hook: observes each CC round's (iteration, pre-round delta
     * size, shape — true = broadcast-delta) so a spec can assert the
     * mid-loop shuffle→broadcast flip actually occurs at a given gate
-    * without env-var plumbing. None in production: one Option check
-    * per ROUND (not per row), zero cost. */
-  @volatile private[graft] var ccRoundListener:
-    Option[(Int, Long, Boolean) => Unit] = None
+    * without env-var plumbing. None in production: one ThreadLocal
+    * read per ROUND (not per row), zero cost. Thread-local (r17,
+    * ADVICE): the CC loop runs on the calling thread, so a per-thread
+    * slot lets concurrent suites (or a production run during a test)
+    * each see only their own listener instead of clobbering a shared
+    * global. */
+  private[graft] val ccRoundListener:
+    ThreadLocal[Option[(Int, Long, Boolean) => Unit]] =
+    ThreadLocal.withInitial(() => None)
 
   def connectedComponents(pairs: DataFrame, colA: String = "doc_a",
       colB: String = "doc_b", maxIterations: Int = 20,
@@ -811,7 +816,7 @@ object NearDup {
         // per-round cost lived — the r12 audit measured a ~0.22 MB /
         // 39 k-record floor per round from the stationary node-table
         // legs; the broadcast shape removes exactly that floor.
-        ccRoundListener.foreach(
+        ccRoundListener.get.foreach(
           _(iter, prevChanged, prevChanged <= maxBroadcastDelta))
         val computed = if (prevChanged <= maxBroadcastDelta) {
           val bd = broadcast(delta)

@@ -88,8 +88,19 @@ object Sf10Probe {
       }
       pairs.unpersist()
     }
-    ccRun(docs1, "x1")
-    ccRun(docs100, s"x$copies")
+    // GRAFT_PROBE_ONLY=cc|pagerank|store|labels skips the other
+    // families — a dev shortcut while iterating on one family's
+    // instrumentation. Committed probe records come from FULL runs
+    // (the families share a JVM and their numbers are compared
+    // across rounds) unless the PLANS.md entry says otherwise.
+    val only = sys.env.get("GRAFT_PROBE_ONLY")
+    def family(name: String)(body: => Unit): Unit =
+      if (only.forall(_ == name)) body
+
+    family("cc") {
+      ccRun(docs1, "x1")
+      ccRun(docs100, s"x$copies")
+    }
 
     // ---- q83: corpus-scaled kNN edges + PageRank at 1× and 100× ----
     def prRun(emb: DataFrame, tag: String): Unit = {
@@ -106,8 +117,10 @@ object Sf10Probe {
           iterations = 5, damping = 0.85).count()
       }
     }
-    prRun(emb1, "x1")
-    prRun(emb100, s"x$copies")
+    family("pagerank") {
+      prRun(emb1, "x1")
+      prRun(emb100, s"x$copies")
+    }
 
     // ---- q85 / signature store: fixed batch, growing corpus ----
     // The SAME ~5k-doc batch (mutated copies of copy 0) probes a 1×
@@ -119,17 +132,19 @@ object Sf10Probe {
       .localCheckpoint()
     val hfs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for ((corpus, tag) <- Seq((docs1, "x1"), (docs100, s"x$copies"))) {
-      val store = s"$out/sigstore_$tag"
-      hfs.delete(new org.apache.hadoop.fs.Path(store), true) // fresh ingest
-      T(s"store_ingest $tag") {
-        NearDup.appendSignatureStore(
-          NearDup.minhashSignaturesFused(corpus, "doc_id", col("text")),
-          "doc_id", store)
-        0L
-      }
-      T(s"store_probe_fixed_batch vs $tag corpus") {
-        NearDup.probeSignatureStore(spark, store, batchSigs, "doc_id").count()
+    family("store") {
+      for ((corpus, tag) <- Seq((docs1, "x1"), (docs100, s"x$copies"))) {
+        val store = s"$out/sigstore_$tag"
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true) // fresh ingest
+        T(s"store_ingest $tag") {
+          NearDup.appendSignatureStore(
+            NearDup.minhashSignaturesFused(corpus, "doc_id", col("text")),
+            "doc_id", store)
+          0L
+        }
+        T(s"store_probe_fixed_batch vs $tag corpus") {
+          NearDup.probeSignatureStore(spark, store, batchSigs, "doc_id").count()
+        }
       }
     }
     // ---- label store: fixed batch merged into 1× vs 100× labels ----
@@ -142,7 +157,7 @@ object Sf10Probe {
     val batchPairs = NearDup.lshCandidatePairs(batchSigs, "doc_id")
       .localCheckpoint(true) // eager: materialize before batchSigs is freed
     batchSigs.unpersist()
-    for ((corpus, tag) <- Seq((docs1, "x1"), (docs100, s"x$copies"))) {
+    family("labels") { for ((corpus, tag) <- Seq((docs1, "x1"), (docs100, s"x$copies"))) {
       val lpath = s"$out/labels_$tag"
       hfs.delete(new org.apache.hadoop.fs.Path(lpath), true)
       hfs.delete(new org.apache.hadoop.fs.Path(lpath + ".old"), true)
@@ -157,14 +172,17 @@ object Sf10Probe {
         graft.ops.LabelStore.merge(spark, lpath, batchPairs)
         graft.ops.LabelStore.read(spark, lpath).count()
       }
-      // r17 evidence line for the bucket-swap claim: at probe scale a
-      // merge must (a) leave untouched bucket dirs byte-identical
-      // (sha256 per file — name+len+mtime can miss a same-size
-      // rewrite) and (b) read ≪ the store's bytes (task inputMetrics
-      // summed across the merge; includes the batch's checkpoint
-      // blocks, so the figure is an over-estimate of store reads).
-      // The re-merge is idempotent but exercises the identical
-      // read/CC/rewrite path as a fresh batch.
+      // r17 evidence line for the bucket-swap claim, measured with a
+      // ONE-PAIR batch (one stored node bridged to one new id — the
+      // shape of a quiet streaming tick): the merge must (a) rewrite
+      // only that component's bucket(s), leaving every other dir
+      // byte-identical (sha256 per file — name+len+mtime can miss a
+      // same-size rewrite), and (b) READ only the touched buckets:
+      // Hadoop's local-FS StorageStatistics counts actual file bytes
+      // read (block-manager/checkpoint traffic is invisible to it,
+      // unlike task inputMetrics), so the delta across the merge is
+      // the store bytes the partition-pruned scans really touched,
+      // plus the staged write's own footer reads.
       def dirSnapshot(): Map[String, Seq[(String, String)]] = {
         val root = new java.io.File(lpath)
         root.listFiles()
@@ -178,22 +196,24 @@ object Sf10Probe {
               }
           }.toMap
       }
+      val someNode = graft.ops.LabelStore.read(spark, lpath)
+        .orderBy(col("node")).head.getLong(0)
+      val tinyBatch = {
+        import spark.implicits._
+        Seq((someNode, 987654321098L)).toDF("doc_a", "doc_b")
+      }
       val beforeSnap = dirSnapshot()
       val storeBytes = new java.io.File(lpath).listFiles()
         .filter(_.isDirectory).flatMap(_.listFiles()).map(_.length).sum
-      val bytesRead = new java.util.concurrent.atomic.AtomicLong
-      val bl = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.taskMetrics != null)
-            bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      def fsBytesRead(): Long =
+        Option(org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+          .get("file")).flatMap(s => Option(s.getLong("bytesRead"))
+          .map(_.longValue)).getOrElse(0L)
+      val readBefore = fsBytesRead()
+      T(s"labels_merge_tiny_batch vs $tag corpus") {
+        graft.ops.LabelStore.merge(spark, lpath, tinyBatch); 0L
       }
-      spark.sparkContext.addSparkListener(bl)
-      T(s"labels_merge_instrumented vs $tag corpus") {
-        graft.ops.LabelStore.merge(spark, lpath, batchPairs); 0L
-      }
-      Thread.sleep(1000) // let the async listener bus drain task events
-      spark.sparkContext.removeSparkListener(bl)
+      val readDelta = fsBytesRead() - readBefore
       val afterSnap = dirSnapshot()
       val changed = afterSnap.keySet.union(beforeSnap.keySet)
         .filter(d => beforeSnap.get(d) != afterSnap.get(d))
@@ -202,8 +222,8 @@ object Sf10Probe {
       println(s"PROBE labels_merge_evidence $tag: " +
         s"buckets_total=${beforeSnap.size} buckets_changed=${changed.size} " +
         s"untouched_identical=$untouchedOk " +
-        s"merge_bytes_read=${bytesRead.get} store_bytes=$storeBytes")
-    }
+        s"merge_fs_bytes_read=$readDelta store_bytes=$storeBytes")
+    } }
     batchPairs.unpersist()
     spark.stop()
   }

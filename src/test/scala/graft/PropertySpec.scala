@@ -130,15 +130,16 @@ class PropertySpec extends AnyFunSuite {
     val want = unionFind(chain)
     def run(gate: Long): (Map[Long, Long], Seq[(Long, Boolean)]) = {
       val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
-      val self = Thread.currentThread().getId
-      NearDup.ccRoundListener = Some((_, d, b) =>
-        if (Thread.currentThread().getId == self) rounds += ((d, b)))
+      // thread-local hook (r17): the loop fires it on this thread, so
+      // no thread-id filter is needed and concurrent suites can't
+      // clobber each other's listener
+      NearDup.ccRoundListener.set(Some((_, d, b) => rounds += ((d, b))))
       try {
         val got = NearDup.connectedComponents(chain.toDF("doc_a", "doc_b"),
             maxBroadcastDelta = gate).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         (got, rounds.toSeq)
-      } finally NearDup.ccRoundListener = None
+      } finally NearDup.ccRoundListener.remove()
     }
     val (allShuffle, observed) = run(0L)
     assert(allShuffle == want)
