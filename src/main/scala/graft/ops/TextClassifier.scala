@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classification — the fasttext-style
+  * domain/quality classifier every large-scale training-data pipeline
+  * runs between crawl and tokenize (C4's langid gate, CCNet's domain
+  * buckets, the quality classifiers of GPT-3/LLaMA data work; Joulin
+  * et al. 2016 for the linear-classifier framing). The reference has
+  * no classifier of its own (its relevance gate is keyword containment,
+  * newscrawler.py:382); this is a capability extension on the same
+  * `documents` surface, sharing the engine's tokenizer ([[NearDup.tokens]])
+  * and its cross-engine ln-parity contract (q74/q80/q88: avg-of-ln
+  * rounded to 6, ties broken on the rounded value then a total key).
+  *
+  * Why NB and not logistic regression: training is PURE COUNTING —
+  * one tokenize + two `groupBy`s, map-side combinable, no iteration,
+  * no driver-side state — so it keeps the full-pipeline property the
+  * engine's oracle gate needs (every step ANSI-SQL-expressible) while
+  * still being the shape production quality filters actually take at
+  * this scale (count tables stream; gradient loops don't).
+  *
+  * Scale posture (100 TB): the token explode and both count
+  * aggregations shuffle on bounded keys ((label, term) then label);
+  * the model grid is |vocab| × |classes| rows — classes are enumerable
+  * (sources, languages, quality tiers), so the grid is a small
+  * constant times the vocabulary and never corpus-sized. Scoring
+  * aggregates each document's term frequencies FIRST (one row per
+  * distinct term per doc, not per token instance), replicates that
+  * |classes|× via a broadcast of the class table, and joins the model
+  * on (label, term) — a plain shuffle hash join that AQE will flip to
+  * broadcast when the model fits. Nothing is collected to the driver.
+  */
+object TextClassifier {
+
+  import NearDup.tokens
+
+  /** Train a multinomial NB model with add-`alpha` smoothing over the
+    * training vocabulary. Returns the FULL model grid — one row per
+    * (class, vocab term), including zero-count pairs so the smoothed
+    * conditional is materialized for every class — with the class-level
+    * quantities replicated onto each row:
+    *
+    *   label, term, n (count of term in class), log_cond
+    *   (= ln((n+α)/(tot_c+α·V))), tot_c (class token total), n_docs_c,
+    *   vocab (V), n_docs, log_prior (= ln(n_docs_c/n_docs)),
+    *   oov_ll (= ln(α/(tot_c+α·V)) — the conditional any unseen term
+    *   gets at scoring time).
+    *
+    * Priors count ALL training docs, including any that tokenize to
+    * empty — a doc with no tokens is still evidence for its class.
+    */
+  def trainNaiveBayes(docs: DataFrame, labelCol: Column, text: Column,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    val tok = docs.select(labelCol.as("label"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+    val counts = tok.groupBy("label", "term").agg(count(lit(1)).as("n"))
+    val classTok = counts.groupBy("label").agg(sum("n").as("tot_c"))
+    val classDocs = docs.select(labelCol.as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n_docs_c"))
+    // classes: one row per label — bounded by construction, broadcast.
+    val classes = classTok.join(classDocs, "label")
+    val vocab = counts.select("term").distinct()
+    val vTot = vocab.agg(count(lit(1)).as("vocab"))     // single row
+    val dTot = docs.agg(count(lit(1)).as("n_docs"))     // single row
+    vocab.crossJoin(broadcast(classes))
+      .join(counts, Seq("label", "term"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(vTot))
+      .crossJoin(broadcast(dTot))
+      .withColumn("log_cond",
+        log((col("n") + lit(alpha)) / (col("tot_c") + lit(alpha) * col("vocab"))))
+      .withColumn("log_prior",
+        log(col("n_docs_c").cast("double") / col("n_docs")))
+      .withColumn("oov_ll",
+        log(lit(alpha) / (col("tot_c") + lit(alpha) * col("vocab"))))
+  }
+
+  /** Per-class scores for each document: length-normalized smoothed
+    * log-likelihood plus a length-normalized prior,
+    *
+    *   score_c = (Σ_t cnt_t · logP(t|c)) / n_tokens + log_prior_c / n_tokens
+    *
+    * — the (sum + ln prior)/n form, which has the same per-doc argmax
+    * as the textbook sum (n is constant across classes) but keeps the
+    * magnitude O(10) so the round-6 cross-engine grid (q88 discipline)
+    * has ~9 significant digits of headroom. Terms outside the training
+    * vocabulary contribute the class's `oov_ll`. Documents that
+    * tokenize to empty are dropped (no evidence → no row), documented
+    * engine behavior mirrored by the oracle's join shape.
+    *
+    * Output: one row per (doc, class): id, label, score (rounded 6),
+    * n_tokens.
+    */
+  def scoreNaiveBayes(held: DataFrame, idCol: Column, text: Column,
+      model: DataFrame): DataFrame = {
+    val tf = held.select(idCol.as("id"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
+    val classes = model.select("label", "log_prior", "oov_ll").distinct()
+    tf.crossJoin(broadcast(classes))
+      .join(model.select("label", "term", "log_cond"), Seq("label", "term"), "left")
+      .withColumn("ll", coalesce(col("log_cond"), col("oov_ll")))
+      .groupBy("id", "label")
+      .agg(
+        (sum(col("cnt") * col("ll")) / sum(col("cnt"))).as("avg_ll"),
+        sum(col("cnt")).as("n_tokens"),
+        first(col("log_prior")).as("log_prior"))
+      .withColumn("score", round(col("avg_ll") + col("log_prior") / col("n_tokens"), 6))
+      .select(col("id"), col("label"), col("score"), col("n_tokens"))
+  }
+
+  /** Argmax over [[scoreNaiveBayes]]'s per-class rows: highest rounded
+    * score wins, ties break on label ascending (the q74 rounded-value-
+    * then-total-key rank discipline, so both engines pick the same
+    * class even when two scores are mathematically equal). */
+  def classifyNaiveBayes(held: DataFrame, idCol: Column, text: Column,
+      model: DataFrame): DataFrame = {
+    val perClass = scoreNaiveBayes(held, idCol, text, model)
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("label"))
+    perClass.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("label").as("pred_label"), col("score"), col("n_tokens"))
+  }
+
+  /** Held-out confusion matrix: join predictions back to true labels,
+    * count (true, pred) cells, and report each cell's share of its
+    * true-label row — the report that prices the classifier before a
+    * corpus-wide gate is applied. `truth` must carry (idCol, trueCol). */
+  def nbConfusion(pred: DataFrame, truth: DataFrame, idCol: Column,
+      trueCol: Column): DataFrame = {
+    val cells = pred.join(truth.select(idCol.as("id"), trueCol.as("true_label")), "id")
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("true_label")
+    cells.withColumn("share", round(col("n") / sum("n").over(w).cast("double"), 6))
+      .select(col("true_label"), col("pred_label"), col("n"), col("share"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{SourceMix, TextAnalysis}
+import graft.ops.{SourceMix, TextAnalysis, TextClassifier}
 import Q.t
 
 /** Corpus-mix and vocabulary queries (training-data pipeline surface):
@@ -337,5 +337,112 @@ object CorpusQueries {
       SourceMix.klDivergence(t(s, d, "documents"), col("source"), col("text"))
         .orderBy(col("source"))
     },
+
+    // ---- Naive Bayes domain classifier: model grid ----
+    // Train-by-counting on an 80% doc_id split (label = source), emit
+    // the FULL smoothed model grid — every (class, vocab term) pair
+    // including zero counts. Counts are exact integers both engines;
+    // ln runs on identical doubles ((n+1)/(tot_c+V), both exact in
+    // f64), rounded 6dp per the q74/q88 contract.
+    Q("q140_nb_model",
+      s"""WITH $nbTrainCte
+        |SELECT label, term, n, round(ln((n + 1.0) / (tot_c + v)), 6) AS log_cond
+        |FROM grid, vv ORDER BY label, term""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextClassifier.trainNaiveBayes(
+          docs.filter(col("doc_id") % 5 =!= 0), col("source"), col("text"))
+        .select(col("label"), col("term"), col("n"),
+          round(col("log_cond"), 6).as("log_cond"))
+        .orderBy(col("label"), col("term"))
+    },
+
+    // ---- Naive Bayes domain classifier: held-out predictions ----
+    // Score the 20% held-out docs against the q140 model: per-class
+    // length-normalized log-likelihood + normalized prior, argmax on
+    // the ROUNDED score with label-ascending tie-break (the q74 rank
+    // discipline). Unseen terms take the class's smoothing floor.
+    Q("q141_nb_classify",
+      s"""WITH $nbTrainCte,
+        |$nbScoreCte
+        |SELECT doc_id, label AS pred_label, score, n_tokens
+        |FROM p WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val model = TextClassifier.trainNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), col("source"), col("text"))
+      TextClassifier.classifyNaiveBayes(
+          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"), model)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Naive Bayes domain classifier: held-out confusion ----
+    // Predictions joined back to true sources; each (true, pred) cell
+    // reports its share of the true-label row — the report that prices
+    // the classifier before a corpus-wide gate is applied.
+    Q("q142_nb_confusion",
+      s"""WITH $nbTrainCte,
+        |$nbScoreCte,
+        |pd AS (SELECT doc_id, label AS pred_label FROM p WHERE rk = 1),
+        |cm AS (SELECT d.source AS true_label, pd.pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM pd JOIN documents d USING (doc_id) GROUP BY 1, 2)
+        |SELECT true_label, pred_label, n,
+        | round(n / CAST(sum(n) OVER (PARTITION BY true_label) AS DOUBLE), 6)
+        |   AS share
+        |FROM cm ORDER BY true_label, pred_label""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val model = TextClassifier.trainNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), col("source"), col("text"))
+      val pred = TextClassifier.classifyNaiveBayes(
+        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"), model)
+      TextClassifier.nbConfusion(pred,
+          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("source"))
+        .orderBy(col("true_label"), col("pred_label"))
+    },
   )
+
+  /** Shared NB training CTEs (q140–q142): 80% doc_id split, label =
+    * source, add-one smoothing over the training vocabulary. */
+  private def nbTrainCte: String =
+    """tr AS (SELECT source AS label, text FROM documents WHERE doc_id % 5 <> 0),
+      |tok AS (SELECT label, unnest(list_filter(
+      |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+      | FROM tr),
+      |cnt AS (SELECT label, term, CAST(count(*) AS BIGINT) AS n
+      |  FROM tok GROUP BY 1, 2),
+      |ct AS (SELECT label, CAST(sum(n) AS BIGINT) AS tot_c FROM cnt GROUP BY 1),
+      |voc AS (SELECT DISTINCT term FROM cnt),
+      |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+      |grid AS (SELECT ct.label, voc.term, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+      |  ct.tot_c
+      | FROM voc CROSS JOIN ct
+      | LEFT JOIN cnt c ON c.label = ct.label AND c.term = voc.term)""".stripMargin
+
+  /** Shared NB scoring CTEs (q141/q142): held-out 20% split scored
+    * per class, ranked on the rounded score then label. */
+  private def nbScoreCte: String =
+    """cd AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS n_docs_c
+      |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |cls AS (SELECT ct.label, ct.tot_c,
+      |  ln(cd.n_docs_c / CAST(nd.n_docs AS DOUBLE)) AS log_prior
+      | FROM ct JOIN cd USING (label), nd),
+      |htf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+      |  FROM documents WHERE doc_id % 5 = 0) GROUP BY 1, 2),
+      |sc AS (SELECT h.doc_id, c.label,
+      |  sum(h.cnt * coalesce(ln((m.n + 1.0) / (c.tot_c + vv.v)),
+      |                       ln(1.0 / (c.tot_c + vv.v)))) / sum(h.cnt) AS avg_ll,
+      |  CAST(sum(h.cnt) AS BIGINT) AS n_tokens,
+      |  any_value(c.log_prior) AS log_prior
+      | FROM htf h CROSS JOIN cls c CROSS JOIN vv
+      | LEFT JOIN cnt m ON m.label = c.label AND m.term = h.term
+      | GROUP BY 1, 2),
+      |p AS (SELECT doc_id, label,
+      |  round(avg_ll + log_prior / n_tokens, 6) AS score, n_tokens,
+      |  row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY round(avg_ll + log_prior / n_tokens, 6) DESC, label) AS rk
+      | FROM sc)""".stripMargin
 }

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TextClassifier
+
+/** Multinomial Naive Bayes classifier (round-17 surface): training is
+  * pure counting, scoring is the length-normalized smoothed
+  * log-likelihood with the q74 rounded-score/label tie-break. Pinned
+  * against an independent in-memory model on planted and random
+  * corpora, plus the OOV / empty-doc / token-less-class edges.
+  */
+class TextClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Independent reference model — same math, plain Scala, no Spark. */
+  private def naive(train: Seq[(String, String)], held: Seq[(Long, String)],
+      alpha: Double): (Map[(String, String), (Long, Double)], Seq[(Long, String, Double, Long)]) = {
+    def tok(s: String): Seq[String] =
+      s.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val counts = train.flatMap { case (l, t) => tok(t).map(l -> _) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val vocab = counts.keySet.map(_._2)
+    val v = vocab.size
+    val totC = counts.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    // classes = labels with at least one training token (engine drops
+    // token-less classes: no conditionals can exist for them)
+    val labels = totC.keys.toSeq.sorted
+    val nDocsC = train.groupBy(_._1).map { case (l, d) => l -> d.size.toLong }
+    val nDocs = train.size.toLong
+    val model = for (l <- labels; t <- vocab) yield {
+      val n = counts.getOrElse((l, t), 0L)
+      (l, t) -> (n, math.log((n + alpha) / (totC(l) + alpha * v)))
+    }
+    val preds = held.flatMap { case (id, txt) =>
+      val ts = tok(txt)
+      if (ts.isEmpty) None
+      else {
+        val nTok = ts.size.toLong
+        val scored = labels.map { l =>
+          val oov = math.log(alpha / (totC(l) + alpha * v))
+          val ll = ts.map { t =>
+            counts.get((l, t)).map(n => math.log((n + alpha) / (totC(l) + alpha * v)))
+              .getOrElse(oov)
+          }.sum / nTok
+          val prior = math.log(nDocsC(l).toDouble / nDocs)
+          (l, round6(ll + prior / nTok))
+        }
+        val best = scored.minBy { case (l, s) => (-s, l) }
+        Some((id, best._1, best._2, nTok))
+      }
+    }
+    (model.toMap, preds)
+  }
+
+  private val planted = Seq(
+    ("news", "mayor council budget vote"),
+    ("news", "council vote mayor tax"),
+    ("spam", "win prize click offer"),
+    ("spam", "offer click win free"))
+
+  test("trainNaiveBayes: full grid, exact counts, smoothed conditionals, priors") {
+    val df = planted.toDF("label", "text")
+    val m = TextClassifier.trainNaiveBayes(df, col("label"), col("text")).cache()
+    val terms = planted.flatMap(_._2.split(" ")).distinct // 10-term vocab
+    assert(m.select("term").distinct.count() == terms.size)
+    assert(m.count() == 2L * terms.size) // full grid: every (class, term)
+    val row = m.filter(col("label") === "news" && col("term") === "mayor").head()
+    assert(row.getAs[Long]("n") == 2L)
+    val totNews = 8.0
+    assert(math.abs(row.getAs[Double]("log_cond") -
+      math.log((2 + 1.0) / (totNews + terms.size))) < 1e-12)
+    assert(math.abs(row.getAs[Double]("log_prior") - math.log(0.5)) < 1e-12)
+    assert(math.abs(row.getAs[Double]("oov_ll") -
+      math.log(1.0 / (totNews + terms.size))) < 1e-12)
+    // zero-count pair is present with the smoothing floor
+    val z = m.filter(col("label") === "news" && col("term") === "win").head()
+    assert(z.getAs[Long]("n") == 0L &&
+      math.abs(z.getAs[Double]("log_cond") - z.getAs[Double]("oov_ll")) < 1e-12)
+    m.unpersist()
+  }
+
+  test("classifyNaiveBayes: planted separable vocab classifies held-out perfectly") {
+    val m = TextClassifier.trainNaiveBayes(planted.toDF("label", "text"),
+      col("label"), col("text"))
+    val held = Seq((1L, "budget vote tonight"), (2L, "free prize offer"),
+      (3L, "council tax plan")).toDF("id", "text")
+    val got = TextClassifier.classifyNaiveBayes(held, col("id"), col("text"), m)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "news", 2L -> "spam", 3L -> "news"))
+  }
+
+  test("empty-text docs are dropped from predictions but still count toward priors") {
+    val train = planted ++ Seq(("news", "   "), ("news", ""))
+    val m = TextClassifier.trainNaiveBayes(train.toDF("label", "text"),
+      col("label"), col("text"))
+    // priors: 4 news docs of 6 total (empty docs are class evidence)
+    val prior = m.filter(col("label") === "news").select("log_prior").head().getDouble(0)
+    assert(math.abs(prior - math.log(4.0 / 6.0)) < 1e-12)
+    val held = Seq((1L, "council vote"), (2L, "  "), (3L, "")).toDF("id", "text")
+    val got = TextClassifier.classifyNaiveBayes(held, col("id"), col("text"), m)
+      .collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L)) // token-less docs: no row
+  }
+
+  test("all-OOV doc scores by smoothing floor + prior; deterministic label tie-break") {
+    val m = TextClassifier.trainNaiveBayes(planted.toDF("label", "text"),
+      col("label"), col("text"))
+    val held = Seq((9L, "zzz qqq www")).toDF("id", "text")
+    val rows = TextClassifier.scoreNaiveBayes(held, col("id"), col("text"), m)
+      .orderBy("label").collect()
+    // both classes have 8 tokens + 10-term vocab -> identical oov_ll and
+    // identical priors -> identical rounded scores -> argmax breaks to
+    // the ascending label
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("score") == rows(1).getAs[Double]("score"))
+    val pred = TextClassifier.classifyNaiveBayes(held, col("id"), col("text"), m).head()
+    assert(pred.getString(1) == "news") // "news" < "spam"
+    val terms = planted.flatMap(_._2.split(" ")).distinct.size
+    val want = round6(math.log(1.0 / (8.0 + terms)) + math.log(0.5) / 3)
+    assert(rows(0).getAs[Double]("score") == want)
+  }
+
+  test("matches the independent in-memory model on random corpora (incl. alpha != 1)") {
+    val rnd = new scala.util.Random(1742)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 0 until 5; alpha <- Seq(1.0, 0.5)) {
+      val labels = Vector("c0", "c1", "c2")
+      def doc(): String =
+        Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")
+      val train = Seq.fill(20)((labels(rnd.nextInt(3)), doc()))
+      // ensure every label has at least one token-bearing doc
+      val trainFull = train ++ labels.map(_ -> doc())
+      val held = (0 until 12).map(i => (i.toLong, if (i == 11) "oovword only" else doc()))
+      val (wantModel, wantPred) = naive(trainFull, held, alpha)
+
+      val m = TextClassifier.trainNaiveBayes(trainFull.toDF("label", "text"),
+        col("label"), col("text"), alpha).cache()
+      val gotModel = m.select("label", "term", "n", "log_cond").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(gotModel.keySet == wantModel.keySet, s"trial $trial grid keys")
+      gotModel.foreach { case (k, (n, lc)) =>
+        assert(n == wantModel(k)._1, s"trial $trial count at $k")
+        assert(math.abs(lc - wantModel(k)._2) < 1e-12, s"trial $trial log_cond at $k")
+      }
+      val gotPred = TextClassifier.classifyNaiveBayes(
+          held.toDF("id", "text"), col("id"), col("text"), m)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSeq
+      assert(gotPred.map(p => (p._1, p._4)) == wantPred.map(p => (p._1, p._4)),
+        s"trial $trial ids/token counts")
+      gotPred.zip(wantPred).foreach { case (g, w) =>
+        assert(math.abs(g._3 - w._3) < 1e-9, s"trial $trial score doc ${g._1}")
+        // compare labels only when the naive top-2 margin is clear of
+        // the rounding grid (q74 discipline: ties are label-determined,
+        // sub-grid margins may legitimately differ in last-ulp sums)
+        if (math.abs(g._3 - w._3) < 1e-9 && g._2 != w._2)
+          fail(s"trial $trial pred mismatch doc ${g._1}: ${g._2} vs ${w._2} at equal score")
+      }
+      m.unpersist()
+    }
+  }
+
+  test("nbConfusion: cells count correctly and shares sum to 1 per true label") {
+    val m = TextClassifier.trainNaiveBayes(planted.toDF("label", "text"),
+      col("label"), col("text"))
+    val held = Seq((1L, "budget vote"), (2L, "win free prize"),
+      (3L, "council mayor"), (4L, "click offer")).toDF("id", "text")
+    val truth = Seq((1L, "news"), (2L, "news"), (3L, "spam"), (4L, "spam"))
+      .toDF("id", "src")
+    val pred = TextClassifier.classifyNaiveBayes(held, col("id"), col("text"), m)
+    val cm = TextClassifier.nbConfusion(pred, truth, col("id"), col("src"))
+      .collect()
+    assert(cm.map(_.getAs[Long]("n")).sum == 4L)
+    val byTrue = cm.groupBy(_.getAs[String]("true_label"))
+    byTrue.foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    }
+    // the planted vocab is separable: news docs 1,2 -> news/spam as scored
+    val newsRow = cm.find(r => r.getString(0) == "news" && r.getString(1) == "news")
+    assert(newsRow.exists(_.getAs[Long]("n") == 1L)) // doc 1; doc 2 is spam-vocab
+  }
+}
