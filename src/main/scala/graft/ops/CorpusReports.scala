@@ -434,4 +434,43 @@ object CorpusReports {
           .as("tokens_seen"),
         col("vocab"))
   }
+
+  /** Gate-threshold calibration sweep: for each candidate threshold,
+    * how many of each group's rows a score gate would keep — the table
+    * you read BEFORE applying a corpus-wide quality gate (CCNet's
+    * perplexity buckets, C4's langid cut, an NB-classifier score cut),
+    * where "keep 60% of source A but 4% of source B" is the decision
+    * that actually matters. `keepBelow=false` keeps score ≥ t (higher
+    * is better, classifier posteriors); `keepBelow=true` keeps
+    * score ≤ t (lower is better, negative-log-likelihood scales).
+    *
+    * Null scores count in `n_docs` but never in `n_kept` — a doc the
+    * scorer refused to score does not pass any gate, and dropping it
+    * from the denominator would overstate keep rates.
+    *
+    * Scale: the per-row explode is over the constant threshold grid
+    * (the `truncationLossReport` pattern) and partial aggregation
+    * collapses everything to |groups|·|thresholds| rows before the one
+    * exchange — no join, no window, no row-proportional shuffle.
+    *
+    * Output: group, threshold, n_docs, n_kept, keep_rate (rounded 6),
+    * one row per (group, threshold) — dense: every group reports every
+    * threshold.
+    */
+  def thresholdSweep(df: DataFrame, group: Column, score: Column,
+      thresholds: Seq[Double], keepBelow: Boolean = false,
+      roundTo: Int = 6): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: need at least one threshold")
+    val pass =
+      if (keepBelow) col("__s") <= col("threshold")
+      else col("__s") >= col("threshold")
+    df.select(group.as("group"), score.as("__s"),
+        explode(array(thresholds.map(lit(_)): _*)).as("threshold"))
+      .groupBy(col("group"), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(pass, 1L).otherwise(0L)), lit(0L)).as("n_kept"))
+      .select(col("group"), col("threshold"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), roundTo)
+          .as("keep_rate"))
+  }
 }

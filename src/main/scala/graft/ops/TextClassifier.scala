@@ -139,4 +139,39 @@ object TextClassifier {
     cells.withColumn("share", round(col("n") / sum("n").over(w).cast("double"), 6))
       .select(col("true_label"), col("pred_label"), col("n"), col("share"))
   }
+
+  /** Per-class precision / recall / F1 over held-out predictions — the
+    * one-row-per-class summary of [[nbConfusion]]'s cells. A class row
+    * appears if the label occurs on EITHER side (a class the model
+    * never predicts still reports recall 0; a label the model invents
+    * — impossible for NB, whose classes come from training — would
+    * report precision 0 rather than vanish). F1 is computed as
+    * 2·tp/(n_pred+n_true), the algebraic form of 2PR/(P+R) that stays
+    * total when either side is zero and keeps the ratio exact-integer
+    * until the single rounded division (cross-engine parity needs no
+    * epsilon). Scale: three label-keyed counts over the joined
+    * prediction set — |classes| rows end to end.
+    *
+    * Output: label, n_true (support), n_pred, tp, precision, recall,
+    * f1 (all ratios rounded 6).
+    */
+  def nbMetricsReport(pred: DataFrame, truth: DataFrame, idCol: Column,
+      trueCol: Column): DataFrame = {
+    val joined = pred.join(truth.select(idCol.as("id"), trueCol.as("true_label")), "id")
+    val byTrue = joined.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_true"))
+    val byPred = joined.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = joined.filter(col("true_label") === col("pred_label"))
+      .groupBy(col("true_label").as("label")).agg(count(lit(1)).as("tp"))
+    byTrue.join(byPred, Seq("label"), "full").join(tp, Seq("label"), "left")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        round(when(col("n_pred") === 0, 0.0)
+          .otherwise(col("tp") / col("n_pred").cast("double")), 6).as("precision"),
+        round(when(col("n_true") === 0, 0.0)
+          .otherwise(col("tp") / col("n_true").cast("double")), 6).as("recall"),
+        round(lit(2.0) * col("tp") / (col("n_pred") + col("n_true")).cast("double"), 6)
+          .as("f1"))
+  }
 }

@@ -399,6 +399,82 @@ object CorpusQueries {
           docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("source"))
         .orderBy(col("true_label"), col("pred_label"))
     },
+
+    // ---- Naive Bayes classifier: per-class precision/recall/F1 ----
+    // The one-row-per-class summary of q142's cells. F1 is the total
+    // algebraic form 2·tp/(n_pred+n_true) — exact-integer ratio until
+    // the single rounded division, no epsilon needed cross-engine.
+    Q("q143_nb_metrics",
+      s"""WITH $nbTrainCte,
+        |$nbScoreCte,
+        |pd AS (SELECT doc_id, label AS pred_label FROM p WHERE rk = 1),
+        |j AS (SELECT d.source AS true_label, pd.pred_label
+        | FROM pd JOIN documents d USING (doc_id)),
+        |bt AS (SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM j GROUP BY 1),
+        |bp AS (SELECT pred_label AS label, CAST(count(*) AS BIGINT) AS n_pred
+        |  FROM j GROUP BY 1),
+        |tpc AS (SELECT true_label AS label, CAST(count(*) AS BIGINT) AS tp
+        |  FROM j WHERE true_label = pred_label GROUP BY 1)
+        |SELECT coalesce(bt.label, bp.label) AS label,
+        | CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+        | CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+        | CAST(coalesce(tpc.tp, 0) AS BIGINT) AS tp,
+        | round(CASE WHEN coalesce(n_pred, 0) = 0 THEN 0.0
+        |   ELSE coalesce(tpc.tp, 0) / CAST(n_pred AS DOUBLE) END, 6)
+        |   AS "precision",
+        | round(CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
+        |   ELSE coalesce(tpc.tp, 0) / CAST(n_true AS DOUBLE) END, 6) AS recall,
+        | round(2.0 * coalesce(tpc.tp, 0)
+        |   / CAST(coalesce(n_true, 0) + coalesce(n_pred, 0) AS DOUBLE), 6) AS f1
+        |FROM bt FULL JOIN bp ON bt.label = bp.label
+        |LEFT JOIN tpc ON coalesce(bt.label, bp.label) = tpc.label
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val model = TextClassifier.trainNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), col("source"), col("text"))
+      val pred = TextClassifier.classifyNaiveBayes(
+        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"), model)
+      TextClassifier.nbMetricsReport(pred,
+          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("source"))
+        .orderBy(col("label"))
+    },
+
+    // ---- quality-gate threshold sweep (CCNet-style calibration) ----
+    // Per (source, threshold): how many docs a "unigram-LM avg neg-log-
+    // prob <= t" gate keeps — the keep-rate table read before applying
+    // a corpus-wide perplexity gate. Scores are q80's rounded 6dp
+    // values (already oracle-pinned), thresholds an exact literal grid,
+    // so the comparison is on identical doubles in both engines.
+    Q("q144_gate_sweep",
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |f AS (SELECT term, count(*) AS n FROM tok2 GROUP BY term),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM f),
+        |sc AS (SELECT doc_id, round(avg(-ln(n / tot)), 6) AS alp
+        | FROM tok2 JOIN f USING (term), tot GROUP BY doc_id),
+        |sd AS (SELECT d.source AS "group", sc.alp
+        | FROM sc JOIN documents d USING (doc_id)),
+        |th AS (SELECT CAST(unnest([3.3, 3.35, 3.4, 3.45, 3.5, 3.6, 3.7])
+        |  AS DOUBLE) AS threshold)
+        |SELECT "group", threshold, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN alp <= threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        | round(sum(CASE WHEN alp <= threshold THEN 1 ELSE 0 END)
+        |   / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        |FROM sd CROSS JOIN th GROUP BY 1, 2
+        |ORDER BY "group", threshold""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val scored = graft.ops.TextAnalysis
+        .unigramLogProb(docs, "doc_id", col("text"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.ops.CorpusReports.thresholdSweep(scored, col("source"),
+          col("avg_logprob"),
+          Seq(3.3, 3.35, 3.4, 3.45, 3.5, 3.6, 3.7), keepBelow = true)
+        .orderBy(col("group"), col("threshold"))
+    },
   )
 
   /** Shared NB training CTEs (q140–q142): 80% doc_id split, label =

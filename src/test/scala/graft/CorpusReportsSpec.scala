@@ -354,4 +354,26 @@ class CorpusReportsSpec extends AnyFunSuite {
     assert(halves(1L) == ((4L, 2L)))
     assert(halves(2L) == ((7L, 4L)))
   }
+
+  test("thresholdSweep: exact dense counts both directions; nulls never pass") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("b", Some(2.0)), ("b", None)).toDF("src", "score")
+    // keep-below (neg-log-likelihood direction)
+    val lo = CorpusReports.thresholdSweep(df, col("src"), col("score"),
+        Seq(1.5, 2.5), keepBelow = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("keep_rate")))).toMap
+    assert(lo.size == 4) // dense: every (group, threshold)
+    assert(lo(("a", 1.5)) == ((3L, 1L, 0.333333)))
+    assert(lo(("a", 2.5)) == ((3L, 2L, 0.666667)))
+    // null score: counted in n_docs, passes NO gate
+    assert(lo(("b", 1.5)) == ((2L, 0L, 0.0)))
+    assert(lo(("b", 2.5)) == ((2L, 1L, 0.5)))
+    // keep-above (classifier-posterior direction), boundary inclusive
+    val hi = CorpusReports.thresholdSweep(df, col("src"), col("score"),
+        Seq(2.0))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(hi == Map("a" -> 2L, "b" -> 1L)) // score == t kept
+  }
 }

@@ -186,4 +186,29 @@ class TextClassifierSpec extends AnyFunSuite {
     val newsRow = cm.find(r => r.getString(0) == "news" && r.getString(1) == "news")
     assert(newsRow.exists(_.getAs[Long]("n") == 1L)) // doc 1; doc 2 is spam-vocab
   }
+
+  test("nbMetricsReport: exact counts, total F1 form, never-predicted class rows") {
+    // hand-built predictions (no model): 3 classes, c is never predicted
+    val pred = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "b"))
+      .toDF("id", "pred_label")
+    val truth = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "c"), (5L, "c"))
+      .toDF("id", "src")
+    val got = TextClassifier.nbMetricsReport(pred, truth, col("id"), col("src"))
+      .orderBy("label").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    val a = got(0); val b = got(1); val c = got(2)
+    // a: tp=1, n_pred=3, n_true=1
+    assert((a.getAs[Long]("tp"), a.getAs[Long]("n_pred"), a.getAs[Long]("n_true"))
+      == ((1L, 3L, 1L)))
+    assert(a.getAs[Double]("precision") == 0.333333) // round6(1/3)
+    assert(a.getAs[Double]("recall") == 1.0)
+    assert(math.abs(a.getAs[Double]("f1") - 0.5) < 1e-12) // 2*1/(3+1)
+    // b: tp=1, n_pred=2, n_true=2 -> p=r=f1=0.5
+    assert(b.getAs[Double]("f1") == 0.5 && b.getAs[Double]("precision") == 0.5)
+    // c: never predicted -> precision 0 (not NaN, not missing), recall 0
+    assert((c.getAs[Long]("tp"), c.getAs[Long]("n_pred"), c.getAs[Long]("n_true"))
+      == ((0L, 0L, 2L)))
+    assert(c.getAs[Double]("precision") == 0.0 && c.getAs[Double]("recall") == 0.0
+      && c.getAs[Double]("f1") == 0.0)
+  }
 }
