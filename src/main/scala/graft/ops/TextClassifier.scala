@@ -79,6 +79,69 @@ object TextClassifier {
         log(lit(alpha) / (col("tot_c") + lit(alpha) * col("vocab"))))
   }
 
+  /** Sufficient statistics of a batch for NB training, as ONE table:
+    * token rows (label, term, n) plus a per-class doc-count row keyed
+    * by the RESERVED empty term (label, "", n_docs_c) — `tokens`
+    * filters empty strings, so "" can never collide with a real term.
+    * Statistics are exact integer counts, so the merge algebra is a
+    * plain keyed sum: commutative, associative, order-invariant.
+    *
+    * This is what makes NB the scale-right classifier for a 100 TB
+    * corpus with daily ingest: the store is |vocab|×|classes| rows (a
+    * few million at web scale — NOT corpus-sized), each new batch
+    * contributes one map-side-combined count pass over ITS OWN rows
+    * only, and [[trainFromStats]] rebuilds the exact full-corpus model
+    * from the merged table without re-reading a single old document.
+    * [[TextClassifierSpec]] pins merge-then-train bit-equal to
+    * [[trainNaiveBayes]] on the concatenated corpus.
+    */
+  def nbSufficientStats(docs: DataFrame, labelCol: Column, text: Column): DataFrame = {
+    val tok = docs.select(labelCol.as("label"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("label", "term").agg(count(lit(1)).as("n"))
+    val docCounts = docs.select(labelCol.as("label"), lit("").as("term"))
+      .groupBy("label", "term").agg(count(lit(1)).as("n"))
+    tok.unionByName(docCounts)
+  }
+
+  /** Merge sufficient-statistics tables (batch increments and/or a
+    * persisted store): keyed integer sum. */
+  def mergeNbStats(stats: DataFrame*): DataFrame = {
+    require(stats.nonEmpty, "mergeNbStats: need at least one stats table")
+    stats.reduce(_ unionByName _).groupBy("label", "term")
+      .agg(sum("n").as("n"))
+  }
+
+  /** Derive the full model grid (same schema and exact same values as
+    * [[trainNaiveBayes]]) from a merged sufficient-statistics table.
+    * Semantics mirror the batch trainer exactly: vocab = terms with a
+    * count anywhere; classes = labels with ≥1 training TOKEN (a
+    * token-less class has no conditionals and is dropped from the
+    * grid); n_docs = doc rows across ALL labels, including token-less
+    * ones — their docs still dilute every prior. */
+  def trainFromStats(stats: DataFrame, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    val counts = stats.filter(col("term") =!= "")
+    val classTok = counts.groupBy("label").agg(sum("n").as("tot_c"))
+    val classDocs = stats.filter(col("term") === "")
+      .groupBy("label").agg(sum("n").as("n_docs_c"))
+    val classes = classTok.join(classDocs, "label")
+    val vocab = counts.select("term").distinct()
+    val vTot = vocab.agg(count(lit(1)).as("vocab"))
+    val dTot = stats.filter(col("term") === "").agg(sum("n").as("n_docs"))
+    vocab.crossJoin(broadcast(classes))
+      .join(counts, Seq("label", "term"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(vTot))
+      .crossJoin(broadcast(dTot))
+      .withColumn("log_cond",
+        log((col("n") + lit(alpha)) / (col("tot_c") + lit(alpha) * col("vocab"))))
+      .withColumn("log_prior",
+        log(col("n_docs_c").cast("double") / col("n_docs")))
+      .withColumn("oov_ll",
+        log(lit(alpha) / (col("tot_c") + lit(alpha) * col("vocab"))))
+  }
+
   /** Per-class scores for each document: length-normalized smoothed
     * log-likelihood plus a length-normalized prior,
     *

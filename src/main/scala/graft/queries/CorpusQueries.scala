@@ -475,6 +475,30 @@ object CorpusQueries {
           Seq(3.3, 3.35, 3.4, 3.45, 3.5, 3.6, 3.7), keepBelow = true)
         .orderBy(col("group"), col("threshold"))
     },
+
+    // ---- Naive Bayes: incremental training path under the q140 oracle ----
+    // The same training corpus ingested as TWO batches of sufficient
+    // statistics (split doc_id % 2), merged by keyed integer sum, then
+    // trained from the merged stats. Counts are exact integers and the
+    // grid derivation runs identical arithmetic, so the incremental
+    // path must reproduce q140's grid EXACTLY — the oracle SQL is
+    // q140's verbatim. This is the daily-refresh contract at corpus
+    // scale: a new batch costs one count pass over its own rows, never
+    // a re-read of the corpus.
+    Q("q145_nb_incremental",
+      s"""WITH $nbTrainCte
+        |SELECT label, term, n, round(ln((n + 1.0) / (tot_c + v)), 6) AS log_cond
+        |FROM grid, vv ORDER BY label, term""".stripMargin) { (s, d) =>
+      val train = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
+      val s1 = TextClassifier.nbSufficientStats(
+        train.filter(col("doc_id") % 2 === 0), col("source"), col("text"))
+      val s2 = TextClassifier.nbSufficientStats(
+        train.filter(col("doc_id") % 2 =!= 0), col("source"), col("text"))
+      TextClassifier.trainFromStats(TextClassifier.mergeNbStats(s1, s2))
+        .select(col("label"), col("term"), col("n"),
+          round(col("log_cond"), 6).as("log_cond"))
+        .orderBy(col("label"), col("term"))
+    },
   )
 
   /** Shared NB training CTEs (q140–q142): 80% doc_id split, label =

@@ -187,6 +187,49 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(newsRow.exists(_.getAs[Long]("n") == 1L)) // doc 1; doc 2 is spam-vocab
   }
 
+  test("incremental stats: merge-then-train is bit-equal to one-shot training") {
+    val rnd = new scala.util.Random(977)
+    val words = Vector("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    def doc(): String =
+      Seq.fill(rnd.nextInt(7))(words(rnd.nextInt(words.size))).mkString(" ")
+    val labels = Vector("x", "y", "z")
+    val all = Seq.fill(30)((labels(rnd.nextInt(3)), doc())) ++
+      Seq(("emptyonly", ""), ("emptyonly", "  ")) // token-less class
+    val (b1, b2) = all.splitAt(11)
+    def grid(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getAs[String]("label"), r.getAs[String]("term")) ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("log_cond"),
+            r.getAs[Long]("tot_c"), r.getAs[Long]("n_docs_c"),
+            r.getAs[Long]("vocab"), r.getAs[Long]("n_docs"),
+            r.getAs[Double]("log_prior"), r.getAs[Double]("oov_ll")))
+      }.toMap
+
+    val oneShot = grid(TextClassifier.trainNaiveBayes(
+      all.toDF("label", "text"), col("label"), col("text")))
+    val s1 = TextClassifier.nbSufficientStats(
+      b1.toDF("label", "text"), col("label"), col("text"))
+    val s2 = TextClassifier.nbSufficientStats(
+      b2.toDF("label", "text"), col("label"), col("text"))
+    val inc = grid(TextClassifier.trainFromStats(
+      TextClassifier.mergeNbStats(s1, s2)))
+    assert(inc == oneShot) // BIT-equal: counts are integers, same arithmetic
+    // merge is order-invariant and associative
+    val inc2 = grid(TextClassifier.trainFromStats(
+      TextClassifier.mergeNbStats(s2, s1)))
+    assert(inc2 == oneShot)
+    val (b2a, b2b) = b2.splitAt(7)
+    val inc3 = grid(TextClassifier.trainFromStats(TextClassifier.mergeNbStats(
+      TextClassifier.mergeNbStats(
+        TextClassifier.nbSufficientStats(b2a.toDF("label", "text"), col("label"), col("text")),
+        s1),
+      TextClassifier.nbSufficientStats(b2b.toDF("label", "text"), col("label"), col("text")))))
+    assert(inc3 == oneShot)
+    // token-less class: absent from the grid, but its docs dilute priors
+    assert(!oneShot.keySet.exists(_._1 == "emptyonly"))
+    assert(oneShot.values.head._6 == all.size.toLong) // n_docs counts them
+  }
+
   test("nbMetricsReport: exact counts, total F1 form, never-predicted class rows") {
     // hand-built predictions (no model): 3 classes, c is never predicted
     val pred = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "b"))
