@@ -288,6 +288,103 @@ object Streams {
         ()
       }
 
+  /** Streaming NB scoring against a FIXED pre-trained model: classify
+    * each micro-batch and append predictions to a per-batch partition
+    * dir. The model is a static DataFrame ([[graft.ops.TextClassifier
+    * .trainNaiveBayes]] / `trainFromStats` output, vocab×classes rows)
+    * — a stream-static join per tick, no streaming state at all.
+    * Replay-idempotent two ways: the per-batch marker skips
+    * already-committed batches, and the partition overwrite makes the
+    * one crash-window replay (written, marker missing) rewrite the
+    * same rows. Readers of `predsPath` gain a trailing `batch`
+    * provenance column, prediction columns unchanged.
+    */
+  def classifyScoreSink(docs: DataFrame, id: String, text: String,
+      model: DataFrame, predsPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$predsPath/_committed_batch_$batchId")
+        val mfs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!mfs.exists(marker)) {
+          graft.ops.TextClassifier
+            .classifyNaiveBayes(batch, col(id), col(text), model)
+            .write.mode("overwrite").parquet(s"$predsPath/batch=$batchId")
+          mfs.create(marker, true).close()
+        }
+        ()
+      }
+
+  /** Prequential (test-then-train) online NB loop over a LABELED doc
+    * stream: each micro-batch is first SCORED against the model built
+    * from every EARLIER batch's sufficient statistics, then its own
+    * statistics are appended to the stats log — the streaming form of
+    * the daily classifier-refresh contract (the log holds
+    * vocab×classes-bounded count rows per tick, never documents;
+    * training state costs one count pass over each batch, no corpus
+    * re-read, and `trainFromStats` over the log is bit-equal to
+    * one-shot training on everything ingested — StreamsSpec pins
+    * both). The first batch has no predecessor model and yields no
+    * predictions (no evidence — the same "no row" semantics as a
+    * token-less doc).
+    *
+    * Determinism under replay: the model for batch k is derived from
+    * log partitions with `batch < k` — NOT "whatever is in the log" —
+    * so a crash-window replay (stats written, marker missing) scores
+    * batch k against exactly the model the first attempt saw. Both
+    * writes are per-batch partition overwrites; the marker is a
+    * fast-path skip, not the correctness mechanism.
+    */
+  def nbOnlineSink(docs: DataFrame, id: String, text: String,
+      labelCol: String, statsPath: String, predsPath: String,
+      checkpoint: String, alpha: Double = 1.0): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$statsPath/_committed_batch_$batchId")
+        val mfs = marker.getFileSystem(hconf)
+        if (!mfs.exists(marker)) {
+          val statsDir = new org.apache.hadoop.fs.Path(statsPath)
+          val fs = statsDir.getFileSystem(hconf)
+          // schema inference needs ≥1 real data file — the dir can hold
+          // only `_committed_batch_*` markers (hidden to the reader) or
+          // a partial first partition after a crash mid-write
+          val priorStats =
+            if (fs.exists(statsDir) && fs.listStatus(statsDir).exists { st =>
+                st.getPath.getName.startsWith("batch=") &&
+                  fs.listStatus(st.getPath)
+                    .exists(_.getPath.getName.endsWith(".parquet"))
+              })
+              Some(spark.read.parquet(statsPath)
+                .filter(col("batch") < batchId)
+                .select("label", "term", "n"))
+            else None
+          // score FIRST (test-then-train), against earlier ticks only
+          priorStats.filter(s => !s.isEmpty).foreach { s =>
+            val model = graft.ops.TextClassifier.trainFromStats(
+              graft.ops.TextClassifier.mergeNbStats(s), alpha)
+            graft.ops.TextClassifier
+              .classifyNaiveBayes(batch, col(id), col(text), model)
+              .write.mode("overwrite").parquet(s"$predsPath/batch=$batchId")
+          }
+          graft.ops.TextClassifier
+            .nbSufficientStats(batch, col(labelCol), col(text))
+            .write.mode("overwrite").parquet(s"$statsPath/batch=$batchId")
+          mfs.create(marker, true).close()
+        }
+        ()
+      }
+
   /** Drain a streaming query synchronously (test/cron-tick helper). */
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()

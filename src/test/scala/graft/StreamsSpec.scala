@@ -334,4 +334,104 @@ class StreamsSpec extends AnyFunSuite {
         s"sample $sample: stream ${streamed.size} vs batch ${batch.size}")
     }
   }
+
+  test("classifyScoreSink: streamed predictions equal one-shot classify; replay-idempotent") {
+    val dir = TestSpark.tempDir("clsscore")
+    val train = Seq(("news", "mayor council budget vote tax"),
+      ("spam", "win prize click offer free")).toDF("label", "text")
+    val model = graft.ops.TextClassifier.trainNaiveBayes(
+      train, col("label"), col("text")).cache()
+    val held = (0 until 30).map { i =>
+      (i.toLong, if (i % 2 == 0) s"council budget vote w$i" else s"free prize click w$i")
+    }.toDF("doc_id", "text")
+    held.filter(col("doc_id") < 10).coalesce(1).write.parquet(s"$dir/in/f=1")
+    held.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+      .coalesce(1).write.parquet(s"$dir/in/f=2")
+    held.filter(col("doc_id") >= 20).coalesce(1).write.parquet(s"$dir/in/f=3")
+    val stream = Streams.fileStream(spark, s"$dir/in/*/", held.schema,
+      maxFilesPerTrigger = 1)
+    val q = Streams.classifyScoreSink(stream, "doc_id", "text", model,
+      s"$dir/preds", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    def predSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "pred_label", "score", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    val streamed = predSet(spark.read.parquet(s"$dir/preds"))
+    val oneShot = predSet(graft.ops.TextClassifier.classifyNaiveBayes(
+      held, col("doc_id"), col("text"), model))
+    assert(streamed == oneShot && streamed.size == 30)
+    // replay with a fresh checkpoint: markers skip, nothing duplicated
+    val q2 = Streams.classifyScoreSink(
+      Streams.fileStream(spark, s"$dir/in/*/", held.schema, maxFilesPerTrigger = 1),
+      "doc_id", "text", model, s"$dir/preds", s"$dir/ckpt2").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(predSet(spark.read.parquet(s"$dir/preds")) == oneShot)
+    model.unpersist()
+  }
+
+  test("nbOnlineSink: prequential test-then-train; log trains bit-equal to one-shot") {
+    val dir = TestSpark.tempDir("nbonline")
+    // three labeled ingest files; each carries a distinct marker token so
+    // the file -> micro-batch order is recoverable from the stats log
+    val f1 = Seq((1L, "news", "b1tok mayor council budget"),
+      (2L, "spam", "b1tok win prize offer"))
+    val f2 = Seq((3L, "news", "b2tok council vote tax"),
+      (4L, "spam", "b2tok click free offer"))
+    val f3 = Seq((5L, "news", "b3tok budget tax vote"),
+      (6L, "spam", "b3tok prize click win"))
+    val schema = f1.toDF("doc_id", "label", "text").schema
+    f1.toDF("doc_id", "label", "text").coalesce(1).write.parquet(s"$dir/in/f=1")
+    f2.toDF("doc_id", "label", "text").coalesce(1).write.parquet(s"$dir/in/f=2")
+    f3.toDF("doc_id", "label", "text").coalesce(1).write.parquet(s"$dir/in/f=3")
+    val q = Streams.nbOnlineSink(
+      Streams.fileStream(spark, s"$dir/in/*/", schema, maxFilesPerTrigger = 1),
+      "doc_id", "text", "label", s"$dir/stats", s"$dir/preds",
+      s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+
+    // (1) the stats log trains BIT-equal to one-shot training on all docs
+    val all = (f1 ++ f2 ++ f3).toDF("doc_id", "label", "text")
+    def grid(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("label"), r.getAs[String]("term")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("log_cond"),
+          r.getAs[Double]("log_prior"), r.getAs[Double]("oov_ll")))
+    }.toMap
+    val fromLog = grid(graft.ops.TextClassifier.trainFromStats(
+      graft.ops.TextClassifier.mergeNbStats(
+        spark.read.parquet(s"$dir/stats").select("label", "term", "n"))))
+    val oneShot = grid(graft.ops.TextClassifier.trainNaiveBayes(
+      all, col("label"), col("text")))
+    assert(fromLog == oneShot)
+
+    // (2) recover the file -> batch order from the marker tokens
+    val stats = spark.read.parquet(s"$dir/stats")
+    val batchOf = Seq("b1tok", "b2tok", "b3tok").map { tk =>
+      tk -> stats.filter(col("term") === tk).select("batch")
+        .head().getAs[Number]("batch").longValue()
+    }.toMap
+    assert(batchOf.values.toSet.size == 3)
+    // (3) the FIRST batch has no predecessor model -> no predictions
+    val firstBatch = batchOf.values.min
+    val preds = spark.read.parquet(s"$dir/preds")
+    assert(preds.filter(col("batch") === firstBatch).count() == 0)
+    // (4) prequential: each later batch's predictions equal a batch
+    // classify against the model trained on strictly earlier files
+    val fileOf = Map("b1tok" -> f1, "b2tok" -> f2, "b3tok" -> f3)
+    val ordered = batchOf.toSeq.sortBy(_._2) // (token, batchId) by order
+    for (k <- 1 until ordered.size) {
+      val (tok, bid) = ordered(k)
+      val earlier = ordered.take(k).flatMap(t => fileOf(t._1))
+        .toDF("doc_id", "label", "text")
+      val m = graft.ops.TextClassifier.trainNaiveBayes(
+        earlier, col("label"), col("text"))
+      val want = graft.ops.TextClassifier.classifyNaiveBayes(
+          fileOf(tok).toDF("doc_id", "label", "text"),
+          col("doc_id"), col("text"), m)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = preds.filter(col("batch") === bid)
+        .select("id", "pred_label")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want, s"batch $bid ($tok)")
+    }
+  }
 }
