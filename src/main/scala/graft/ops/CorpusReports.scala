@@ -457,6 +457,38 @@ object CorpusReports {
     * one row per (group, threshold) — dense: every group reports every
     * threshold.
     */
+  /** Tokenizer fertility per group: whitespace words vs BPE-ish
+    * subword tokens vs characters — the table that prices a tokenizer
+    * choice per source before committing a 100 TB tokenization run
+    * (fertility = subwords per word; chars_per_token = compression).
+    * High-fertility sources (code, non-Latin scripts, URL-heavy crawl)
+    * dominate the token budget at constant document share — this is
+    * where that shows up first. Counts are exact integers from the
+    * engine's two pinned token counters (q23's ws/bpe definitions
+    * verbatim); the two ratios are the only rounded values.
+    *
+    * Scale: pure map-side projection + one group aggregation —
+    * |groups| rows end to end, no join, no window. */
+  def tokenizerFertilityReport(df: DataFrame, group: Column,
+      text: Column, roundTo: Int = 6): DataFrame =
+    df.select(group.as("group"),
+        size(filter(NearDup.tokens(text), t => t =!= ""))
+          .cast("long").as("__w"),
+        TextAnalysis.bpeTokenCount(text).as("__b"),
+        length(text).cast("long").as("__c"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("words"),
+        sum(col("__b")).as("bpe_tokens"), sum(col("__c")).as("chars"))
+      .select(col("group"), col("n_docs"), col("words"), col("bpe_tokens"),
+        col("chars"),
+        // try_divide: an all-empty group yields NULL ratios, not an
+        // ANSI DIVIDE_BY_ZERO that kills the whole report (DuckDB's
+        // divide returns NULL on a zero divisor — same contract)
+        round(try_divide(col("bpe_tokens").cast("double"), col("words")),
+          roundTo).as("fertility"),
+        round(try_divide(col("chars").cast("double"), col("bpe_tokens")),
+          roundTo).as("chars_per_token"))
+
   def thresholdSweep(df: DataFrame, group: Column, score: Column,
       thresholds: Seq[Double], keepBelow: Boolean = false,
       roundTo: Int = 6): DataFrame = {

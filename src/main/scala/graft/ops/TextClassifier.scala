@@ -203,6 +203,56 @@ object TextClassifier {
       .select(col("true_label"), col("pred_label"), col("n"), col("share"))
   }
 
+  /** Accuracy by confidence margin — the practical calibration table
+    * for a classifier whose scores are log-likelihoods, not
+    * probabilities: margin = top1 − top2 rounded score per doc, bucketed
+    * into a fixed ascending band grid (`bands(i)` labels the band
+    * [bands(i), bands(i+1))); per band, how often the top-1 label is
+    * actually right. A well-behaved classifier is monotone here — if
+    * accuracy does NOT rise with margin, score-threshold gating (q144's
+    * sweep) is unjustified for it. `bands` must start at 0.0 so every
+    * margin lands in a band (margins are ≥ 0 by construction).
+    *
+    * Band assignment is a literal when-chain on the rounded-score
+    * difference — both engines subtract identical doubles and compare
+    * against identical literals, so no epsilon. Docs with a single
+    * scored class (one-class model) have no margin and are dropped.
+    *
+    * Scale: scoring dominates; on top of it, one id-partitioned top-2
+    * window, a broadcast-sized truth join, and a |bands|-row group.
+    *
+    * Output: band_lo, n_docs, n_correct, accuracy (rounded 6).
+    */
+  def nbConfidenceReport(held: DataFrame, idCol: Column, text: Column,
+      model: DataFrame, truth: DataFrame, trueCol: Column,
+      bands: Seq[Double] = Seq(0.0, 0.05, 0.1, 0.2, 0.5, 1.0)): DataFrame = {
+    require(bands.nonEmpty && bands.head == 0.0 && bands == bands.sorted,
+      s"nbConfidenceReport: bands must be ascending and start at 0.0 (got $bands)")
+    val perClass = scoreNaiveBayes(held, idCol, text, model)
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("label"))
+    val top = perClass.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 2)
+      .groupBy("id")
+      .agg(max(when(col("__rk") === 1, col("score"))).as("__s1"),
+        max(when(col("__rk") === 1, col("label"))).as("pred_label"),
+        max(when(col("__rk") === 2, col("score"))).as("__s2"))
+      .filter(col("__s2").isNotNull)
+      .withColumn("__m", col("__s1") - col("__s2"))
+    val band = bands.reverse.tail.foldLeft(
+        when(col("__m") >= bands.last, lit(bands.last))) {
+      (acc, b) => acc.when(col("__m") >= b, lit(b))
+    }
+    top.join(truth.select(idCol.as("id"), trueCol.as("true_label")), "id")
+      .select(band.as("band_lo"),
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L)
+          .as("__ok"))
+      .groupBy(col("band_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ok")).as("n_correct"))
+      .select(col("band_lo"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 6)
+          .as("accuracy"))
+  }
+
   /** Per-class precision / recall / F1 over held-out predictions — the
     * one-row-per-class summary of [[nbConfusion]]'s cells. A class row
     * appears if the label occurs on EITHER side (a class the model

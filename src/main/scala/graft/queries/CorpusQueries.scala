@@ -339,7 +339,11 @@ object CorpusQueries {
     },
 
     // ---- Naive Bayes domain classifier: model grid ----
-    // Train-by-counting on an 80% doc_id split (label = source), emit
+    // Train-by-counting on a ~86% doc_id split (doc_id % 7 ≠ 0; 7 is
+    // coprime with the generator's source = src(doc_id % 20)
+    // assignment, so every class appears on BOTH sides — a % 5 split
+    // held out four ENTIRE classes and made held-out accuracy
+    // structurally zero). Label = source; emit
     // the FULL smoothed model grid — every (class, vocab term) pair
     // including zero counts. Counts are exact integers both engines;
     // ln runs on identical doubles ((n+1)/(tot_c+V), both exact in
@@ -350,7 +354,7 @@ object CorpusQueries {
         |FROM grid, vv ORDER BY label, term""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       TextClassifier.trainNaiveBayes(
-          docs.filter(col("doc_id") % 5 =!= 0), col("source"), col("text"))
+          docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
         .select(col("label"), col("term"), col("n"),
           round(col("log_cond"), 6).as("log_cond"))
         .orderBy(col("label"), col("term"))
@@ -368,9 +372,9 @@ object CorpusQueries {
         |FROM p WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val model = TextClassifier.trainNaiveBayes(
-        docs.filter(col("doc_id") % 5 =!= 0), col("source"), col("text"))
+        docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
       TextClassifier.classifyNaiveBayes(
-          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"), model)
+          docs.filter(col("doc_id") % 7 === 0), col("doc_id"), col("text"), model)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
@@ -392,11 +396,11 @@ object CorpusQueries {
         |FROM cm ORDER BY true_label, pred_label""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val model = TextClassifier.trainNaiveBayes(
-        docs.filter(col("doc_id") % 5 =!= 0), col("source"), col("text"))
+        docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
       val pred = TextClassifier.classifyNaiveBayes(
-        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"), model)
+        docs.filter(col("doc_id") % 7 === 0), col("doc_id"), col("text"), model)
       TextClassifier.nbConfusion(pred,
-          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("source"))
+          docs.filter(col("doc_id") % 7 === 0), col("doc_id"), col("source"))
         .orderBy(col("true_label"), col("pred_label"))
     },
 
@@ -432,11 +436,11 @@ object CorpusQueries {
         |ORDER BY label""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val model = TextClassifier.trainNaiveBayes(
-        docs.filter(col("doc_id") % 5 =!= 0), col("source"), col("text"))
+        docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
       val pred = TextClassifier.classifyNaiveBayes(
-        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"), model)
+        docs.filter(col("doc_id") % 7 === 0), col("doc_id"), col("text"), model)
       TextClassifier.nbMetricsReport(pred,
-          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("source"))
+          docs.filter(col("doc_id") % 7 === 0), col("doc_id"), col("source"))
         .orderBy(col("label"))
     },
 
@@ -489,7 +493,7 @@ object CorpusQueries {
       s"""WITH $nbTrainCte
         |SELECT label, term, n, round(ln((n + 1.0) / (tot_c + v)), 6) AS log_cond
         |FROM grid, vv ORDER BY label, term""".stripMargin) { (s, d) =>
-      val train = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
+      val train = t(s, d, "documents").filter(col("doc_id") % 7 =!= 0)
       val s1 = TextClassifier.nbSufficientStats(
         train.filter(col("doc_id") % 2 === 0), col("source"), col("text"))
       val s2 = TextClassifier.nbSufficientStats(
@@ -499,12 +503,78 @@ object CorpusQueries {
           round(col("log_cond"), 6).as("log_cond"))
         .orderBy(col("label"), col("term"))
     },
+
+    // ---- tokenizer fertility per source ----
+    // Whitespace words vs BPE-ish subword tokens vs characters — the
+    // table that prices a tokenizer choice per source before a
+    // corpus-wide tokenization run. Exact integer counts (q23's two
+    // pinned token definitions verbatim); the two ratios are the only
+    // rounded values.
+    Q("q146_tokenizer_fertility",
+      """WITH c AS (SELECT source,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS w,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS b,
+        |  length(text) AS ch
+        | FROM documents)
+        |SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(w) AS BIGINT) AS words,
+        | CAST(sum(b) AS BIGINT) AS bpe_tokens,
+        | CAST(sum(ch) AS BIGINT) AS chars,
+        | round(sum(b) / CAST(sum(w) AS DOUBLE), 6) AS fertility,
+        | round(sum(ch) / CAST(sum(b) AS DOUBLE), 6) AS chars_per_token
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.ops.CorpusReports.tokenizerFertilityReport(
+          t(s, d, "documents"), col("source"), col("text"))
+        .orderBy(col("group"))
+    },
+
+    // ---- Naive Bayes: accuracy by confidence margin ----
+    // margin = top1 − top2 rounded score per held-out doc, bucketed
+    // into a fixed band grid; per band, how often the top-1 label is
+    // right. If accuracy does not rise with margin, score-threshold
+    // gating is unjustified for this classifier. Both engines subtract
+    // identical rounded doubles and compare to identical literals.
+    Q("q147_nb_confidence",
+      s"""WITH $nbTrainCte,
+        |$nbScoreCte,
+        |topp AS (SELECT doc_id,
+        |  max(CASE WHEN rk = 1 THEN score END) AS s1,
+        |  max(CASE WHEN rk = 1 THEN label END) AS pred_label,
+        |  max(CASE WHEN rk = 2 THEN score END) AS s2
+        | FROM p WHERE rk <= 2 GROUP BY doc_id),
+        |m AS (SELECT doc_id, pred_label, s1 - s2 AS mg
+        | FROM topp WHERE s2 IS NOT NULL),
+        |j AS (SELECT CAST(CASE WHEN mg >= 0.02 THEN 0.02
+        |    WHEN mg >= 0.01 THEN 0.01 WHEN mg >= 0.005 THEN 0.005
+        |    WHEN mg >= 0.002 THEN 0.002
+        |    ELSE 0.0 END AS DOUBLE) AS band_lo,
+        |  CASE WHEN m.pred_label = d.source THEN 1 ELSE 0 END AS ok
+        | FROM m JOIN documents d USING (doc_id))
+        |SELECT band_lo, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(ok) AS BIGINT) AS n_correct,
+        | round(sum(ok) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        |FROM j GROUP BY 1 ORDER BY band_lo""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val model = TextClassifier.trainNaiveBayes(
+        docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
+      TextClassifier.nbConfidenceReport(
+          docs.filter(col("doc_id") % 7 === 0), col("doc_id"), col("text"),
+          model, docs.filter(col("doc_id") % 7 === 0), col("source"),
+          // grid sized to the avg-ll margin scale this corpus actually
+          // produces (median ~8e-3, max ~4e-2) so every band populates
+          bands = Seq(0.0, 0.002, 0.005, 0.01, 0.02))
+        .orderBy(col("band_lo"))
+    },
   )
 
-  /** Shared NB training CTEs (q140–q142): 80% doc_id split, label =
-    * source, add-one smoothing over the training vocabulary. */
+  /** Shared NB training CTEs (q140–q142): ~86% doc_id % 7 split
+    * (coprime with the generator's source = src(doc_id % 20), so no
+    * class is ever fully held out), label = source, add-one smoothing
+    * over the training vocabulary. */
   private def nbTrainCte: String =
-    """tr AS (SELECT source AS label, text FROM documents WHERE doc_id % 5 <> 0),
+    """tr AS (SELECT source AS label, text FROM documents WHERE doc_id % 7 <> 0),
       |tok AS (SELECT label, unnest(list_filter(
       |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
       | FROM tr),
@@ -518,20 +588,20 @@ object CorpusQueries {
       | FROM voc CROSS JOIN ct
       | LEFT JOIN cnt c ON c.label = ct.label AND c.term = voc.term)""".stripMargin
 
-  /** Shared NB scoring CTEs (q141/q142): held-out 20% split scored
+  /** Shared NB scoring CTEs (q141/q142): held-out ~14% split scored
     * per class, ranked on the rounded score then label. */
   private def nbScoreCte: String =
     """cd AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS n_docs_c
-      |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1),
       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
-      |  FROM documents WHERE doc_id % 5 <> 0),
+      |  FROM documents WHERE doc_id % 7 <> 0),
       |cls AS (SELECT ct.label, ct.tot_c,
       |  ln(cd.n_docs_c / CAST(nd.n_docs AS DOUBLE)) AS log_prior
       | FROM ct JOIN cd USING (label), nd),
       |htf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt FROM (
       |  SELECT doc_id, unnest(list_filter(
       |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
-      |  FROM documents WHERE doc_id % 5 = 0) GROUP BY 1, 2),
+      |  FROM documents WHERE doc_id % 7 = 0) GROUP BY 1, 2),
       |sc AS (SELECT h.doc_id, c.label,
       |  sum(h.cnt * coalesce(ln((m.n + 1.0) / (c.tot_c + vv.v)),
       |                       ln(1.0 / (c.tot_c + vv.v)))) / sum(h.cnt) AS avg_ll,

@@ -376,4 +376,29 @@ class CorpusReportsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
     assert(hi == Map("a" -> 2L, "b" -> 1L)) // score == t kept
   }
+
+  test("tokenizerFertilityReport: exact counts, both ratios, zero-word group") {
+    // s1: "ab cd" (2 words, bpe [ab,cd]=2, 5 chars) +
+    //     "x9,y"  (1 whitespace word, bpe [x|9|,|y]=4, 4 chars)
+    // s2: "hello world" (2 words, 2 bpe, 11 chars)
+    // s3: "" (0 words, 0 bpe, 0 chars) → both ratios NULL, never 0/0
+    val docs = Seq(("ab cd", "s1"), ("x9,y", "s1"),
+      ("hello world", "s2"), ("", "s3")).toDF("text", "src")
+    val r = CorpusReports.tokenizerFertilityReport(docs, col("src"),
+        col("text"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getAs[Long]("n_docs") == 2L && s1.getAs[Long]("words") == 3L &&
+      s1.getAs[Long]("bpe_tokens") == 6L && s1.getAs[Long]("chars") == 9L)
+    assert(s1.getAs[Double]("fertility") == 2.0 &&
+      s1.getAs[Double]("chars_per_token") == 1.5)
+    val s2 = r("s2")
+    assert(s2.getAs[Long]("words") == 2L && s2.getAs[Long]("bpe_tokens") == 2L)
+    assert(s2.getAs[Double]("fertility") == 1.0 &&
+      s2.getAs[Double]("chars_per_token") == 5.5)
+    val s3 = r("s3")
+    assert(s3.getAs[Long]("n_docs") == 1L && s3.getAs[Long]("words") == 0L)
+    assert(s3.isNullAt(s3.fieldIndex("fertility")) &&
+      s3.isNullAt(s3.fieldIndex("chars_per_token")))
+  }
 }

@@ -230,6 +230,35 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(oneShot.values.head._6 == all.size.toLong) // n_docs counts them
   }
 
+  test("nbConfidenceReport: margin bands, tie docs in band 0, exact accuracy") {
+    val m = TextClassifier.trainNaiveBayes(planted.toDF("label", "text"),
+      col("label"), col("text"))
+    // two high-margin docs (separable vocab) + two all-OOV docs whose
+    // class scores TIE exactly (identical priors and oov floors) ->
+    // margin 0.0, predicted "news" by tie-break
+    val held = Seq((1L, "mayor council budget"), (2L, "win prize click"),
+      (3L, "zzz qqq"), (4L, "xxx yyy")).toDF("id", "text")
+    val truth = Seq((1L, "news"), (2L, "spam"), (3L, "news"), (4L, "spam"))
+      .toDF("id", "src")
+    val got = TextClassifier.nbConfidenceReport(held, col("id"), col("text"),
+        m, truth, col("src"))
+      .orderBy("band_lo").collect()
+    val zero = got.find(_.getDouble(0) == 0.0).get
+    // both OOV docs: margin exactly 0; one truth matches the tie-break
+    assert(zero.getAs[Long]("n_docs") == 2L &&
+      zero.getAs[Long]("n_correct") == 1L &&
+      zero.getAs[Double]("accuracy") == 0.5)
+    // the separable docs land in SOME higher band, both correct
+    val high = got.filter(_.getDouble(0) > 0.0)
+    assert(high.map(_.getAs[Long]("n_docs")).sum == 2L &&
+      high.map(_.getAs[Long]("n_correct")).sum == 2L)
+    // bands contract: must be ascending from 0.0
+    intercept[IllegalArgumentException] {
+      TextClassifier.nbConfidenceReport(held, col("id"), col("text"), m,
+        truth, col("src"), bands = Seq(0.1, 0.5))
+    }
+  }
+
   test("nbMetricsReport: exact counts, total F1 form, never-predicted class rows") {
     // hand-built predictions (no model): 3 classes, c is never predicted
     val pred = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "b"))
