@@ -253,6 +253,37 @@ object TextClassifier {
           .as("accuracy"))
   }
 
+  /** Apply a trained NB model as a corpus gate — the step q144's
+    * threshold sweep and [[nbConfidenceReport]] exist to calibrate:
+    * keep exactly the documents whose top-1 predicted label is in
+    * `keepLabels` AND whose rounded score clears `minScore` (the CCNet
+    * move: train on a labeled seed, then keep the slice of the crawl
+    * the classifier says looks like it). Returns the surviving
+    * documents with ALL their original columns plus `pred_label` and
+    * `score` — a drop-in filtered corpus for the next pipeline stage.
+    *
+    * The filter compares the ROUNDED 6dp score against a literal, so
+    * the kept set is reproducible cross-engine (q74 discipline).
+    * Documents that tokenize to empty have no prediction and never
+    * pass — a gate admits on evidence, not absence of it.
+    *
+    * Scale: scoring dominates (see [[scoreNaiveBayes]] — TF pre-agg,
+    * broadcast class replicate, AQE-flippable model join); the
+    * surviving ids then join back to the full rows by id — keyed
+    * equi-join, no text ever rides through the token explode.
+    */
+  def classifierGate(docs: DataFrame, idCol: Column, text: Column,
+      model: DataFrame, keepLabels: Seq[String], minScore: Double): DataFrame = {
+    require(keepLabels.nonEmpty, "classifierGate: keepLabels must be non-empty")
+    val kept = classifyNaiveBayes(docs, idCol, text, model)
+      .filter(col("pred_label").isin(keepLabels: _*) &&
+        col("score") >= minScore)
+      .select(col("id").as("__gate_id"), col("pred_label"), col("score"))
+    docs.withColumn("__gate_id", idCol)
+      .join(kept, "__gate_id")
+      .drop("__gate_id")
+  }
+
   /** Per-class precision / recall / F1 over held-out predictions — the
     * one-row-per-class summary of [[nbConfusion]]'s cells. A class row
     * appears if the label occurs on EITHER side (a class the model

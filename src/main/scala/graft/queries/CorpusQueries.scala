@@ -567,6 +567,32 @@ object CorpusQueries {
           bands = Seq(0.0, 0.002, 0.005, 0.01, 0.02))
         .orderBy(col("band_lo"))
     },
+
+    // ---- Naive Bayes: the gate itself ----
+    // Train on the labeled seed (the % 7 split), score the WHOLE
+    // corpus, keep exactly the docs whose top-1 label is in the
+    // allowed set and whose rounded score clears the literal
+    // threshold — the filtered-corpus emit that q144's sweep and
+    // q147's calibration table exist to configure. Both engines
+    // compare the same rounded 6dp score to the same literal.
+    Q("q148_nb_gate",
+      s"""WITH $nbTrainCte,
+        |$nbScoreAllCte,
+        |pd AS (SELECT doc_id, label AS pred_label, score
+        | FROM p WHERE rk = 1)
+        |SELECT d.doc_id, d.source, pd.pred_label, pd.score
+        |FROM pd JOIN documents d USING (doc_id)
+        |WHERE pd.pred_label IN ('src0','src1','src2','src3','src4',
+        |  'src5','src6','src7','src8','src9') AND pd.score >= -3.43
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val model = TextClassifier.trainNaiveBayes(
+        docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
+      TextClassifier.classifierGate(docs, col("doc_id"), col("text"),
+          model, (0 to 9).map(i => s"src$i"), minScore = -3.43)
+        .select(col("doc_id"), col("source"), col("pred_label"), col("score"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   /** Shared NB training CTEs (q140–q142): ~86% doc_id % 7 split
@@ -587,6 +613,15 @@ object CorpusQueries {
       |  ct.tot_c
       | FROM voc CROSS JOIN ct
       | LEFT JOIN cnt c ON c.label = ct.label AND c.term = voc.term)""".stripMargin
+
+  /** q148's scoring CTEs: identical to [[nbScoreCte]] except the
+    * scored set is the WHOLE corpus (a gate classifies everything,
+    * training docs included), so `htf` drops the split filter. Same
+    * alias names — the two blocks never appear in one query. */
+  private def nbScoreAllCte: String =
+    nbScoreCte.replace(
+      "  FROM documents WHERE doc_id % 7 = 0) GROUP BY 1, 2)",
+      "  FROM documents) GROUP BY 1, 2)")
 
   /** Shared NB scoring CTEs (q141/q142): held-out ~14% split scored
     * per class, ranked on the rounded score then label. */

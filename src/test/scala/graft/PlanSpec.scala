@@ -299,6 +299,20 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned windows over unbounded input:\n${offenders.mkString("\n")}")
   }
 
+  test("NB classifier plans: bounded replicates broadcast, never a raw cartesian") {
+    // trainNaiveBayes replicates the |classes|-row table across the
+    // vocab (crossJoin(broadcast(classes))) and scoreNaiveBayes does
+    // the same across per-doc TFs: every such replicate must execute
+    // as a BROADCAST nested-loop, never a partitioned CartesianProduct
+    // (which would shuffle the corpus-proportional side |classes|×).
+    for (q <- Seq("q140_nb_model", "q141_nb_classify", "q148_nb_gate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: class replicate must broadcast\n${p.take(800)}")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q\n${p.take(800)}")
+    }
+  }
+
   test("q129 line dedup: count side shuffles hashes, not line text") {
     // the kill-set aggregation groups by xxhash64(line) — its exchange
     // carries (hash, count) pairs only. Lines legitimately cross once

@@ -259,6 +259,41 @@ class TextClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierGate: label set + inclusive threshold, empty docs never pass, full rows") {
+    val m = TextClassifier.trainNaiveBayes(planted.toDF("label", "text"),
+      col("label"), col("text"))
+    // id 1 news-vocab, id 2 spam-vocab, id 3 all-OOV (ties -> "news"
+    // by label tie-break), id 4 empty (no tokens -> no prediction)
+    val docs = Seq((1L, "mayor council budget", "a"),
+      (2L, "win prize click", "b"), (3L, "zzz qqq", "c"), (4L, "", "d"))
+      .toDF("id", "text", "extra")
+    def gate(labels: Seq[String], min: Double): Map[Long, (String, String)] =
+      TextClassifier.classifierGate(docs, col("id"), col("text"), m,
+          labels, min)
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("pred_label"), r.getAs[String]("extra")))).toMap
+    // loose threshold, both labels: everything with tokens passes;
+    // the empty doc NEVER does (no evidence -> no admission)
+    val all = gate(Seq("news", "spam"), -100.0)
+    assert(all.keySet == Set(1L, 2L, 3L))
+    assert(all(1L) == (("news", "a")) && all(2L) == (("spam", "b")) &&
+      all(3L)._1 == "news") // OOV tie broke to "news"
+    // label set restricts: spam-only drops 1 and 3
+    assert(gate(Seq("spam"), -100.0).keySet == Set(2L))
+    // threshold is INCLUSIVE on the rounded score: gating at exactly
+    // id 1's score keeps id 1
+    val s1 = TextClassifier.classifyNaiveBayes(docs, col("id"), col("text"), m)
+      .filter(col("id") === 1L).collect()(0).getAs[Double]("score")
+    assert(gate(Seq("news"), s1).keySet.contains(1L))
+    // and a threshold one grid step above it drops id 1
+    assert(!gate(Seq("news"), s1 + 1e-6).keySet.contains(1L))
+    // empty keepLabels is a contract violation
+    intercept[IllegalArgumentException] {
+      TextClassifier.classifierGate(docs, col("id"), col("text"), m,
+        Seq.empty, 0.0)
+    }
+  }
+
   test("nbMetricsReport: exact counts, total F1 form, never-predicted class rows") {
     // hand-built predictions (no model): 3 classes, c is never predicted
     val pred = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "b"))
