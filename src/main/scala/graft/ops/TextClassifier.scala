@@ -164,8 +164,16 @@ object TextClassifier {
       .filter(col("term") =!= "")
       .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
     val classes = model.select("label", "log_prior", "oov_ll").distinct()
+    // Join only the OBSERVED (label, term) pairs: a zero-count grid
+    // row's log_cond is ln((0+α)/(tot_c+αV)) — bit-identical to the
+    // class's oov_ll the coalesce below supplies — so shipping the
+    // dense grid through the join buys nothing and costs |vocab|×
+    // |classes| rows of join build side (~|classes|× the observed
+    // pairs at web scale, where most terms never occur in most
+    // classes). Same values, smaller join, better AQE broadcast odds.
     tf.crossJoin(broadcast(classes))
-      .join(model.select("label", "term", "log_cond"), Seq("label", "term"), "left")
+      .join(model.filter(col("n") > 0).select("label", "term", "log_cond"),
+        Seq("label", "term"), "left")
       .withColumn("ll", coalesce(col("log_cond"), col("oov_ll")))
       .groupBy("id", "label")
       .agg(
