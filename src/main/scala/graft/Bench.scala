@@ -37,6 +37,30 @@ import org.apache.spark.sql.SparkSession
   * signal; calib inflated or loadavg far above the core count →
   * the run was contended and should be re-taken, not compared.
   *
+  * The CPU spin is BLIND to one observed contention mode: round 17
+  * recorded full-suite runs uniformly 1.3-1.7× floor with calib
+  * 0.2-0.3 and loadavg ≪ cores — the signature of a NEIGHBOR
+  * saturating shared memory bandwidth (Spark's shuffle/hash/string
+  * work is bandwidth-hungry; a register-resident sum is not). So a
+  * second sentinel (`mem_calib`, sampled at the same three points)
+  * times a bandwidth-bound probe: `cpus` plain threads each
+  * streaming 32 sequential passes over a private 8 MB heap slab
+  * (working set cpus×8 MB ≫ any L3, so the aggregate is DRAM-bound;
+  * ~8 GB of traffic at cpus=32). calib quiet + mem_calib inflated vs
+  * its committed quiet figure → bandwidth contention: expect uniform
+  * per-row inflation and grade structure, not totals. (A sample of
+  * -1.0 means the probe itself failed — no signal, not "fast".)
+  *
+  * Both spot sentinels can still MISS bursty contention that lands
+  * between their three samples, so the record also carries
+  * `cpu_stat`: /proc/stat's cumulative steal/iowait/busy jiffies
+  * integrated over the WHOLE run (start→end delta, percent of total
+  * CPU time). steal_pct ≫ 0 is a hypervisor neighbor de-scheduling
+  * this VM — invisible to loadavg and to both spot probes, but it
+  * inflates every query uniformly. First r17 reading on a
+  * known-inflated box (median per-row 1.45×, calib and mem_calib
+  * both near-quiet): the adjudicating signal.
+  *
   * Self-defense (the sentinel proves contention; these two guards
   * reduce it):
   *  - START GATE: if 1-min loadavg exceeds half the machine's cores
@@ -114,9 +138,79 @@ object Bench {
       try loadavg().split("\\s+")(0).toDouble
       catch { case _: Throwable => 0.0 }
     calibrate() // untimed: codegen-compile the probe itself
+    // --- memory-bandwidth sentinel (see scaladoc) ---
+    // Slabs allocated ONCE (old-gen residency, cpus×8 MB — inside the
+    // 8g default heap) and reused per sample so allocation/GC never
+    // rides the timing. The sum is folded into a static sink to keep
+    // the JIT from dead-code-eliminating the loads. Any failure
+    // (allocation on a tight heap, interrupt) degrades to a -1.0
+    // marker sample — the sentinel must never kill a bench.
+    val memSlabs: Array[Array[Long]] =
+      try Array.fill(cpus)(Array.tabulate(1 << 20)(_.toLong))
+      catch { case _: Throwable => Array.empty }
+    val memSink = new java.util.concurrent.atomic.AtomicLong(0L)
+    def memCalibrate(): Double =
+      if (memSlabs.isEmpty) -1.0
+      else try {
+        val t0 = System.nanoTime()
+        val threads = memSlabs.map { slab =>
+          val t = new Thread(() => {
+            var s = 0L; var p = 0
+            while (p < 32) {
+              var i = 0
+              while (i < slab.length) { s += slab(i); i += 1 }
+              p += 1
+            }
+            memSink.addAndGet(s)
+          })
+          t.setDaemon(true); t.start(); t
+        }
+        threads.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    memCalibrate() // untimed: JIT-compile the probe loop itself
+    // --- whole-run CPU accounting (/proc/stat deltas) ---
+    // Point-in-time sentinels can MISS bursty contention between
+    // samples (observed r17: median per-row 1.45× with calib and
+    // mem_calib both near-quiet). The kernel's cumulative counters
+    // can't: steal jiffies (hypervisor ran someone else while we were
+    // runnable) and iowait, sampled once at start and once at end,
+    // integrate over the WHOLE run. steal_pct ≫ 0 with quiet spot
+    // sentinels = a noisy-neighbor VM — expect uniform per-row
+    // inflation and grade structure, not totals.
+    def cpuJiffies(): Option[Array[Long]] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val line = try src.getLines().next() finally src.close()
+        Some(line.trim.split("\\s+").drop(1).map(_.toLong))
+      } catch { case _: Throwable => None }
+    val jiffiesStart = cpuJiffies()
+    def cpuStatJson(): String = (for {
+      a <- jiffiesStart; b <- cpuJiffies()
+      if b.length >= 8 && a.length >= 8
+    } yield {
+      val d = b.zip(a).map { case (x, y) => math.max(0L, x - y) }
+      val tot = math.max(1L, d.sum)
+      val pct = (i: Int) => 100.0 * d(i) / tot
+      // fields: user nice system idle iowait irq softirq steal
+      s"""{"steal_pct":${"%.2f".formatLocal(java.util.Locale.ROOT, pct(7))},""" +
+        s""""iowait_pct":${"%.2f".formatLocal(java.util.Locale.ROOT, pct(4))},""" +
+        s""""busy_pct":${"%.2f".formatLocal(java.util.Locale.ROOT,
+          100.0 - pct(3) - pct(4))}}"""
+    }).getOrElse("null")
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val memCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val loads = scala.collection.mutable.ArrayBuffer.empty[String]
-    def sentinel(): Unit = { loads += loadavg(); calibs += calibrate() }
+    def sentinel(): Unit = {
+      loads += loadavg(); calibs += calibrate()
+      // min-of-2 over SUCCESSFUL samples: single samples of a ~50 ms
+      // probe carry thread start/join jitter; the min is the
+      // machine's available bandwidth AT this instant, which is what
+      // the reader compares against the committed quiet figure. A
+      // transient -1.0 failure marker must not eat a real sample.
+      val ms = Seq(memCalibrate(), memCalibrate()).filter(_ >= 0.0)
+      memCalibs += (if (ms.nonEmpty) ms.min else -1.0)
+    }
 
     // --- start gate (see scaladoc) ---
     val gateThreshold = hostCores / 2.0
@@ -305,6 +399,8 @@ object Bench {
     def num(v: Double, prec: Int): String =
       s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
     val calibJson = calibs.map(num(_, 3)).mkString("[", ",", "]")
+    val memCalibJson = memCalibs.map(num(_, 3)).mkString("[", ",", "]")
+    val cpuStat = cpuStatJson() // sample ONCE; both lines carry the same figures
     val loadJson = loads.map(jsonStr).mkString("[", ",", "]")
     val gateJson = s"""{"start_load":${num(startLoad, 2)},""" +
       s""""threshold":${num(gateThreshold, 1)},"waited":$gateWaited,""" +
@@ -318,7 +414,7 @@ object Bench {
     def line(qs: Iterable[(String, Double)], prec: Int): String = {
       val dict = qs.map { case (k, v) => s"\"" + k + "\":" + num(v, prec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"loadavg":$loadJson,"load_gate":$gateJson,"ref_rows":${reference.size},"contended_rows":$contendedJson,"retimed":$retimedJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"mem_calib":$memCalibJson,"cpu_stat":$cpuStat,"loadavg":$loadJson,"load_gate":$gateJson,"ref_rows":${reference.size},"contended_rows":$contendedJson,"retimed":$retimedJson,"errors":$errJson}"""
     }
     // Full-precision, full-name line goes to a file; stdout gets a
     // COMPACT summary guaranteed to FIT the driver's ~2000-char stdout
@@ -336,10 +432,10 @@ object Bench {
       "q94_label_store", "q103_region_revenue", "q116_leakage_safe_split")
     val stdoutLine = {
       // budget arithmetic for the ~2000-char driver tail, worst case:
-      // 16-key dict ~470 + scaffolding ~420 + calib/gate ~160 +
-      // 3×80-char errors ~330 + 3×80 contended ~330 + 2×70 retimed
-      // ~190 ≈ 1900 — the retimed field must stay inside what the
-      // pre-retime line already guaranteed
+      // 16-key dict ~470 + scaffolding ~420 + calib/mem_calib/
+      // cpu_stat/gate ~280 + 3×70-char errors ~300 + 3×70 contended
+      // ~300 + 2×70 retimed ~190 ≈ 1960 — the retimed field must stay
+      // inside what the pre-retime line already guaranteed
       val picked = (headline ++ contendedRows.keys ++ errors.keys)
         .distinct.flatMap(k => resByName.get(k).map(k -> _)).take(16)
       val dict = picked.map { case (k, v) => jsonStr(k) + ":" + num(v, 3) }
@@ -347,15 +443,15 @@ object Bench {
       // errors/contended stay bounded: counts always, detail capped at
       // 3 rows × 80 chars — a 135-error run must not overflow the tail
       val errCompact = errors.take(3)
-        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(80)) }
+        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(70)) }
         .mkString("{", ",", "}")
       val contCompact = contendedRows.take(3)
-        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(80)) }
+        .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(70)) }
         .mkString("{", ",", "}")
       val retCompact = retimed.take(2)
         .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(70)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","n":${results.size},"rc":${if (errors.nonEmpty) 1 else 0},"method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"load_gate":$gateJson,"ref_rows":${reference.size},"contended_count":${contendedRows.size},"contended_rows":$contCompact,"retimed":$retCompact,"error_count":${errors.size},"errors":$errCompact,"full_record":"target/bench.json"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$dict,"sf":"$sfDir","n":${results.size},"rc":${if (errors.nonEmpty) 1 else 0},"method":"warmup+min-of-$TimedPasses","cold_total":${num(coldTotal, 3)},"calib":$calibJson,"mem_calib":$memCalibJson,"cpu_stat":$cpuStat,"load_gate":$gateJson,"ref_rows":${reference.size},"contended_count":${contendedRows.size},"contended_rows":$contCompact,"retimed":$retCompact,"error_count":${errors.size},"errors":$errCompact,"full_record":"target/bench.json"}"""
     }
     try {
       val out = java.nio.file.Paths.get("target/bench.json")

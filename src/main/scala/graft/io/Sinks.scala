@@ -232,7 +232,15 @@ object Sinks {
         else scala.util.Try(pidStr.toLong).toOption match {
           case None => true
           case Some(pid) => procStartTicks(pid) match {
-            case None => true // pid gone — writer dead
+            case None =>
+              // /proc gave nothing — ambiguous: the pid is gone
+              // (Linux) OR /proc itself is unreadable (non-Linux
+              // host, cross-PID-namespace reader). Treating that as
+              // "writer dead" would roll back a LIVE writer's swap on
+              // any such platform — the exact loss window this guard
+              // exists to close. Fall back to the portable liveness
+              // check: only a provably-absent pid is safe.
+              !ProcessHandle.of(pid).isPresent
             case Some(now) => ticks.nonEmpty && now != ticks // pid reused?
           }
         }

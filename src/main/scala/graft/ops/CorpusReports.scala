@@ -435,28 +435,6 @@ object CorpusReports {
         col("vocab"))
   }
 
-  /** Gate-threshold calibration sweep: for each candidate threshold,
-    * how many of each group's rows a score gate would keep — the table
-    * you read BEFORE applying a corpus-wide quality gate (CCNet's
-    * perplexity buckets, C4's langid cut, an NB-classifier score cut),
-    * where "keep 60% of source A but 4% of source B" is the decision
-    * that actually matters. `keepBelow=false` keeps score ≥ t (higher
-    * is better, classifier posteriors); `keepBelow=true` keeps
-    * score ≤ t (lower is better, negative-log-likelihood scales).
-    *
-    * Null scores count in `n_docs` but never in `n_kept` — a doc the
-    * scorer refused to score does not pass any gate, and dropping it
-    * from the denominator would overstate keep rates.
-    *
-    * Scale: the per-row explode is over the constant threshold grid
-    * (the `truncationLossReport` pattern) and partial aggregation
-    * collapses everything to |groups|·|thresholds| rows before the one
-    * exchange — no join, no window, no row-proportional shuffle.
-    *
-    * Output: group, threshold, n_docs, n_kept, keep_rate (rounded 6),
-    * one row per (group, threshold) — dense: every group reports every
-    * threshold.
-    */
   /** Tokenizer fertility per group: whitespace words vs BPE-ish
     * subword tokens vs characters — the table that prices a tokenizer
     * choice per source before committing a 100 TB tokenization run
@@ -489,6 +467,28 @@ object CorpusReports {
         round(try_divide(col("chars").cast("double"), col("bpe_tokens")),
           roundTo).as("chars_per_token"))
 
+  /** Gate-threshold calibration sweep: for each candidate threshold,
+    * how many of each group's rows a score gate would keep — the table
+    * you read BEFORE applying a corpus-wide quality gate (CCNet's
+    * perplexity buckets, C4's langid cut, an NB-classifier score cut),
+    * where "keep 60% of source A but 4% of source B" is the decision
+    * that actually matters. `keepBelow=false` keeps score ≥ t (higher
+    * is better, classifier posteriors); `keepBelow=true` keeps
+    * score ≤ t (lower is better, negative-log-likelihood scales).
+    *
+    * Null scores count in `n_docs` but never in `n_kept` — a doc the
+    * scorer refused to score does not pass any gate, and dropping it
+    * from the denominator would overstate keep rates.
+    *
+    * Scale: the per-row explode is over the constant threshold grid
+    * (the `truncationLossReport` pattern) and partial aggregation
+    * collapses everything to |groups|·|thresholds| rows before the one
+    * exchange — no join, no window, no row-proportional shuffle.
+    *
+    * Output: group, threshold, n_docs, n_kept, keep_rate (rounded 6),
+    * one row per (group, threshold) — dense: every group reports every
+    * threshold.
+    */
   def thresholdSweep(df: DataFrame, group: Column, score: Column,
       thresholds: Seq[Double], keepBelow: Boolean = false,
       roundTo: Int = 6): DataFrame = {

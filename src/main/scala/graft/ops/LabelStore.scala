@@ -257,12 +257,18 @@ object LabelStore {
     * half-renamed partition set.
     *
     * Reading is therefore NOT pure: it may mutate the store (the
-    * rollback). Safe alongside a concurrent merge — same-JVM races
-    * serialize on the store's swap lock, and a manifest left by a
-    * LIVE writer in another process makes recovery refuse loudly
-    * rather than roll back its in-flight renames (r17; see
-    * `Sinks.recoverBucketSwap`). A refused read should simply retry
-    * after the merge completes. */
+    * rollback). The RECOVERY step is safe alongside a concurrent
+    * merge — same-JVM races serialize on the store's swap lock, and a
+    * manifest left by a LIVE writer in another process makes recovery
+    * refuse loudly rather than roll back its in-flight renames (r17;
+    * see `Sinks.recoverBucketSwap`); a refused read should simply
+    * retry after the merge completes. The lock does NOT extend to the
+    * returned DataFrame: the scan is lazy, so an action run after a
+    * later merge's bucket renames can hit moved-away part files
+    * (FileNotFound) or a torn pre/post-swap mix of buckets.
+    * Consume-before-the-next-merge — or cache/materialize first — is
+    * the reader's contract, same single-writer-era discipline as
+    * every swap-managed store here. */
   def read(spark: SparkSession, path: String): DataFrame = {
     graft.io.Sinks.recoverBucketSwap(spark, path)
     graft.io.Sinks.readStateOrBackup(spark, path)

@@ -618,10 +618,18 @@ object CorpusQueries {
     * scored set is the WHOLE corpus (a gate classifies everything,
     * training docs included), so `htf` drops the split filter. Same
     * alias names — the two blocks never appear in one query. */
-  private def nbScoreAllCte: String =
-    nbScoreCte.replace(
+  private def nbScoreAllCte: String = {
+    val out = nbScoreCte.replace(
       "  FROM documents WHERE doc_id % 7 = 0) GROUP BY 1, 2)",
       "  FROM documents) GROUP BY 1, 2)")
+    // Exact-substring derivation: a reformat of that line in
+    // nbScoreCte would otherwise silently no-op the replace and
+    // revert q148's oracle to held-out-only scoring — fail loudly at
+    // construction instead of as a confusing hash mismatch.
+    require(out != nbScoreCte,
+      "nbScoreAllCte: split-filter line not found in nbScoreCte — the CTE drifted")
+    out
+  }
 
   /** Shared NB scoring CTEs (q141/q142): held-out ~14% split scored
     * per class, ranked on the rounded score then label. */

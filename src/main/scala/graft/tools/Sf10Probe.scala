@@ -217,11 +217,14 @@ object Sf10Probe {
       val afterSnap = dirSnapshot()
       val changed = afterSnap.keySet.union(beforeSnap.keySet)
         .filter(d => beforeSnap.get(d) != afterSnap.get(d))
-      val untouchedOk = (beforeSnap.keySet -- changed)
-        .forall(d => beforeSnap(d) == afterSnap(d))
+      // The locality claim, as a falsifiable bound: a one-pair batch
+      // touches ≤2 components (the two endpoints' — they converge to
+      // one), so ≤2 bucket dirs may differ byte-wise. A full-rewrite
+      // regression would flip this to buckets_total and fail loudly.
+      val localityOk = changed.size <= 2
       println(s"PROBE labels_merge_evidence $tag: " +
         s"buckets_total=${beforeSnap.size} buckets_changed=${changed.size} " +
-        s"untouched_identical=$untouchedOk " +
+        s"write_locality_bound_ok=$localityOk " +
         s"merge_fs_bytes_read=$readDelta store_bytes=$storeBytes")
     } }
     batchPairs.unpersist()

@@ -355,6 +355,18 @@ class GraphSpec extends AnyFunSuite {
     assert(graft.ops.LabelStore.read(spark, path).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
     assert(!fs.exists(p(path + ".bswap")) && !fs.exists(p(path + ".bold")))
+    // NONEXISTENT pid (procStartTicks reads nothing): liveness falls
+    // back to the portable ProcessHandle check — provably absent, so
+    // the writer is dead and rollback proceeds. (The ambiguous
+    // /proc-unreadable-but-alive case can't be staged on Linux; the
+    // fallback's refusal side is the pid-1 arm above, which any
+    // ProcessHandle-based check also sees as present.)
+    val deadPid = (4194300L to 4194200L by -1L)
+      .find(q => !ProcessHandle.of(q).isPresent).get
+    armSwap(s"$deadPid@$host@12345")
+    assert(graft.ops.LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    assert(!fs.exists(p(path + ".bswap")) && !fs.exists(p(path + ".bold")))
   }
 
   test("swapBuckets fails loudly on staged partitions outside `affected`") {
