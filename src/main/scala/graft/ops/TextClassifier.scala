@@ -157,6 +157,17 @@ object TextClassifier {
     *
     * Output: one row per (doc, class): id, label, score (rounded 6),
     * n_tokens.
+    *
+    * Shape note for MANY-class deployments: this replicates each
+    * doc's TF rows |classes|× (broadcast nested-loop, then one
+    * keyed aggregation) — the right trade at quality-filter class
+    * counts (2–20: langid keep/drop, domain buckets). If |classes|
+    * reaches hundreds with a skewed vocabulary, the algebraic
+    * decomposition Σ_t cnt·ll = Σ_observed cnt·(log_cond − oov_ll_c)
+    * + N·oov_ll_c avoids the replicate entirely (term-keyed join to
+    * observed pairs only, then a per-(id,label) sum plus a
+    * doc×classes fill for all-OOV pairs) — at the cost of a changed
+    * floating-point grouping, so re-pin the oracle if adopting it.
     */
   def scoreNaiveBayes(held: DataFrame, idCol: Column, text: Column,
       model: DataFrame): DataFrame = {

@@ -125,6 +125,24 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(rows(0).getAs[Double]("score") == want)
   }
 
+  test("zero-count model rows carry no information: corrupting them leaves scores bit-equal") {
+    // Pins the sparse scoring join's contract (r17): a zero-count
+    // grid row's log_cond is bit-identical to the class oov_ll the
+    // coalesce supplies, so scoring must never CONSULT those rows.
+    // Poison them and assert every (id, label, score) is unchanged —
+    // a regression that re-reads the dense grid fails loudly here.
+    val m = TextClassifier.trainNaiveBayes(planted.toDF("label", "text"),
+      col("label"), col("text"))
+    val poisoned = m.withColumn("log_cond",
+      when(col("n") === 0L, lit(999.0)).otherwise(col("log_cond")))
+    val held = Seq((1L, "council vote spam zzz"), (2L, "free cash")).toDF("id", "text")
+    def rows(model: org.apache.spark.sql.DataFrame) =
+      TextClassifier.scoreNaiveBayes(held, col("id"), col("text"), model)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getAs[Double]("score"), r.getLong(3))).toSet
+    assert(rows(poisoned) == rows(m))
+  }
+
   test("matches the independent in-memory model on random corpora (incl. alpha != 1)") {
     val rnd = new scala.util.Random(1742)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
