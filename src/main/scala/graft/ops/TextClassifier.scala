@@ -161,13 +161,10 @@ object TextClassifier {
     * Shape note for MANY-class deployments: this replicates each
     * doc's TF rows |classes|× (broadcast nested-loop, then one
     * keyed aggregation) — the right trade at quality-filter class
-    * counts (2–20: langid keep/drop, domain buckets). If |classes|
-    * reaches hundreds with a skewed vocabulary, the algebraic
-    * decomposition Σ_t cnt·ll = Σ_observed cnt·(log_cond − oov_ll_c)
-    * + N·oov_ll_c avoids the replicate entirely (term-keyed join to
-    * observed pairs only, then a per-(id,label) sum plus a
-    * doc×classes fill for all-OOV pairs) — at the cost of a changed
-    * floating-point grouping, so re-pin the oracle if adopting it.
+    * counts (2–20: langid keep/drop, domain buckets). When |classes|
+    * reaches hundreds with a skewed vocabulary, use
+    * [[scoreNaiveBayesManyClasses]]: same semantics, no TF replicate
+    * (spec-pinned equivalent to within one 1e-6 rounding-grid step).
     */
   def scoreNaiveBayes(held: DataFrame, idCol: Column, text: Column,
       model: DataFrame): DataFrame = {
@@ -206,6 +203,49 @@ object TextClassifier {
     perClass.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col("id"), col("label").as("pred_label"), col("score"), col("n_tokens"))
+  }
+
+  /** [[scoreNaiveBayes]] without the per-class TF replicate — the
+    * wide-class-count scale shape. Algebra: with ll_t = log_cond for
+    * observed (class, term) pairs and oov_ll_c otherwise,
+    *
+    *   Σ_t cnt_t·ll_t  =  Σ_observed cnt_t·(log_cond − oov_ll_c)
+    *                      + N·oov_ll_c            (N = Σ_t cnt_t)
+    *
+    * so the heavy TF table joins TERM-keyed to the observed model
+    * pairs only (rows ≈ Σ_t |classes observing t| — for a skewed web
+    * vocabulary far below |TF|×|classes|), aggregates per (doc,
+    * class), and the |docs|×|classes| output spine is built from the
+    * tiny per-doc token totals instead of the full TF rows. Classes
+    * a doc shares no vocabulary with fall out of the join entirely
+    * and take the pure-OOV score via the fill.
+    *
+    * Same output contract as [[scoreNaiveBayes]]; the floating-point
+    * GROUPING differs (one subtraction pulled out of the sum), so
+    * rounded scores agree to within one 1e-6 grid step rather than
+    * bit-exactly — spec-pinned on random corpora. Gates and argmax
+    * built on either shape agree except on a score pair within one
+    * ulp of a grid midpoint; pick one shape per deployment. */
+  def scoreNaiveBayesManyClasses(held: DataFrame, idCol: Column,
+      text: Column, model: DataFrame): DataFrame = {
+    val tf = held.select(idCol.as("id"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
+    val docN = tf.groupBy("id").agg(sum("cnt").as("n_tokens"))
+    val classes = model.select("label", "log_prior", "oov_ll").distinct()
+    val adj = tf
+      .join(model.filter(col("n") > 0)
+          .select(col("label"), col("term"), col("log_cond"), col("oov_ll")),
+        Seq("term"))
+      .groupBy("id", "label")
+      .agg(sum(col("cnt") * (col("log_cond") - col("oov_ll"))).as("adj"))
+    docN.crossJoin(broadcast(classes))
+      .join(adj, Seq("id", "label"), "left")
+      .na.fill(0.0, Seq("adj"))
+      .withColumn("avg_ll",
+        (col("adj") + col("n_tokens") * col("oov_ll")) / col("n_tokens"))
+      .withColumn("score", round(col("avg_ll") + col("log_prior") / col("n_tokens"), 6))
+      .select(col("id"), col("label"), col("score"), col("n_tokens"))
   }
 
   /** Held-out confusion matrix: join predictions back to true labels,

@@ -185,6 +185,43 @@ class TextClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreNaiveBayesManyClasses == scoreNaiveBayes within one 1e-6 grid step") {
+    // The wide-class shape pulls one subtraction out of the per-doc
+    // sum, so its rounded score may sit one grid step off the
+    // replicate shape's at a rounding-boundary sum — never more.
+    // Covers: shared-vocab docs, an all-OOV doc (falls out of the
+    // term join entirely, scored by the fill), and alpha != 1.
+    val rnd = new scala.util.Random(90217)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 0 until 3; alpha <- Seq(1.0, 0.5)) {
+      val labels = Vector("c0", "c1", "c2", "c3")
+      def doc(): String =
+        Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")
+      val train = Seq.fill(24)((labels(rnd.nextInt(4)), doc())) ++
+        labels.map(_ -> doc())
+      val held = (0 until 10).map(i =>
+        (i.toLong, if (i == 9) "oovword only zzz" else doc()))
+      val m = TextClassifier.trainNaiveBayes(train.toDF("label", "text"),
+        col("label"), col("text"), alpha).cache()
+      def collectScores(f: (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+          org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+        f(held.toDF("id", "text"), col("id"), col("text"), m)
+          .collect().map(r => (r.getLong(0), r.getString(1)) ->
+            (r.getAs[Double]("score"), r.getLong(3))).toMap
+      val a = collectScores(TextClassifier.scoreNaiveBayes)
+      val b = collectScores(TextClassifier.scoreNaiveBayesManyClasses)
+      assert(a.keySet == b.keySet, s"trial $trial alpha $alpha (id,label) spine")
+      a.foreach { case (k, (s, n)) =>
+        assert(b(k)._2 == n, s"trial $trial n_tokens at $k")
+        assert(math.abs(b(k)._1 - s) <= 1e-6 + 1e-12,
+          s"trial $trial alpha $alpha score at $k: $s vs ${b(k)._1}")
+      }
+      m.unpersist()
+    }
+  }
+
   test("nbConfusion: cells count correctly and shares sum to 1 per true label") {
     val m = TextClassifier.trainNaiveBayes(planted.toDF("label", "text"),
       col("label"), col("text"))
