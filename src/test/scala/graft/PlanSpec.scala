@@ -313,6 +313,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-class NB shape: class spine broadcasts, no cartesian, no TF replicate join") {
+    // scoreNaiveBayesManyClasses exists to keep the heavy TF table
+    // OUT of any per-class replicate: its only nested-loop join must
+    // be the broadcast classes spine over the tiny per-doc totals,
+    // and the TF↔model join must be a keyed equi-join.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = graft.ops.TextClassifier.trainNaiveBayes(
+      docs, col("source"), col("text"))
+    val df = graft.ops.TextClassifier.scoreNaiveBayesManyClasses(
+      docs, col("doc_id"), col("text"), m)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q129 line dedup: count side shuffles hashes, not line text") {
     // the kill-set aggregation groups by xxhash64(line) — its exchange
     // carries (hash, count) pairs only. Lines legitimately cross once
