@@ -79,6 +79,53 @@ object TextClassifier {
         log(lit(alpha) / (col("tot_c") + lit(alpha) * col("vocab"))))
   }
 
+  /** [[trainNaiveBayes]] minus the dense-grid materialization — the
+    * deployment trainer. The dense |vocab|×|classes| grid exists as
+    * the q140 oracle ARTIFACT (every smoothed conditional inspectable,
+    * zero rows included); nothing downstream consumes the zero rows
+    * (spec-pinned: scoring never consults them), so at web scale —
+    * where |vocab| is hundreds of millions and most terms never occur
+    * in most classes — materializing |vocab|×|classes| rows to then
+    * join observed pairs back in is pure waste. This emits ONLY the
+    * observed (label, term) rows, each carrying the same replicated
+    * class-level quantities, and is bit-compatible with every
+    * consumer ([[scoreNaiveBayes]], [[scoreNaiveBayesManyClasses]],
+    * [[classifyNaiveBayes]], [[classifierGate]]): they read
+    * `filter(n > 0)` + a distinct class table, both of which this
+    * output satisfies identically (every class keeps ≥1 observed row
+    * — a token-less class is dropped by BOTH trainers). Spec-pinned
+    * row-equal to `trainNaiveBayes(...).filter(n > 0)` on the shared
+    * columns, and classify-bit-equal through the full scoring path.
+    *
+    * Cost: one tokenize + the same two bounded-key groupBys; output
+    * rows = observed pairs ≈ the (label, term) count table itself —
+    * never vocab×classes. */
+  def trainNaiveBayesSparse(docs: DataFrame, labelCol: Column, text: Column,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    val tok = docs.select(labelCol.as("label"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+    val counts = tok.groupBy("label", "term").agg(count(lit(1)).as("cnt_n"))
+    val classTok = counts.groupBy("label").agg(sum("cnt_n").as("tot_c"))
+    val classDocs = docs.select(labelCol.as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n_docs_c"))
+    val classes = classTok.join(classDocs, "label")
+    val vTot = counts.select("term").distinct()
+      .agg(count(lit(1)).as("vocab"))                 // single row
+    val dTot = docs.agg(count(lit(1)).as("n_docs"))   // single row
+    counts.join(broadcast(classes), "label")
+      .crossJoin(broadcast(vTot))
+      .crossJoin(broadcast(dTot))
+      .withColumn("n", col("cnt_n"))
+      .withColumn("log_cond",
+        log((col("n") + lit(alpha)) / (col("tot_c") + lit(alpha) * col("vocab"))))
+      .withColumn("log_prior",
+        log(col("n_docs_c").cast("double") / col("n_docs")))
+      .withColumn("oov_ll",
+        log(lit(alpha) / (col("tot_c") + lit(alpha) * col("vocab"))))
+      .drop("cnt_n")
+  }
+
   /** Sufficient statistics of a batch for NB training, as ONE table:
     * token rows (label, term, n) plus a per-class doc-count row keyed
     * by the RESERVED empty term (label, "", n_docs_c) — `tokens`

@@ -593,6 +593,36 @@ object CorpusQueries {
         .select(col("doc_id"), col("source"), col("pred_label"), col("score"))
         .orderBy(col("doc_id"))
     },
+
+    // ---- Naive Bayes: the sparse (deployment) trainer ----
+    // trainNaiveBayesSparse emits the observed (label, term) rows
+    // only — at web scale the dense |vocab|×|classes| grid (q140's
+    // oracle artifact) is mostly zeros nothing consumes (the zero-row
+    // poison pin), so the deployment model store is this table. Full
+    // hash parity on every model quantity the scorers read: the
+    // smoothed conditional plus the class-level oov floor and prior
+    // replicated onto each row. Same q140 split and smoothing.
+    Q("q149_nb_sparse_model",
+      s"""WITH $nbTrainCte,
+        |cd AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS n_docs_c
+        |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT c.label, c.term, c.n,
+        |  round(ln((c.n + 1.0) / (ct.tot_c + vv.v)), 6) AS log_cond,
+        |  round(ln(1.0 / (ct.tot_c + vv.v)), 6) AS oov_ll,
+        |  round(ln(cd.n_docs_c / CAST(nd.n_docs AS DOUBLE)), 6) AS log_prior
+        |FROM cnt c JOIN ct USING (label) JOIN cd USING (label), vv, nd
+        |ORDER BY label, term""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextClassifier.trainNaiveBayesSparse(
+          docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
+        .select(col("label"), col("term"), col("n"),
+          round(col("log_cond"), 6).as("log_cond"),
+          round(col("oov_ll"), 6).as("oov_ll"),
+          round(col("log_prior"), 6).as("log_prior"))
+        .orderBy(col("label"), col("term"))
+    },
   )
 
   /** Shared NB training CTEs (q140–q142): ~86% doc_id % 7 split

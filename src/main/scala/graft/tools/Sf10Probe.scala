@@ -228,6 +228,46 @@ object Sf10Probe {
         s"merge_fs_bytes_read=$readDelta store_bytes=$storeBytes")
     } }
     batchPairs.unpersist()
+
+    // ---- NB classifier: sparse training + fixed-batch scoring ----
+    // The claims under test at 100×: (a) training is ONE counting
+    // pass — cost grows ~linearly with the corpus, no iteration, no
+    // driver state; (b) the sparse trainer's model stays at observed-
+    // pair size while the dense grid it replaces would be
+    // vocab×classes (the x100 tagging multiplies vocab ~100×, the
+    // worst case for the dense shape); (c) scoring a FIXED batch
+    // against a grown model costs the model scan, nothing
+    // corpus-shaped — both scoring shapes measured side by side.
+    family("nb") {
+      val batchDocs = docs1.filter(col("doc_id") < 5000).localCheckpoint()
+      val nBatch = batchDocs.count()
+      for ((corpus, tag) <- Seq((docs1, "x1"), (docs100, s"x$copies"))) {
+        // k·off ≡ 0 (mod 20), so every copy keeps the label mix
+        val lbl = concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string"))
+        var model: DataFrame = null
+        T(s"nb_train_sparse $tag") {
+          model = graft.ops.TextClassifier
+            .trainNaiveBayesSparse(corpus, lbl, col("text")).localCheckpoint()
+          model.count()
+        }
+        val sparseRows = model.count()
+        val vocab = model.select("term").distinct().count()
+        // On THIS synthetic corpus every term occurs in every class
+        // (one shared word pool), so sparse_rows == dense_grid_rows —
+        // the saving the sparse trainer exists for appears only under
+        // real vocabulary skew. The probe's claims are the timings.
+        println(s"PROBE nb_model $tag: sparse_rows=$sparseRows " +
+          s"vocab=$vocab dense_grid_rows=${vocab * 20}")
+        T(s"nb_classify_fixed_batch(replicate, n=$nBatch) vs $tag model") {
+          graft.ops.TextClassifier.classifyNaiveBayes(
+            batchDocs, col("doc_id"), col("text"), model).count()
+        }
+        T(s"nb_score_fixed_batch(many_classes, n=$nBatch) vs $tag model") {
+          graft.ops.TextClassifier.scoreNaiveBayesManyClasses(
+            batchDocs, col("doc_id"), col("text"), model).count()
+        }
+      }
+    }
     spark.stop()
   }
 }

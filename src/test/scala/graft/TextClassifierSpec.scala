@@ -222,6 +222,38 @@ class TextClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse trainer: rows == dense.filter(n>0); full scoring path bit-equal") {
+    // trainNaiveBayesSparse is the deployment trainer — it must be a
+    // drop-in for every consumer. Pins (a) exact row equality with
+    // the dense grid's observed slice on ALL shared columns, and (b)
+    // bit-equal (id, pred_label, score, n_tokens) through
+    // classifyNaiveBayes on both models.
+    val rnd = new scala.util.Random(55119)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def doc(): String =
+      Seq.fill(1 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" ")
+    val labels = Vector("c0", "c1", "c2")
+    val train = (Seq.fill(18)((labels(rnd.nextInt(3)), doc())) ++
+      labels.map(_ -> doc()) :+ ("c0" -> "   ")) // empty doc: prior-only evidence
+      .toDF("label", "text")
+    val held = (0 until 8).map(i =>
+      (i.toLong, if (i == 7) "oovonly zz" else doc())).toDF("id", "text")
+    for (alpha <- Seq(1.0, 0.5)) {
+      val dense = TextClassifier.trainNaiveBayes(train, col("label"), col("text"), alpha)
+      val sparse = TextClassifier.trainNaiveBayesSparse(train, col("label"), col("text"), alpha)
+      val shared = Seq("label", "term", "n", "tot_c", "n_docs_c", "vocab",
+        "n_docs", "log_cond", "log_prior", "oov_ll")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(shared.map(col): _*).collect().map(_.toSeq).toSet
+      assert(rows(sparse) == rows(dense.filter(col("n") > 0)), s"alpha $alpha grid")
+      def preds(m: org.apache.spark.sql.DataFrame) =
+        TextClassifier.classifyNaiveBayes(held, col("id"), col("text"), m)
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getAs[Double]("score"), r.getLong(3))).toSet
+      assert(preds(sparse) == preds(dense), s"alpha $alpha predictions")
+    }
+  }
+
   test("nbConfusion: cells count correctly and shares sum to 1 per true label") {
     val m = TextClassifier.trainNaiveBayes(planted.toDF("label", "text"),
       col("label"), col("text"))
