@@ -52,12 +52,30 @@ object TextClassifier {
     * Priors count ALL training docs, including any that tokenize to
     * empty — a doc with no tokens is still evidence for its class.
     */
+  /** Observed (label, term, n) token counts — the shared first stage
+    * of both trainers. */
+  private def tokenCounts(docs: DataFrame, labelCol: Column,
+      text: Column): DataFrame =
+    docs.select(labelCol.as("label"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("label", "term").agg(count(lit(1)).as("n"))
+
+  /** Append the three model quantities to any table carrying
+    * (n, tot_c, vocab, n_docs_c, n_docs) — THE smoothing formulas,
+    * defined once so all three trainers stay bit-identical. */
+  private def smoothedModel(grid: DataFrame, alpha: Double): DataFrame =
+    grid
+      .withColumn("log_cond",
+        log((col("n") + lit(alpha)) / (col("tot_c") + lit(alpha) * col("vocab"))))
+      .withColumn("log_prior",
+        log(col("n_docs_c").cast("double") / col("n_docs")))
+      .withColumn("oov_ll",
+        log(lit(alpha) / (col("tot_c") + lit(alpha) * col("vocab"))))
+
   def trainNaiveBayes(docs: DataFrame, labelCol: Column, text: Column,
       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be > 0 (got $alpha)")
-    val tok = docs.select(labelCol.as("label"), explode(tokens(text)).as("term"))
-      .filter(col("term") =!= "")
-    val counts = tok.groupBy("label", "term").agg(count(lit(1)).as("n"))
+    val counts = tokenCounts(docs, labelCol, text)
     val classTok = counts.groupBy("label").agg(sum("n").as("tot_c"))
     val classDocs = docs.select(labelCol.as("label"))
       .groupBy("label").agg(count(lit(1)).as("n_docs_c"))
@@ -66,17 +84,13 @@ object TextClassifier {
     val vocab = counts.select("term").distinct()
     val vTot = vocab.agg(count(lit(1)).as("vocab"))     // single row
     val dTot = docs.agg(count(lit(1)).as("n_docs"))     // single row
-    vocab.crossJoin(broadcast(classes))
-      .join(counts, Seq("label", "term"), "left")
-      .na.fill(0L, Seq("n"))
-      .crossJoin(broadcast(vTot))
-      .crossJoin(broadcast(dTot))
-      .withColumn("log_cond",
-        log((col("n") + lit(alpha)) / (col("tot_c") + lit(alpha) * col("vocab"))))
-      .withColumn("log_prior",
-        log(col("n_docs_c").cast("double") / col("n_docs")))
-      .withColumn("oov_ll",
-        log(lit(alpha) / (col("tot_c") + lit(alpha) * col("vocab"))))
+    smoothedModel(
+      vocab.crossJoin(broadcast(classes))
+        .join(counts, Seq("label", "term"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(vTot))
+        .crossJoin(broadcast(dTot)),
+      alpha)
   }
 
   /** [[trainNaiveBayes]] minus the dense-grid materialization — the
@@ -103,27 +117,19 @@ object TextClassifier {
   def trainNaiveBayesSparse(docs: DataFrame, labelCol: Column, text: Column,
       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be > 0 (got $alpha)")
-    val tok = docs.select(labelCol.as("label"), explode(tokens(text)).as("term"))
-      .filter(col("term") =!= "")
-    val counts = tok.groupBy("label", "term").agg(count(lit(1)).as("cnt_n"))
-    val classTok = counts.groupBy("label").agg(sum("cnt_n").as("tot_c"))
+    val counts = tokenCounts(docs, labelCol, text)
+    val classTok = counts.groupBy("label").agg(sum("n").as("tot_c"))
     val classDocs = docs.select(labelCol.as("label"))
       .groupBy("label").agg(count(lit(1)).as("n_docs_c"))
     val classes = classTok.join(classDocs, "label")
     val vTot = counts.select("term").distinct()
       .agg(count(lit(1)).as("vocab"))                 // single row
     val dTot = docs.agg(count(lit(1)).as("n_docs"))   // single row
-    counts.join(broadcast(classes), "label")
-      .crossJoin(broadcast(vTot))
-      .crossJoin(broadcast(dTot))
-      .withColumn("n", col("cnt_n"))
-      .withColumn("log_cond",
-        log((col("n") + lit(alpha)) / (col("tot_c") + lit(alpha) * col("vocab"))))
-      .withColumn("log_prior",
-        log(col("n_docs_c").cast("double") / col("n_docs")))
-      .withColumn("oov_ll",
-        log(lit(alpha) / (col("tot_c") + lit(alpha) * col("vocab"))))
-      .drop("cnt_n")
+    smoothedModel(
+      counts.join(broadcast(classes), "label")
+        .crossJoin(broadcast(vTot))
+        .crossJoin(broadcast(dTot)),
+      alpha)
   }
 
   /** Sufficient statistics of a batch for NB training, as ONE table:
@@ -176,17 +182,13 @@ object TextClassifier {
     val vocab = counts.select("term").distinct()
     val vTot = vocab.agg(count(lit(1)).as("vocab"))
     val dTot = stats.filter(col("term") === "").agg(sum("n").as("n_docs"))
-    vocab.crossJoin(broadcast(classes))
-      .join(counts, Seq("label", "term"), "left")
-      .na.fill(0L, Seq("n"))
-      .crossJoin(broadcast(vTot))
-      .crossJoin(broadcast(dTot))
-      .withColumn("log_cond",
-        log((col("n") + lit(alpha)) / (col("tot_c") + lit(alpha) * col("vocab"))))
-      .withColumn("log_prior",
-        log(col("n_docs_c").cast("double") / col("n_docs")))
-      .withColumn("oov_ll",
-        log(lit(alpha) / (col("tot_c") + lit(alpha) * col("vocab"))))
+    smoothedModel(
+      vocab.crossJoin(broadcast(classes))
+        .join(counts, Seq("label", "term"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(vTot))
+        .crossJoin(broadcast(dTot)),
+      alpha)
   }
 
   /** Per-class scores for each document: length-normalized smoothed

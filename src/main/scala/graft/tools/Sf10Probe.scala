@@ -88,7 +88,7 @@ object Sf10Probe {
       }
       pairs.unpersist()
     }
-    // GRAFT_PROBE_ONLY=cc|pagerank|store|labels skips the other
+    // GRAFT_PROBE_ONLY=cc|pagerank|store|labels|nb skips the other
     // families — a dev shortcut while iterating on one family's
     // instrumentation. Committed probe records come from FULL runs
     // (the families share a JVM and their numbers are compared
@@ -126,9 +126,13 @@ object Sf10Probe {
     // The SAME ~5k-doc batch (mutated copies of copy 0) probes a 1×
     // store and a 100× store; batch-proportionality = both probes in
     // the same ballpark despite the 100× corpus behind the second.
-    val batch = NearDup.withMutatedCopies(docs1, "doc_id", "text")
+    // batchSigs/batchPairs are LAZY: only the store/labels families
+    // consume them, and a GRAFT_PROBE_ONLY run of another family must
+    // not pay the minhash+LSH setup they eagerly materialize.
+    lazy val batch = NearDup.withMutatedCopies(docs1, "doc_id", "text")
       .filter(col("doc_id") >= 1000000)
-    val batchSigs = NearDup.minhashSignaturesFused(batch, "doc_id", col("text"))
+    lazy val batchSigs = NearDup
+      .minhashSignaturesFused(batch, "doc_id", col("text"))
       .localCheckpoint()
     val hfs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -154,9 +158,12 @@ object Sf10Probe {
     // re-converge is batch-proportional — only the pass-through
     // rewrite is corpus-linear (shuffle-free, documented) — so the
     // 100× merge should cost far less than 100× the 1× merge.
-    val batchPairs = NearDup.lshCandidatePairs(batchSigs, "doc_id")
-      .localCheckpoint(true) // eager: materialize before batchSigs is freed
-    batchSigs.unpersist()
+    lazy val batchPairs = {
+      val p = NearDup.lshCandidatePairs(batchSigs, "doc_id")
+        .localCheckpoint(true) // eager: materialize before batchSigs is freed
+      batchSigs.unpersist()
+      p
+    }
     family("labels") { for ((corpus, tag) <- Seq((docs1, "x1"), (docs100, s"x$copies"))) {
       val lpath = s"$out/labels_$tag"
       hfs.delete(new org.apache.hadoop.fs.Path(lpath), true)
@@ -227,7 +234,8 @@ object Sf10Probe {
         s"write_locality_bound_ok=$localityOk " +
         s"merge_fs_bytes_read=$readDelta store_bytes=$storeBytes")
     } }
-    batchPairs.unpersist()
+    // forcing the lazy val here would BUILD it just to free it
+    if (only.forall(_ == "labels")) batchPairs.unpersist()
 
     // ---- NB classifier: sparse training + fixed-batch scoring ----
     // The claims under test at 100×: (a) training is ONE counting
@@ -266,7 +274,9 @@ object Sf10Probe {
           graft.ops.TextClassifier.scoreNaiveBayesManyClasses(
             batchDocs, col("doc_id"), col("text"), model).count()
         }
+        model.unpersist() // x1 checkpoint must not shade the x100 timings
       }
+      batchDocs.unpersist()
     }
     spark.stop()
   }

@@ -315,19 +315,37 @@ class PlanSpec extends AnyFunSuite {
 
   test("wide-class NB shape: class spine broadcasts, no cartesian, no TF replicate join") {
     // scoreNaiveBayesManyClasses exists to keep the heavy TF table
-    // OUT of any per-class replicate: its only nested-loop join must
-    // be the broadcast classes spine over the tiny per-doc totals,
-    // and the TF↔model join must be a keyed equi-join.
+    // OUT of any per-class replicate. The model is CHECKPOINTED so
+    // the trainer's own replicate cannot satisfy the asserts, and the
+    // regression this pins (rewriting back to scoreNaiveBayes's
+    // tf.crossJoin(broadcast(classes))) also plans as a BNLJ — so the
+    // discriminating assertion is on the nested-loop join's OUTPUT:
+    // the spine replicates per-doc token TOTALS (id, n_tokens), never
+    // TF rows (which would carry `term`/`cnt` through the replicate).
     import org.apache.spark.sql.functions.col
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val m = graft.ops.TextClassifier.trainNaiveBayes(
-      docs, col("source"), col("text"))
-    val df = graft.ops.TextClassifier.scoreNaiveBayesManyClasses(
-      docs, col("doc_id"), col("text"), m)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // AQE off so the whole exchange tree is one inspectable plan
+    // (query stages are leaf wrappers that hide operators from
+    // collect) — the shuffledStringAttrs discipline.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val m = graft.ops.TextClassifier.trainNaiveBayes(
+        docs, col("source"), col("text")).localCheckpoint()
+      val df = graft.ops.TextClassifier.scoreNaiveBayesManyClasses(
+        docs, col("doc_id"), col("text"), m)
+      val plan = df.queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct"),
+        plan.toString.take(800))
+      val bnljs = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnljs.size == 1, s"exactly the classes spine: ${bnljs.size} BNLJs")
+      val names = bnljs.head.output.map(_.name).toSet
+      assert(names.contains("n_tokens") && !names.contains("term")
+          && !names.contains("cnt"),
+        s"spine must replicate per-doc totals, not TF rows: $names")
+      m.unpersist()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("q129 line dedup: count side shuffles hashes, not line text") {
