@@ -191,6 +191,30 @@ object TextClassifier {
       alpha)
   }
 
+  /** [[trainFromStats]] without the dense grid — observed rows only,
+    * the [[trainNaiveBayesSparse]] of the incremental path. Same
+    * drop-in guarantee for every scorer (spec-pinned: row-equal to
+    * `trainFromStats(...).filter(n > 0)`, classify-bit-equal). The
+    * streaming prequential sink rebuilds its model from the stats
+    * store EVERY tick — this is the rebuild it uses, so tick cost
+    * scales with observed pairs, never vocab×classes. */
+  def trainFromStatsSparse(stats: DataFrame, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    val counts = stats.filter(col("term") =!= "")
+    val classTok = counts.groupBy("label").agg(sum("n").as("tot_c"))
+    val classDocs = stats.filter(col("term") === "")
+      .groupBy("label").agg(sum("n").as("n_docs_c"))
+    val classes = classTok.join(classDocs, "label")
+    val vTot = counts.select("term").distinct()
+      .agg(count(lit(1)).as("vocab"))
+    val dTot = stats.filter(col("term") === "").agg(sum("n").as("n_docs"))
+    smoothedModel(
+      counts.join(broadcast(classes), "label")
+        .crossJoin(broadcast(vTot))
+        .crossJoin(broadcast(dTot)),
+      alpha)
+  }
+
   /** Per-class scores for each document: length-normalized smoothed
     * log-likelihood plus a length-normalized prior,
     *

@@ -371,7 +371,10 @@ object Streams {
             else None
           // score FIRST (test-then-train), against earlier ticks only
           priorStats.filter(s => !s.isEmpty).foreach { s =>
-            val model = graft.ops.TextClassifier.trainFromStats(
+            // sparse rebuild: per-tick model cost scales with the
+            // store's observed (label, term) pairs, never
+            // vocab×classes (drop-in by the cross-trainer pin)
+            val model = graft.ops.TextClassifier.trainFromStatsSparse(
               graft.ops.TextClassifier.mergeNbStats(s), alpha)
             graft.ops.TextClassifier
               .classifyNaiveBayes(batch, col(id), col(text), model)

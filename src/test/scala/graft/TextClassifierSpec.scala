@@ -251,6 +251,14 @@ class TextClassifierSpec extends AnyFunSuite {
           .collect().map(r => (r.getLong(0), r.getString(1),
             r.getAs[Double]("score"), r.getLong(3))).toSet
       assert(preds(sparse) == preds(dense), s"alpha $alpha predictions")
+      // same pin for the incremental path — trainFromStatsSparse is
+      // what the streaming prequential sink rebuilds from every tick
+      val stats = TextClassifier.nbSufficientStats(train, col("label"), col("text"))
+      val fsDense = TextClassifier.trainFromStats(stats, alpha)
+      val fsSparse = TextClassifier.trainFromStatsSparse(stats, alpha)
+      assert(rows(fsSparse) == rows(fsDense.filter(col("n") > 0)),
+        s"alpha $alpha stats grid")
+      assert(preds(fsSparse) == preds(fsDense), s"alpha $alpha stats predictions")
     }
   }
 
