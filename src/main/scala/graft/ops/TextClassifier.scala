@@ -270,8 +270,24 @@ object TextClassifier {
     * then-total-key rank discipline, so both engines pick the same
     * class even when two scores are mathematically equal). */
   def classifyNaiveBayes(held: DataFrame, idCol: Column, text: Column,
-      model: DataFrame): DataFrame = {
-    val perClass = scoreNaiveBayes(held, idCol, text, model)
+      model: DataFrame): DataFrame =
+    argmaxByScore(scoreNaiveBayes(held, idCol, text, model))
+
+  /** Argmax over [[scoreNaiveBayesManyClasses]] — the wide-class
+    * twin of [[classifyNaiveBayes]], same tie-break discipline. The
+    * two classifiers agree wherever the per-doc top-2 margin clears
+    * one 1e-6 rounding-grid step (the shapes' pinned score
+    * tolerance); at sub-grid margins either label is a legitimate
+    * rounded argmax — pick ONE shape per deployment. */
+  def classifyNaiveBayesManyClasses(held: DataFrame, idCol: Column,
+      text: Column, model: DataFrame): DataFrame =
+    argmaxByScore(scoreNaiveBayesManyClasses(held, idCol, text, model))
+
+  /** The q74 rounded-value-then-total-key argmax both classifiers
+    * share: highest ROUNDED score wins, ties break on label
+    * ascending — so both engines (and both scoring shapes) pick the
+    * same class even when two scores are mathematically equal. */
+  private def argmaxByScore(perClass: DataFrame): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("label"))
     perClass.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)

@@ -218,6 +218,23 @@ class TextClassifierSpec extends AnyFunSuite {
         assert(math.abs(b(k)._1 - s) <= 1e-6 + 1e-12,
           s"trial $trial alpha $alpha score at $k: $s vs ${b(k)._1}")
       }
+      // the classifiers agree wherever the replicate shape's top-2
+      // margin clears the shapes' one-grid-step score tolerance
+      val margin = a.groupBy(_._1._1).map { case (id, rows) =>
+        val ss = rows.values.map(_._1).toSeq.sorted.reverse
+        id -> (if (ss.size > 1) ss.head - ss(1) else Double.MaxValue)
+      }
+      val predA = TextClassifier.classifyNaiveBayes(
+          held.toDF("id", "text"), col("id"), col("text"), m)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val predB = TextClassifier.classifyNaiveBayesManyClasses(
+          held.toDF("id", "text"), col("id"), col("text"), m)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(predA.keySet == predB.keySet)
+      predA.foreach { case (id, lab) =>
+        if (margin(id) > 2e-6)
+          assert(predB(id) == lab, s"trial $trial doc $id margin ${margin(id)}")
+      }
       m.unpersist()
     }
   }
