@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.Row
+import graft.vector.Pca
+import Q.t
+
+/** Embedding-decorrelation queries (the PCA/whitening layer of
+  * SURVEY.md §2.10): the covariance face of the one-pass moments
+  * kernel, the trace≡Σλ identity that pushes the driver-side
+  * eigendecomposition through a SQL oracle, and a full-rank rotated
+  * top-k whose oracle is computed in RAW space — distances only match
+  * because the fitted basis is genuinely orthonormal.
+  */
+object PcaQueries {
+
+  private def queryVec(s: org.apache.spark.sql.SparkSession, d: String,
+      id: Long): Array[Float] =
+    t(s, d, "embeddings").filter(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  /** Shared oracle CTE: per-(vec_id, position) doubles. */
+  private val unnestCte: String =
+    """u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |       generate_subscripts(embedding, 1) AS i
+      |     FROM embeddings WHERE embedding IS NOT NULL),
+      |n AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- population covariance, upper triangle ----
+    // Engine: ONE pass (mapPartitions fold -> treeReduce), O(dim^2/2)
+    // doubles per partial; the oracle pays the explode-twice O(dim^2)
+    // rows-per-vector formulation the engine exists to avoid.
+    Q("q150_embedding_covariance",
+      s"""WITH $unnestCte,
+         |p AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+         |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |      GROUP BY a.i, b.i),
+         |m AS (SELECT i, SUM(x) AS sx FROM u GROUP BY i)
+         |SELECT p.i AS i, p.j AS j,
+         |  round(p.sxy / (SELECT n FROM n)
+         |        - (ma.sx / (SELECT n FROM n)) * (mb.sx / (SELECT n FROM n)),
+         |        6) AS cov
+         |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+         |ORDER BY i, j""".stripMargin) { (s, d) =>
+      Pca.covariance(t(s, d, "embeddings"), "embedding")
+        .withColumn("cov", round(col("cov"), 6))
+    },
+
+    // ---- trace identity: sum of eigenvalues == total variance ----
+    // The oracle knows nothing of eigenvectors; it can still check the
+    // eigendecomposition because tr(C) = sum(lambda) exactly. A wrong
+    // solver, a dropped component, or a mis-ordered triangle index all
+    // break the hash.
+    Q("q151_pca_total_variance",
+      s"""WITH $unnestCte,
+         |v AS (SELECT i,
+         |        SUM(x * x) / (SELECT n FROM n)
+         |          - (SUM(x) / (SELECT n FROM n)) * (SUM(x) / (SELECT n FROM n)) AS pvar
+         |      FROM u GROUP BY i)
+         |SELECT (SELECT n FROM n) AS n_vectors,
+         |       CAST(count(*) AS BIGINT) AS dim,
+         |       round(SUM(pvar), 6) AS total_var
+         |FROM v""".stripMargin) { (s, d) =>
+      val model = Pca.fit(t(s, d, "embeddings"), "embedding")
+      val schema = StructType(Seq(
+        StructField("n_vectors", LongType, nullable = false),
+        StructField("dim", LongType, nullable = false),
+        StructField("total_var", DoubleType, nullable = false)))
+      s.createDataFrame(
+        s.sparkContext.parallelize(Seq(Row(model.n, model.dim.toLong,
+          BigDecimal(model.eigenvalues.sum)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)), 1),
+        schema)
+    },
+
+    // ---- full-rank rotation-invariance top-k ----
+    // Engine scores euclidean top-k in PCA space; the oracle scores it
+    // on the RAW embeddings. ||P(a-mu) - P(b-mu)|| = ||a-b|| iff P is
+    // orthonormal, so the hash match IS the orthogonality proof —
+    // robust to sign flips and degenerate-eigenvalue rotations, which
+    // preserve distances too.
+    Q("q152_pca_rotation_topk",
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS i
+        |     FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+        |       generate_subscripts(embedding, 1) AS i
+        |     FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(sqrt(SUM((x - qx) * (x - qx))), 6) AS dist
+        |FROM u JOIN q USING (i)
+        |GROUP BY vec_id ORDER BY dist, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val model = Pca.fit(emb, "embedding")
+      val qp = model.projectVec(queryVec(s, d, 0))
+      Pca.project(emb, "embedding", model, "pca")
+        .withColumn("dist", round(sqrt(aggregate(
+          zip_with(col("pca"), typedlit(qp.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, e) => acc + e)), 6))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }
+  )
+}

@@ -6,7 +6,8 @@ object Registry {
     Relational.qs ++ DedupQueries.qs ++ VectorQueries.qs ++
       TextQueries.qs ++ ScalarQueries.qs ++ MiscQueries.qs ++
       PipelineQueries.qs ++ OlapQueries.qs ++ CorpusQueries.qs ++
-      GraphQueries.qs ++ RetrievalQueries.qs ++ ReportQueries.qs
+      GraphQueries.qs ++ RetrievalQueries.qs ++ ReportQueries.qs ++
+      PcaQueries.qs
 
   private lazy val index: Map[String, Q] = all.map(q => q.name -> q).toMap
   def byName(name: String): Q = index(name)

@@ -1,0 +1,252 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Fitted PCA model: population mean, eigenvalues (descending) and the
+  * matching row-per-component orthonormal basis. Driver-resident by
+  * design — O(k·dim) doubles, tiny next to any executor task.
+  *
+  * Sign convention (determinism): each component is flipped so its
+  * largest-|coordinate| entry (first on ties) is positive — re-fitting
+  * the same data yields a bit-identical model regardless of the
+  * eigensolver's arbitrary per-vector sign.
+  */
+final case class PcaModel(
+    n: Long,
+    dim: Int,
+    mean: Array[Double],
+    eigenvalues: Array[Double],
+    components: Array[Array[Double]]) {
+
+  require(components.length == eigenvalues.length,
+    s"components (${components.length}) vs eigenvalues (${eigenvalues.length})")
+
+  def k: Int = eigenvalues.length
+
+  /** Total population variance = trace of the covariance matrix —
+    * only equal to `eigenvalues.sum` when the model is full-rank. */
+  def varianceExplained: Array[Double] = {
+    val tot = eigenvalues.sum
+    if (tot <= 0) eigenvalues.map(_ => 0.0)
+    else eigenvalues.map(_ / tot)
+  }
+
+  /** Driver-side projection of one raw vector (e.g. a query vector)
+    * into component space: components · (v − mean). */
+  def projectVec(v: Array[Float]): Array[Double] = {
+    require(v.length == dim, s"vector dim ${v.length} != model dim $dim")
+    Array.tabulate(k) { r =>
+      val row = components(r)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += row(i) * (v(i) - mean(i)); i += 1 }
+      acc
+    }
+  }
+}
+
+/** Embedding decorrelation: distributed second-moment computation, a
+  * driver-side eigendecomposition, and map-only projection / whitening
+  * (the standard pre-ANN transform — decorrelate, optionally reduce
+  * rank, equalize per-axis variance so L2 ≈ Mahalanobis).
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - `moments` is ONE pass over the data: each partition folds its
+  *    rows into a single (n, Σx, upper-tri ΣxxT) partial —
+  *    O(dim²/2) doubles, ~17 KB at dim 64 — and the partials merge
+  *    executor-side via treeReduce (depth 2), so the driver receives
+  *    O(√partitions) partials, never one per scan partition. No
+  *    shuffle, no explode (an explode-twice SQL formulation is
+  *    O(dim²) ROWS per vector — the oracle does that at sf0.01; the
+  *    engine never does).
+  *  - the eigendecomposition is O(dim³) on the DRIVER — dim is a model
+  *    constant (64–4096), not data-scaled.
+  *  - `project`/`whiten` are map-only against the closure-captured
+  *    model (O(k·dim) doubles rides the task binary); no shuffle, no
+  *    per-row allocation beyond the output array.
+  */
+object Pca {
+
+  private type Partial = (Long, Array[Double], Array[Double])
+
+  private def mergePartial(a: Partial, b: Partial): Partial = {
+    if (a._1 == 0L) b
+    else if (b._1 == 0L) a
+    else {
+      require(a._2.length == b._2.length,
+        s"mixed embedding dims: ${a._2.length} vs ${b._2.length}")
+      val s = new Array[Double](a._2.length)
+      val x = new Array[Double](a._3.length)
+      var i = 0
+      while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
+      i = 0
+      while (i < x.length) { x(i) = a._3(i) + b._3(i); i += 1 }
+      (a._1 + b._1, s, x)
+    }
+  }
+
+  /** One-pass (n, Σx, upper-triangular ΣxxT) over non-null vectors.
+    * Rejects ragged dims loudly (mixed-dim corpora must not silently
+    * average).
+    *
+    * Merge order is DETERMINISTIC: partials are keyed by scan
+    * partition id and combined in fan-in-64 keyed rounds, each group
+    * reduced in sorted-key order. A task-completion-order reduce
+    * (treeReduce) gives last-ulp-different covariances run to run —
+    * which the spec's bit-identical-refit pin caught — while this
+    * shape costs the same O(√partitions) executor-side merging at
+    * scale and the driver still receives ≤ 64 partials. */
+  private[vector] def moments(df: DataFrame, vec: String): Partial = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(vec)).where(col(vec).isNotNull).as[Seq[Float]].rdd
+    var cur = rows.mapPartitionsWithIndex { (idx, it) =>
+      var n = 0L
+      var sum: Array[Double] = null
+      var xtx: Array[Double] = null
+      while (it.hasNext) {
+        val v = it.next()
+        if (sum == null) {
+          sum = new Array[Double](v.length)
+          xtx = new Array[Double](v.length * (v.length + 1) / 2)
+        }
+        require(v.length == sum.length,
+          s"mixed embedding dims: ${v.length} vs ${sum.length}")
+        n += 1
+        var i = 0
+        var t = 0
+        val d = sum.length
+        while (i < d) {
+          val xi = v(i).toDouble
+          sum(i) += xi
+          var j = i
+          while (j < d) { xtx(t) += xi * v(j); t += 1; j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.single((idx.toLong, (n, sum, xtx)))
+    }
+    val FanIn = 64
+    // bound = max surviving key count, known statically from the scan
+    var bound = math.max(rows.getNumPartitions, 1)
+    while (bound > FanIn) {
+      val parts = math.max(1, bound / (FanIn * FanIn))
+      cur = cur.map { case (k, p) => (k / FanIn, (k, p)) }
+        .groupByKey(parts)
+        .map { case (k, grp) =>
+          (k, grp.toSeq.sortBy(_._1).map(_._2).reduceLeft(mergePartial))
+        }
+      bound = (bound + FanIn - 1) / FanIn
+    }
+    val partials = cur.collect().sortBy(_._1).map(_._2)
+    require(partials.nonEmpty, s"Pca: no non-null '$vec' vectors to fit")
+    partials.reduceLeft(mergePartial)
+  }
+
+  private def triAt(x: Array[Double], d: Int, i: Int, j: Int): Double = {
+    val (lo, hi) = if (i <= j) (i, j) else (j, i)
+    x(lo * d - lo * (lo - 1) / 2 + (hi - lo))
+  }
+
+  /** Population covariance as a DataFrame of the upper triangle
+    * (1-based i ≤ j, matching DuckDB generate_subscripts): the
+    * driver-checkable face of `moments`. */
+  def covariance(df: DataFrame, vec: String): DataFrame = {
+    val (n, s, x) = moments(df, vec)
+    val d = s.length
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield Row((i + 1).toLong, (j + 1).toLong,
+      triAt(x, d, i, j) / n - (s(i) / n) * (s(j) / n))
+    val schema = StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("j", LongType, nullable = false),
+      StructField("cov", DoubleType, nullable = false)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Fit a k-component model (k ≤ dim; k ≤ 0 means full rank).
+    * Eigenvalues descend; tiny negative eigenvalues (solver noise on a
+    * PSD matrix) clamp to 0 so downstream sqrt/variance math is safe. */
+  def fit(df: DataFrame, vec: String, k: Int = -1): PcaModel = {
+    val (n, s, x) = moments(df, vec)
+    val d = s.length
+    val mean = s.map(_ / n)
+    val cov = breeze.linalg.DenseMatrix.tabulate(d, d) { (i, j) =>
+      triAt(x, d, i, j) / n - mean(i) * mean(j)
+    }
+    val es = breeze.linalg.eigSym(cov) // ascending eigenvalues
+    val kk = if (k <= 0 || k > d) d else k
+    val order = (d - 1) to (d - kk) by -1
+    val eigenvalues = order.map(c => math.max(es.eigenvalues(c), 0.0)).toArray
+    val components = order.map { c =>
+      val v = Array.tabulate(d)(r => es.eigenvectors(r, c))
+      // deterministic sign: largest-|entry| (first on ties) positive
+      var best = 0
+      var i = 1
+      while (i < d) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+      if (v(best) < 0) { i = 0; while (i < d) { v(i) = -v(i); i += 1 } }
+      v
+    }.toArray
+    PcaModel(n, d, mean, eigenvalues, components)
+  }
+
+  private def transformUdf(model: PcaModel, scale: Array[Double]) =
+    udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        require(v.length == model.dim,
+          s"vector dim ${v.length} != model dim ${model.dim}")
+        val out = new Array[Double](model.k)
+        var r = 0
+        while (r < model.k) {
+          val row = model.components(r)
+          var acc = 0.0
+          var i = 0
+          while (i < model.dim) { acc += row(i) * (v(i) - model.mean(i)); i += 1 }
+          out(r) = acc * scale(r)
+          r += 1
+        }
+        out
+      }
+    }
+
+  /** Map-only projection into component space: components·(v − mean).
+    * Null vectors (dead-lettered embeds) project to null. */
+  def project(df: DataFrame, vec: String, model: PcaModel,
+      as: String = "pca"): DataFrame =
+    df.withColumn(as, transformUdf(model, Array.fill(model.k)(1.0))(col(vec)))
+
+  /** Whitening: per-component 1/√λ scaling on top of `project`, so the
+    * output has identity covariance (components with λ ≤ eps pass
+    * through unscaled rather than exploding to ±∞). */
+  def whiten(df: DataFrame, vec: String, model: PcaModel,
+      as: String = "whitened", eps: Double = 1e-12): DataFrame = {
+    val scale = model.eigenvalues.map(l => if (l > eps) 1.0 / math.sqrt(l) else 1.0)
+    df.withColumn(as, transformUdf(model, scale)(col(vec)))
+  }
+
+  /** Eigenvalue spectrum report: per-component variance and the
+    * cumulative explained fraction — the k-picking curve. */
+  def spectrum(spark: SparkSession, model: PcaModel): DataFrame = {
+    val tot = model.eigenvalues.sum
+    var cum = 0.0
+    val rows = model.eigenvalues.zipWithIndex.map { case (l, i) =>
+      cum += l
+      Row((i + 1).toLong, l,
+        if (tot > 0) l / tot else 0.0,
+        if (tot > 0) cum / tot else 0.0)
+    }
+    val schema = StructType(Seq(
+      StructField("component", LongType, nullable = false),
+      StructField("eigenvalue", DoubleType, nullable = false),
+      StructField("var_explained", DoubleType, nullable = false),
+      StructField("cum_var_explained", DoubleType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+}

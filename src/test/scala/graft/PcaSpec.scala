@@ -1,0 +1,175 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.vector.{Pca, PcaModel}
+
+/** Pins for the embedding-decorrelation layer (vector/Pca.scala).
+  *
+  * The q150/q151/q152 oracles check covariance, the trace identity and
+  * full-rank rotation-invariance through DuckDB; these pins cover what
+  * SQL can't see: orthonormality, the spectral-diagonalization
+  * property (projected covariance == diag(lambda)), whitening to
+  * identity, reconstruction, determinism, and the map-only plan.
+  */
+class PcaSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 6
+  private val n = 48
+
+  /** Deterministic anisotropic cloud: sha-derived uniforms pushed
+    * through per-axis scales so the spectrum is strongly ordered. */
+  private def synth(): Seq[(Long, Seq[Float])] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val scales = Array(4.0, 2.5, 1.5, 0.9, 0.4, 0.1)
+    (0 until n).map { r =>
+      val h = md.digest(s"pca:$r".getBytes("UTF-8"))
+      val v = Array.tabulate(dim) { i =>
+        val b0 = h(2 * i) & 0xff
+        val b1 = h(2 * i + 1) & 0xff
+        val u = (b0 * 256 + b1) / 65535.0 - 0.5
+        // mix axes so the covariance is non-diagonal
+        ((u * scales(i)) + 0.3 * scales((i + 1) % dim) * ((h(12 + i) & 0xff) / 255.0 - 0.5)).toFloat
+      }
+      (r.toLong, v.toSeq)
+    }
+  }
+
+  private lazy val df = synth().toDF("vec_id", "embedding")
+  private lazy val model: PcaModel = Pca.fit(df, "embedding")
+
+  private def naiveCov(rows: Seq[Seq[Float]]): Array[Array[Double]] = {
+    val m = rows.length.toDouble
+    val mean = Array.tabulate(dim)(i => rows.map(_(i).toDouble).sum / m)
+    Array.tabulate(dim, dim) { (i, j) =>
+      rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / m
+    }
+  }
+
+  test("covariance matches the naive per-pair formula") {
+    val want = naiveCov(synth().map(_._2))
+    val got = Pca.covariance(df, "embedding").collect()
+      .map(r => ((r.getLong(0).toInt - 1, r.getLong(1).toInt - 1), r.getDouble(2)))
+      .toMap
+    assert(got.size == dim * (dim + 1) / 2)
+    for (i <- 0 until dim; j <- i until dim)
+      assert(math.abs(got((i, j)) - want(i)(j)) < 1e-9,
+        s"cov($i,$j): ${got((i, j))} vs ${want(i)(j)}")
+  }
+
+  test("components are orthonormal and eigenvalues descend, nonnegative") {
+    for (a <- 0 until model.k; b <- a until model.k) {
+      val dot = (0 until dim).map(i => model.components(a)(i) * model.components(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"G^T G ($a,$b) = $dot")
+    }
+    model.eigenvalues.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi >= lo - 1e-12, s"eigenvalues not descending: $hi < $lo")
+    }
+    assert(model.eigenvalues.forall(_ >= 0.0))
+  }
+
+  test("trace identity: sum of eigenvalues == total variance") {
+    val trace = (0 until dim).map(i => naiveCov(synth().map(_._2))(i)(i)).sum
+    assert(math.abs(model.eigenvalues.sum - trace) < 1e-9)
+  }
+
+  test("projected data has covariance diag(lambda); whitened has identity") {
+    val proj = Pca.project(df, "embedding", model, "pca")
+      .select(col("pca")).as[Seq[Double]].collect()
+    val m = proj.length.toDouble
+    for (a <- 0 until dim; b <- a until dim) {
+      val meanA = proj.map(_(a)).sum / m
+      val meanB = proj.map(_(b)).sum / m
+      val cov = proj.map(p => (p(a) - meanA) * (p(b) - meanB)).sum / m
+      val want = if (a == b) model.eigenvalues(a) else 0.0
+      assert(math.abs(cov - want) < 1e-9, s"proj cov($a,$b) = $cov want $want")
+    }
+    val wh = Pca.whiten(df, "embedding", model)
+      .select(col("whitened")).as[Seq[Double]].collect()
+    for (a <- 0 until dim; b <- a until dim) {
+      val meanA = wh.map(_(a)).sum / m
+      val meanB = wh.map(_(b)).sum / m
+      val cov = wh.map(p => (p(a) - meanA) * (p(b) - meanB)).sum / m
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(cov - want) < 1e-6, s"whitened cov($a,$b) = $cov")
+    }
+  }
+
+  test("full-rank projection preserves pairwise distances; truncation error shrinks with k") {
+    val raw = synth().map(_._2)
+    val proj = Pca.project(df, "embedding", model, "pca")
+      .orderBy("vec_id").select(col("pca")).as[Seq[Double]].collect()
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (i <- 0 until 10; j <- i + 1 until 10) {
+      val dRaw = raw(i).zip(raw(j)).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      assert(math.abs(d2(proj(i), proj(j)) - dRaw) < 1e-6,
+        s"distance not preserved for ($i,$j)")
+    }
+    // truncation: mean squared reconstruction error == sum of dropped
+    // eigenvalues (the Eckart-Young optimum), so it shrinks as k grows
+    val errs = (1 to dim).map { k =>
+      val mk = Pca.fit(df, "embedding", k)
+      val pk = Pca.project(df, "embedding", mk, "pca")
+        .select(col("pca")).as[Seq[Double]].collect()
+      pk.map(p => d2(p, p.map(_ * 0)) /* squared norm kept */).sum // captured variance * n
+    }
+    val tot = model.eigenvalues.sum * n
+    (1 to dim).foreach { k =>
+      val captured = errs(k - 1)
+      val want = model.eigenvalues.take(k).sum * n
+      assert(math.abs(captured - want) < 1e-6 * math.max(1.0, want),
+        s"captured variance at k=$k: $captured want $want")
+      assert(captured <= tot + 1e-6)
+    }
+  }
+
+  test("fit is deterministic (bit-identical on refit) and sign-fixed") {
+    val again = Pca.fit(df, "embedding")
+    assert(model.mean.toSeq == again.mean.toSeq)
+    assert(model.eigenvalues.toSeq == again.eigenvalues.toSeq)
+    assert(model.components.map(_.toSeq).toSeq == again.components.map(_.toSeq).toSeq)
+    model.components.foreach { c =>
+      val best = c.indices.maxBy(i => (math.abs(c(i)), -i))
+      assert(c(best) > 0.0, "sign convention: largest-|entry| positive")
+    }
+  }
+
+  test("null vectors: skipped in fit, null in projection; ragged dims fail loudly") {
+    val withNull = (synth() :+ ((99L, null: Seq[Float]))).toDF("vec_id", "embedding")
+    val m2 = Pca.fit(withNull, "embedding")
+    assert(m2.n == n && m2.mean.toSeq == model.mean.toSeq)
+    val projected = Pca.project(withNull, "embedding", m2, "pca")
+      .filter(col("vec_id") === 99L).select(col("pca")).collect()
+    assert(projected.head.isNullAt(0))
+    val ragged = (synth() :+ ((99L, Seq(1f, 2f)))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] { Pca.fit(ragged, "embedding") }
+    assert(ex.getMessage != null)
+  }
+
+  test("spectrum: monotone cumulative share ending at 1.0") {
+    val rows = Pca.spectrum(spark, model).orderBy("component").collect()
+    assert(rows.length == dim)
+    val cums = rows.map(_.getDouble(3))
+    cums.sliding(2).foreach { case Array(a, b) => assert(b >= a - 1e-12) }
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+  }
+
+  test("plan: projection and whitening are map-only (no exchange)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    Seq(
+      Pca.project(df, "embedding", model, "pca"),
+      Pca.whiten(df, "embedding", model)
+    ).foreach { out =>
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, out.queryExecution.executedPlan.toString.take(800))
+    }
+  }
+}
