@@ -388,6 +388,41 @@ object Streams {
         ()
       }
 
+  /** Streaming PCA: fold each micro-batch of embeddings into a
+    * per-tick moments log — one O(dim²) sufficient-statistics row per
+    * batch under `storePath/batch=<id>/` — so the corpus PCA refreshes
+    * via `Pca.fitFromMoments(spark.read.parquet(storePath))` (a
+    * tick-count-bounded collect + the O(dim³) driver eigensolve),
+    * never a rescan of history.
+    *
+    * Idempotence under AT-LEAST-ONCE replay: the batch's row is a
+    * per-batch partition written with overwrite, so a crash-window
+    * replay rewrites the identical row instead of double-counting it
+    * (the nbOnlineSink discipline); the marker is a fast-path skip. */
+  def pcaMomentsSink(embeddings: DataFrame, vec: String, storePath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$storePath/_committed_batch_$batchId")
+        val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!mfs.exists(marker)) {
+          // an all-null/empty tick contributes nothing — mark and move
+          // on rather than letting moments' empty-input require kill
+          // the query
+          if (!batch.where(col(vec).isNotNull).isEmpty) {
+            graft.vector.Pca.momentsDf(batch, vec)
+              .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          }
+          mfs.create(marker, true).close()
+        }
+        ()
+      }
+
   /** Drain a streaming query synchronously (test/cron-tick helper). */
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()

@@ -173,8 +173,11 @@ object Pca {
   /** Fit a k-component model (k ≤ dim; k ≤ 0 means full rank).
     * Eigenvalues descend; tiny negative eigenvalues (solver noise on a
     * PSD matrix) clamp to 0 so downstream sqrt/variance math is safe. */
-  def fit(df: DataFrame, vec: String, k: Int = -1): PcaModel = {
-    val (n, s, x) = moments(df, vec)
+  def fit(df: DataFrame, vec: String, k: Int = -1): PcaModel =
+    fitPartial(moments(df, vec), k)
+
+  private def fitPartial(p: Partial, k: Int): PcaModel = {
+    val (n, s, x) = p
     val d = s.length
     val mean = s.map(_ / n)
     val cov = breeze.linalg.DenseMatrix.tabulate(d, d) { (i, j) =>
@@ -194,6 +197,81 @@ object Pca {
       v
     }.toArray
     PcaModel(n, d, mean, eigenvalues, components)
+  }
+
+  // ---- incremental fit: the persistable moments row ----
+  // (n, Σx, upper-tri ΣxxT) is a sufficient statistic for `fit`, and
+  // mergePartial is its exact merge algebra — so a continuously-
+  // arriving corpus refreshes its PCA by folding each batch's one-row
+  // moments into a parquet store and re-running the O(dim³) driver
+  // eigensolve, never rescanning history. Same shape as the NB
+  // classifier's sufficient-statistics store (TextClassifier
+  // .trainFromStats): stats merge exactly; only the tiny model refits.
+
+  private val momentsSchema = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sum",
+      org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("xtx",
+      org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  private def partialDf(spark: SparkSession, p: Partial): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(p._1, p._2.toSeq, p._3.toSeq)), 1), momentsSchema)
+
+  private def partialOf(m: DataFrame): Partial = {
+    val rows = m.select(col("n"), col("sum"), col("xtx")).collect()
+    require(rows.length == 1,
+      s"moments store must hold exactly one row, got ${rows.length}")
+    val r = rows(0)
+    (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
+  }
+
+  /** The persistable face of `moments`: one (n, sum, xtx) row. */
+  def momentsDf(df: DataFrame, vec: String): DataFrame =
+    partialDf(df.sparkSession, moments(df, vec))
+
+  /** Fit from persisted moments: either the single-row swap store
+    * (`updateMomentsStore`) or the per-tick `batch=`-partitioned log
+    * (`Streams.pcaMomentsSink`). Multi-row inputs MUST carry a
+    * `batch` column — rows merge in ascending batch order, so the
+    * result is deterministic and independent of file listing order.
+    * One O(dim²) row per tick is collected; the row count is the tick
+    * count, never the corpus. */
+  def fitFromMoments(m: DataFrame, k: Int = -1): PcaModel = {
+    val p =
+      if (m.columns.contains("batch")) {
+        val rows = m.select(col("batch").cast("long"), col("n"),
+          col("sum"), col("xtx")).collect()
+        require(rows.nonEmpty, "moments log is empty")
+        rows.sortBy(_.getLong(0))
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toArray,
+            r.getSeq[Double](3).toArray): Partial)
+          .reduceLeft(mergePartial)
+      } else partialOf(m)
+    fitPartial(p, k)
+  }
+
+  /** Fold one batch's moments into the store at `storePath` (created
+    * on first use) behind the K1 staging swap, store-then-batch merge
+    * order. Store cost is O(dim²) bytes TOTAL — the rewrite is trivial
+    * at any corpus size; crash mid-swap leaves the old row intact
+    * (`Sinks.overwriteInPlace` / `recoverSwap`). Single-writer, like
+    * every swap-managed store in the engine. */
+  def updateMomentsStore(spark: SparkSession, storePath: String,
+      batch: DataFrame, vec: String): Unit = {
+    graft.io.Sinks.recoverSwap(spark, storePath)
+    val batchP = moments(batch, vec)
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+        mergePartial(partialOf(spark.read.parquet(storePath)), batchP)
+      else batchP
+    graft.io.Sinks.overwriteInPlace(partialDf(spark, merged), storePath)
   }
 
   private def transformUdf(model: PcaModel, scale: Array[Double]) =

@@ -160,6 +160,77 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
   }
 
+  private def assertModelsClose(a: PcaModel, b: PcaModel, tol: Double = 1e-9): Unit = {
+    assert(a.n == b.n && a.dim == b.dim && a.k == b.k)
+    (0 until a.dim).foreach(i => assert(math.abs(a.mean(i) - b.mean(i)) < tol))
+    (0 until a.k).foreach(i =>
+      assert(math.abs(a.eigenvalues(i) - b.eigenvalues(i)) < tol))
+    for (r <- 0 until a.k; i <- 0 until a.dim)
+      assert(math.abs(a.components(r)(i) - b.components(r)(i)) < 1e-6,
+        s"component($r)($i)")
+  }
+
+  test("incremental: batch-merged moments fit equals the one-shot fit") {
+    val all = synth()
+    val batches = all.grouped(16).toSeq
+    val log = batches.zipWithIndex.map { case (b, k) =>
+      Pca.momentsDf(b.toDF("vec_id", "embedding"), "embedding")
+        .withColumn("batch", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    assertModelsClose(Pca.fitFromMoments(log), model)
+    // single-row path (no batch column) round-trips too
+    assertModelsClose(
+      Pca.fitFromMoments(Pca.momentsDf(df, "embedding")), model)
+  }
+
+  test("updateMomentsStore: sequential folds equal one-shot; created on first use") {
+    val dir = TestSpark.tempDir("pcastore") + "/moments"
+    val batches = synth().grouped(16).toSeq
+    batches.foreach { b =>
+      Pca.updateMomentsStore(spark, dir, b.toDF("vec_id", "embedding"), "embedding")
+    }
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == 1)
+    assertModelsClose(Pca.fitFromMoments(stored), model)
+  }
+
+  test("pcaMomentsSink: streamed moments log fits like the batch fit; empty tick is a no-op") {
+    import graft.streaming.Streams
+    val dir = TestSpark.tempDir("pcastream")
+    val batches = synth().grouped(16).toSeq
+    batches.zipWithIndex.foreach { case (b, k) =>
+      b.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/in/f=$k")
+    }
+    // one all-null tick: must produce no moments row and not kill the query
+    Seq((999L, null: Seq[Float])).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/in/f=${batches.size}")
+    val schema = spark.read.parquet(s"$dir/in/f=0").schema
+    val stream = Streams.fileStream(spark, s"$dir/in/*/", schema,
+      maxFilesPerTrigger = 1)
+    val q = Streams.pcaMomentsSink(stream, "embedding", s"$dir/store",
+      s"$dir/ckpt").start()
+    q.awaitTermination()
+    val log = spark.read.parquet(s"$dir/store")
+    assert(log.count() == batches.size.toLong) // the null tick wrote nothing
+    assertModelsClose(Pca.fitFromMoments(log), model)
+    // re-running with the same checkpoint re-delivers nothing: store unchanged
+    val q2 = Streams.pcaMomentsSink(
+      Streams.fileStream(spark, s"$dir/in/*/", schema, maxFilesPerTrigger = 1),
+      "embedding", s"$dir/store", s"$dir/ckpt").start()
+    q2.awaitTermination()
+    assertModelsClose(Pca.fitFromMoments(spark.read.parquet(s"$dir/store")), model)
+    // per-batch partition overwrite: a crash-window replay of one tick
+    // rewrites the identical row instead of double-counting (file
+    // pickup order is the source's business — replay whatever tick
+    // actually landed as batch=0)
+    val row0 = spark.read.parquet(s"$dir/store")
+      .where(col("batch") === 0).select("n", "sum", "xtx").cache()
+    assert(row0.count() == 1)
+    row0.write.mode("overwrite").parquet(s"$dir/store/batch=0")
+    row0.unpersist()
+    assertModelsClose(Pca.fitFromMoments(spark.read.parquet(s"$dir/store")), model)
+  }
+
   test("plan: projection and whitening are map-only (no exchange)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     Seq(
