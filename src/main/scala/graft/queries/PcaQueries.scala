@@ -15,11 +15,6 @@ import Q.t
   */
 object PcaQueries {
 
-  private def queryVec(s: org.apache.spark.sql.SparkSession, d: String,
-      id: Long): Array[Float] =
-    t(s, d, "embeddings").filter(col("vec_id") === id)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
-
   /** Shared oracle CTE: per-(vec_id, position) doubles. */
   private val unnestCte: String =
     """u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -92,9 +87,13 @@ object PcaQueries {
         |SELECT vec_id, round(sqrt(SUM((x - qx) * (x - qx))), 6) AS dist
         |FROM u JOIN q USING (i)
         |GROUP BY vec_id ORDER BY dist, vec_id LIMIT 10""".stripMargin) { (s, d) =>
-      val emb = t(s, d, "embeddings")
+      // engine matches the oracle's IS NOT NULL: a dead-lettered null
+      // embedding projects to null dist, which Spark's ascending sort
+      // would otherwise rank FIRST — into the top-10 the oracle never
+      // emits
+      val emb = t(s, d, "embeddings").where(col("embedding").isNotNull)
       val model = Pca.fit(emb, "embedding")
-      val qp = model.projectVec(queryVec(s, d, 0))
+      val qp = model.projectVec(VectorQueries.queryVec(s, d, 0))
       Pca.project(emb, "embedding", model, "pca")
         .withColumn("dist", round(sqrt(aggregate(
           zip_with(col("pca"), typedlit(qp.toSeq), (x, y) => (x - y) * (x - y)),

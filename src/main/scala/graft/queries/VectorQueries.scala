@@ -12,8 +12,8 @@ import Q.t
 object VectorQueries {
 
   /** One-row driver-side lookup of the query vector — the "query" is
-    * an input parameter, not dataflow. */
-  private def queryVec(s: org.apache.spark.sql.SparkSession, d: String,
+    * an input parameter, not dataflow. (Shared with PcaQueries.) */
+  private[queries] def queryVec(s: org.apache.spark.sql.SparkSession, d: String,
       id: Long): Array[Float] =
     t(s, d, "embeddings").filter(col("vec_id") === id)
       .select(col("embedding")).head().getSeq[Float](0).toArray

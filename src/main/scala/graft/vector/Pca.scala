@@ -18,19 +18,20 @@ final case class PcaModel(
     dim: Int,
     mean: Array[Double],
     eigenvalues: Array[Double],
-    components: Array[Array[Double]]) {
+    components: Array[Array[Double]],
+    totalVariance: Double) {
 
   require(components.length == eigenvalues.length,
     s"components (${components.length}) vs eigenvalues (${eigenvalues.length})")
 
   def k: Int = eigenvalues.length
 
-  /** Total population variance = trace of the covariance matrix —
-    * only equal to `eigenvalues.sum` when the model is full-rank. */
+  /** Per-component share of TOTAL variance (the covariance trace,
+    * carried on the model) — so a truncated k < dim model reports its
+    * honest coverage, not shares of only the kept components. */
   def varianceExplained: Array[Double] = {
-    val tot = eigenvalues.sum
-    if (tot <= 0) eigenvalues.map(_ => 0.0)
-    else eigenvalues.map(_ / tot)
+    if (totalVariance <= 0) eigenvalues.map(_ => 0.0)
+    else eigenvalues.map(_ / totalVariance)
   }
 
   /** Driver-side projection of one raw vector (e.g. a query vector)
@@ -133,7 +134,10 @@ object Pca {
     // bound = max surviving key count, known statically from the scan
     var bound = math.max(rows.getNumPartitions, 1)
     while (bound > FanIn) {
-      val parts = math.max(1, bound / (FanIn * FanIn))
+      // one ~FanIn-partial group per task, so task memory stays
+      // FanIn-bounded at any dim (bound/FanIn² funneled up to FanIn²
+      // partials through one task — tens of GB at dim 1024+)
+      val parts = math.max(1, (bound + FanIn - 1) / FanIn)
       cur = cur.map { case (k, p) => (k / FanIn, (k, p)) }
         .groupByKey(parts)
         .map { case (k, grp) =>
@@ -196,7 +200,12 @@ object Pca {
       if (v(best) < 0) { i = 0; while (i < d) { v(i) = -v(i); i += 1 } }
       v
     }.toArray
-    PcaModel(n, d, mean, eigenvalues, components)
+    // total variance = covariance trace, from the moments directly —
+    // a truncated model still knows what it left behind
+    var trace = 0.0
+    var i = 0
+    while (i < d) { trace += triAt(x, d, i, i) / n - mean(i) * mean(i); i += 1 }
+    PcaModel(n, d, mean, eigenvalues, components, math.max(trace, 0.0))
   }
 
   // ---- incremental fit: the persistable moments row ----
@@ -264,6 +273,9 @@ object Pca {
   def updateMomentsStore(spark: SparkSession, storePath: String,
       batch: DataFrame, vec: String): Unit = {
     graft.io.Sinks.recoverSwap(spark, storePath)
+    // an empty/all-null batch folds to nothing — a no-op, matching the
+    // streaming sink's empty-tick contract, not a crashed refresh
+    if (batch.where(col(vec).isNotNull).isEmpty) return
     val batchP = moments(batch, vec)
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -310,9 +322,11 @@ object Pca {
   }
 
   /** Eigenvalue spectrum report: per-component variance and the
-    * cumulative explained fraction — the k-picking curve. */
+    * cumulative explained fraction — the k-picking curve. Shares are
+    * of TOTAL variance (the trace carried on the model), so a
+    * truncated fit's curve honestly tops out below 1.0. */
   def spectrum(spark: SparkSession, model: PcaModel): DataFrame = {
-    val tot = model.eigenvalues.sum
+    val tot = model.totalVariance
     var cum = 0.0
     val rows = model.eigenvalues.zipWithIndex.map { case (l, i) =>
       cum += l

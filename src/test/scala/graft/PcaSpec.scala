@@ -151,13 +151,22 @@ class PcaSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
-  test("spectrum: monotone cumulative share ending at 1.0") {
+  test("spectrum: monotone cumulative share ending at 1.0; truncated fit tops out honestly") {
     val rows = Pca.spectrum(spark, model).orderBy("component").collect()
     assert(rows.length == dim)
     val cums = rows.map(_.getDouble(3))
     cums.sliding(2).foreach { case Array(a, b) => assert(b >= a - 1e-12) }
     assert(math.abs(cums.last - 1.0) < 1e-9)
     assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    // a k=2 model's shares are of TOTAL variance — its curve must end
+    // at (λ1+λ2)/trace, never a self-normalized 1.0
+    val m2 = Pca.fit(df, "embedding", 2)
+    assert(math.abs(m2.totalVariance - model.totalVariance) < 1e-12)
+    val cums2 = Pca.spectrum(spark, m2).orderBy("component").collect()
+      .map(_.getDouble(3))
+    val want = model.eigenvalues.take(2).sum / model.totalVariance
+    assert(math.abs(cums2.last - want) < 1e-9)
+    assert(want < 0.999, s"synth spectrum too flat for the pin: $want")
   }
 
   private def assertModelsClose(a: PcaModel, b: PcaModel, tol: Double = 1e-9): Unit = {
@@ -192,6 +201,10 @@ class PcaSpec extends AnyFunSuite {
     val stored = spark.read.parquet(dir)
     assert(stored.count() == 1)
     assertModelsClose(Pca.fitFromMoments(stored), model)
+    // an empty/all-null batch folds to nothing: a no-op, not a crash
+    Pca.updateMomentsStore(spark, dir,
+      Seq((999L, null: Seq[Float])).toDF("vec_id", "embedding"), "embedding")
+    assertModelsClose(Pca.fitFromMoments(spark.read.parquet(dir)), model)
   }
 
   test("pcaMomentsSink: streamed moments log fits like the batch fit; empty tick is a no-op") {
