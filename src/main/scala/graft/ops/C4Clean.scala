@@ -41,76 +41,87 @@ object C4Clean {
 
   private def lineKept(line: Column, minLineWords: Int): Column = {
     val t = rtrim(line)
-    t.rlike("[.!?\"]$") &&
+    // \z (end of INPUT), not $: Java's $ also matches before a final
+    // line terminator (\r, U+0085, U+2028), so a CRLF page's
+    // "sentence.\r" would be
+    // kept here but dropped by the oracle's RE2 $ (= end of text) —
+    // and would smuggle a stray \r into the cleaned text
+    t.rlike("[.!?\"]\\z") &&
       (wordCount(line) >= minLineWords) &&
       !lower(line).contains("javascript")
   }
 
+  /** The kept-lines array (the single split+filter both `clean` and
+    * `funnel` bind once — counts come from size(), text from
+    * array_join, no re-split of the joined string). */
+  private def keptLines(text: Column, minLineWords: Int): Column =
+    filter(split(text, "\n"), l => lineKept(l, minLineWords))
+
   /** The line-cleaned text column: kept lines re-joined with \n. */
   def cleanedText(text: Column, minLineWords: Int = 5): Column =
-    array_join(
-      filter(split(text, "\n"), l => lineKept(l, minLineWords)), "\n")
+    array_join(keptLines(text, minLineWords), "\n")
 
   /** Sentence-count proxy shared with the oracle: occurrences of
     * . ! or ? in the (cleaned) text. */
   def sentenceCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.!?]"), lit(0)))
 
-  private def pageDropped(orig: Column, cleaned: Column,
-      minSentences: Int, badWords: Seq[String]): Column = {
-    val bad = badWords.foldLeft(lit(false)) { (acc, w) =>
-      acc || lower(orig).contains(w.toLowerCase)
+  /** The P4 bad-word predicate — defined ONCE for the page gate and
+    * the funnel. Locale.ROOT: Spark's `lower` is locale-independent,
+    * so the driver-side lowering must be too (a Turkish-locale JVM
+    * would fold 'I' to dotless ı and never match). */
+  private def containsBadWord(orig: Column, badWords: Seq[String]): Column =
+    badWords.foldLeft(lit(false)) { (acc, w) =>
+      acc || lower(orig).contains(w.toLowerCase(java.util.Locale.ROOT))
     }
+
+  private def pageDropped(orig: Column, cleaned: Column,
+      minSentences: Int, badWords: Seq[String]): Column =
     (sentenceCount(cleaned) < minSentences) ||
-      orig.contains("{") || lower(orig).contains("lorem ipsum") || bad
-  }
+      orig.contains("{") || lower(orig).contains("lorem ipsum") ||
+      containsBadWord(orig, badWords)
 
   /** Clean a corpus: line rules rewrite `text`, page rules gate rows.
     * Output keeps every input column, with `text` replaced by the
     * cleaned text plus bookkeeping counts (`c4_lines_kept`,
-    * `c4_lines_dropped`, `c4_sentences`). Map-only. */
+    * `c4_lines_dropped`, `c4_sentences`). Null text reads as an empty
+    * page (one empty line, zero kept — the oracle's COALESCE), so a
+    * dead-lettered page is accounted, not NULL-leaked. Map-only. */
   def clean(df: DataFrame, text: String, minLineWords: Int = 5,
       minSentences: Int = 3, badWords: Seq[String] = Nil): DataFrame = {
-    val orig = col(text)
-    val nLines = size(split(orig, "\n"))
-    val cleaned = cleanedText(orig, minLineWords)
-    df.withColumn("__c4_clean", cleaned)
-      .withColumn("c4_lines_kept", size(split(col("__c4_clean"), "\n")) -
-        when(col("__c4_clean") === "", 1).otherwise(0))
-      .withColumn("c4_lines_dropped", nLines - col("c4_lines_kept"))
+    val orig = coalesce(col(text), lit(""))
+    df.withColumn("__c4_kept", keptLines(orig, minLineWords))
+      .withColumn("__c4_clean", array_join(col("__c4_kept"), "\n"))
+      .withColumn("c4_lines_kept", size(col("__c4_kept")))
+      .withColumn("c4_lines_dropped",
+        size(split(orig, "\n")) - col("c4_lines_kept"))
       .withColumn("c4_sentences", sentenceCount(col("__c4_clean")))
       .where(!pageDropped(orig, col("__c4_clean"), minSentences, badWords))
       .withColumn(text, col("__c4_clean"))
-      .drop("__c4_clean")
+      .drop("__c4_kept", "__c4_clean")
   }
 
   /** One-row drop-accounting funnel (the gopherFunnel discipline):
     * how many pages each rule would catch (counted INDEPENDENTLY — a
-    * page can fail several), plus the sequential survivor count and
-    * line totals. */
+    * page can fail several), plus the sequential survivor count
+    * (`pages_kept` is exactly `clean`'s row count — same
+    * `pageDropped`) and line totals. */
   def funnel(df: DataFrame, text: String, minLineWords: Int = 5,
       minSentences: Int = 3, badWords: Seq[String] = Nil): DataFrame = {
-    val orig = col(text)
-    val cleaned = cleanedText(orig, minLineWords)
-    val staged = df.select(
-      orig.as("__t"),
-      cleaned.as("__c"),
-      size(split(orig, "\n")).as("__nl"))
+    val orig = coalesce(col(text), lit(""))
+    val staged = df
+      .select(orig.as("__t"), keptLines(orig, minLineWords).as("__k"))
+      .withColumn("__c", array_join(col("__k"), "\n"))
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
-    val bad = badWords.foldLeft(lit(false)) { (acc, w) =>
-      acc || lower(col("__t")).contains(w.toLowerCase)
-    }
     staged.agg(
       count(lit(1)).as("pages"),
-      sum(col("__nl")).as("lines"),
-      sum(size(split(col("__c"), "\n")) -
-        when(col("__c") === "", 1).otherwise(0)).as("lines_kept"),
+      sum(size(split(col("__t"), "\n"))).as("lines"),
+      sum(size(col("__k"))).as("lines_kept"),
       cnt(sentenceCount(col("__c")) < minSentences).as("drop_few_sentences"),
       cnt(col("__t").contains("{")).as("drop_brace"),
       cnt(lower(col("__t")).contains("lorem ipsum")).as("drop_lorem"),
-      cnt(bad).as("drop_bad_words"),
-      cnt(!((sentenceCount(col("__c")) < minSentences) ||
-        col("__t").contains("{") || lower(col("__t")).contains("lorem ipsum") ||
-        bad)).as("pages_kept"))
+      cnt(containsBadWord(col("__t"), badWords)).as("drop_bad_words"),
+      cnt(!pageDropped(col("__t"), col("__c"), minSentences, badWords))
+        .as("pages_kept"))
   }
 }

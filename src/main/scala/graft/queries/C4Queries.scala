@@ -38,7 +38,8 @@ object C4Queries {
 
     // ---- the drop-accounting funnel over the raw corpus ----
     Q("q153_c4_funnel",
-      s"""WITH base AS (SELECT doc_id, text FROM documents),
+      s"""WITH base AS (SELECT doc_id, COALESCE(text, '') AS text
+         |  FROM documents),
          |$cleanCte
          |SELECT CAST(count(*) AS BIGINT) AS pages,
          |  CAST(SUM(nl) AS BIGINT) AS lines,
@@ -60,7 +61,8 @@ object C4Queries {
     // ---- the cleaning pass itself, over planted line structure ----
     Q("q154_c4_clean",
       s"""WITH base AS (SELECT doc_id,
-         |    regexp_replace(text, ' (line|row) ', '.' || chr(10), 'g') AS text
+         |    regexp_replace(COALESCE(text, ''), ' (line|row) ',
+         |      '.' || chr(10), 'g') AS text
          |  FROM documents),
          |$cleanCte
          |SELECT doc_id, sha256(ctext) AS digest,

@@ -35,7 +35,8 @@ class C4CleanSpec extends AnyFunSuite {
     (4L, "Lorem Ipsum dolor sit amet consectetur.\n" +
       "second filler line with words here.\nthird filler line with words too."),
     // page 5: terminal-quote line counts as terminal punctuation; the
-    // three kept lines carry 4 sentence marks => kept
+    // three kept lines carry 3 sentence marks => kept (exactly at the
+    // gate)
     (5L, Seq(quoteL, keptL1, keptL2, "trailing junk").mkString("\n")),
     // page 6: empty text => dropped (0 sentences)
     (6L, ""))
@@ -61,9 +62,9 @@ class C4CleanSpec extends AnyFunSuite {
     assert(f.getAs[Long]("pages") == 6L)
     assert(f.getAs[Long]("lines") == 6 + 2 + 2 + 3 + 4 + 1)
     assert(f.getAs[Long]("lines_kept") == 3 + 2 + 1 + 3 + 3 + 0)
-    // few-sentences counts pages 2 (2 marks), 3 (1 mark), 4 (planted
-    // filler keeps 3 lines = 3 marks? no: page 4 keeps 3 lines with 3
-    // marks — NOT under the gate), 6 (empty)
+    // few-sentences counts pages 2 (2 marks), 3 (1 mark) and 6
+    // (empty); page 4 keeps 3 lines with 3 marks, so it is NOT under
+    // this gate — only under the lorem rule
     assert(f.getAs[Long]("drop_few_sentences") == 3L) // pages 2, 3, 6
     assert(f.getAs[Long]("drop_brace") == 1L)         // page 3
     assert(f.getAs[Long]("drop_lorem") == 1L)         // page 4
@@ -93,6 +94,26 @@ class C4CleanSpec extends AnyFunSuite {
     assert(a == b)
     // and the second pass drops zero lines
     assert(twice.agg(sum("c4_lines_dropped")).collect()(0).getLong(0) == 0L)
+  }
+
+  test("null text reads as an empty page: accounted under the sentence gate, never NULL-leaked") {
+    val withNull = (docs :+ ((7L, null: String))).toDF("doc_id", "text")
+    val f = C4Clean.funnel(withNull, "text").collect()(0)
+    assert(f.getAs[Long]("pages") == 7L)
+    assert(f.getAs[Long]("lines") == 18L + 1L) // null page = one empty line
+    assert(f.getAs[Long]("drop_few_sentences") == 4L) // pages 2, 3, 6, 7
+    assert(f.getAs[Long]("pages_kept") == 2L)
+    assert(C4Clean.clean(withNull, "text").count() == 2L)
+  }
+
+  test("CRLF lines drop: \\z anchoring, unlike Java's $, refuses 'sentence.\\r'") {
+    val crlf = Seq((1L, keptL1 + "\r\n" + keptL2 + "\r\n" + keptL3))
+      .toDF("doc_id", "text")
+    val f = C4Clean.funnel(crlf, "text").collect()(0)
+    // first two lines end ".\r"/"!\r" — dropped (matching the
+    // oracle's RE2 $ = end-of-text); only the bare last line survives
+    assert(f.getAs[Long]("lines") == 3L)
+    assert(f.getAs[Long]("lines_kept") == 1L)
   }
 
   test("trailing newline counts a trailing empty line (the oracle's string_split semantics)") {
