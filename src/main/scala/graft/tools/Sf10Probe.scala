@@ -88,7 +88,7 @@ object Sf10Probe {
       }
       pairs.unpersist()
     }
-    // GRAFT_PROBE_ONLY=cc|pagerank|store|labels|nb skips the other
+    // GRAFT_PROBE_ONLY=cc|pagerank|store|labels|nb|pca skips the other
     // families — a dev shortcut while iterating on one family's
     // instrumentation. Committed probe records come from FULL runs
     // (the families share a JVM and their numbers are compared
@@ -277,6 +277,38 @@ object Sf10Probe {
         model.unpersist() // x1 checkpoint must not shade the x100 timings
       }
       batchDocs.unpersist()
+    }
+
+    // ---- q150-q152: PCA moments at 1× and 100×, incremental fold ----
+    // Claims under test: `fit` is ONE scan pass (x1→x100 must scale
+    // no worse than row-linear — an accidental explode or per-row
+    // d² shuffle would blow up 100×); folding a FIXED batch into the
+    // moments store costs the batch pass + an O(dim²) row rewrite,
+    // corpus-INDEPENDENT; refitting from the store never rescans.
+    family("pca") {
+      for ((corpus, tag) <- Seq((emb1, "x1"), (emb100, s"x$copies"))) {
+        T(s"pca_fit $tag") {
+          graft.vector.Pca.fit(corpus, "embedding").n
+        }
+      }
+      val batchEmb = emb1.filter(col("vec_id") < 500).localCheckpoint()
+      val nb = batchEmb.count()
+      val store = s"$out/pca_moments"
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      T(s"pca_store_init(x$copies corpus)") {
+        graft.vector.Pca.updateMomentsStore(spark, store, emb100, "embedding")
+        1L
+      }
+      T(s"pca_store_fold_fixed_batch(n=$nb)") {
+        graft.vector.Pca.updateMomentsStore(spark, store, batchEmb, "embedding")
+        1L
+      }
+      T("pca_fit_from_store") {
+        graft.vector.Pca.fitFromMoments(spark.read.parquet(store)).n
+      }
+      batchEmb.unpersist()
     }
     spark.stop()
   }
