@@ -327,6 +327,42 @@ object TextAnalysis {
         round(avg(lp), 6).as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity banding (Wenzek et al. 2020): score every
+    * doc with the Stupid-Backoff bigram LM, cut the score
+    * distribution at the (pLow, pHigh) quantiles, and label each doc
+    * head / middle / tail. `avg_logprob` is a mean ln P, so HIGHER =
+    * lower perplexity = more like the reference corpus: head is the
+    * ≥ pHigh-quantile slice. CCNet trains on Wikipedia and keeps
+    * head+middle; callers filter on `band` accordingly. Docs with
+    * < 2 non-empty tokens get no LM score and are absent — CCNet
+    * drops them too.
+    *
+    * Determinism across engines: banding compares the ROUNDED
+    * (6 dp) score against ROUNDED exact-percentile thresholds — the
+    * q46/q127 exact-`percentile` discipline, literal-threshold
+    * when-chain like nbConfidenceReport. The two thresholds are one
+    * bounded driver collect (a single row). */
+  def ppxBands(score: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame, id: String, text: Column,
+      pLow: Double = 0.3, pHigh: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    require(0 <= pLow && pLow <= pHigh && pHigh <= 1,
+      s"need 0 <= pLow <= pHigh <= 1, got ($pLow, $pHigh)")
+    // materialize the scored table ONCE: the percentile pass and the
+    // banded output both read it, and without the checkpoint the
+    // whole LM scoring lineage (pair explode + count joins) runs
+    // twice (the MMR pool-collected-once discipline)
+    val scored = bigramLogProb(score, corpus, id, text).localCheckpoint(true)
+    val cuts = scored.agg(expr(
+      s"percentile(avg_logprob, array($pLow, $pHigh))")).head().getSeq[Double](0)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (lo, hi) = (r6(cuts(0)), r6(cuts(1)))
+    scored.withColumn("band",
+      when(col("avg_logprob") >= hi, "head")
+        .when(col("avg_logprob") >= lo, "middle")
+        .otherwise("tail"))
+  }
+
   /** Gopher-style repetition/quality gate (Rae et al. 2021, arXiv:
     * 2112.11446, Table A1 spirit): per document —
     *  - mean word length (garbled text skews short or long),

@@ -16,6 +16,33 @@ object TextQueries {
   private def hits(set: String): String =
     s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w IN $set))"
 
+  /** Shared bigram-LM oracle chain (q96 + q155): train counts on the
+    * even-doc_id half, Stupid-Backoff per-pair log-scores for EVERY
+    * doc in `sc(doc_id, lp)`. */
+  private val bigramLmCte: String =
+    """w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |              w -> w <> '') AS ws FROM documents),
+      |u AS (SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i
+      |  FROM w WHERE len(ws) >= 2),
+      |pairs AS (SELECT a.doc_id, a.wd AS w1, b.wd AS w2
+      |  FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      |cu AS (SELECT doc_id, wd, i FROM u WHERE doc_id % 2 = 0),
+      |cpairs AS (SELECT a.doc_id, a.wd AS w1, b.wd AS w2
+      |  FROM cu a JOIN cu b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      |cbi AS (SELECT w1, w2, count(*) AS bi FROM cpairs GROUP BY w1, w2),
+      |cuni AS (SELECT wd, count(*) AS n FROM
+      |   (SELECT unnest(ws) AS wd FROM w WHERE doc_id % 2 = 0)
+      |  WHERE wd <> '' GROUP BY wd),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, count(*) AS v FROM cuni),
+      |sc AS (SELECT p.doc_id,
+      |  CASE WHEN cbi.bi IS NOT NULL THEN ln(CAST(cbi.bi AS DOUBLE) / u1.n)
+      |       ELSE ln(CAST(0.4 AS DOUBLE) * (coalesce(u2.n, 0) + 1) / (nt + v)) END AS lp
+      | FROM pairs p
+      | LEFT JOIN cbi ON cbi.w1 = p.w1 AND cbi.w2 = p.w2
+      | LEFT JOIN cuni u1 ON u1.wd = p.w1
+      | LEFT JOIN cuni u2 ON u2.wd = p.w2, tot)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ---- language ID by stopword-profile argmax ----
@@ -316,32 +343,33 @@ object TextQueries {
     // Empty tokens are filtered BEFORE pairing on both sides (the op
     // does the same) — see bigramLogProb's scaladoc.
     Q("q96_bigram_lm",
-      """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |              w -> w <> '') AS ws FROM documents),
-        |u AS (SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i
-        |  FROM w WHERE len(ws) >= 2),
-        |pairs AS (SELECT a.doc_id, a.wd AS w1, b.wd AS w2
-        |  FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
-        |cu AS (SELECT doc_id, wd, i FROM u WHERE doc_id % 2 = 0),
-        |cpairs AS (SELECT a.doc_id, a.wd AS w1, b.wd AS w2
-        |  FROM cu a JOIN cu b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
-        |cbi AS (SELECT w1, w2, count(*) AS bi FROM cpairs GROUP BY w1, w2),
-        |cuni AS (SELECT wd, count(*) AS n FROM
-        |   (SELECT unnest(ws) AS wd FROM w WHERE doc_id % 2 = 0)
-        |  WHERE wd <> '' GROUP BY wd),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, count(*) AS v FROM cuni),
-        |sc AS (SELECT p.doc_id,
-        |  CASE WHEN cbi.bi IS NOT NULL THEN ln(CAST(cbi.bi AS DOUBLE) / u1.n)
-        |       ELSE ln(CAST(0.4 AS DOUBLE) * (coalesce(u2.n, 0) + 1) / (nt + v)) END AS lp
-        | FROM pairs p
-        | LEFT JOIN cbi ON cbi.w1 = p.w1 AND cbi.w2 = p.w2
-        | LEFT JOIN cuni u1 ON u1.wd = p.w1
-        | LEFT JOIN cuni u2 ON u2.wd = p.w2, tot)
+      s"""WITH $bigramLmCte
         |SELECT doc_id, count(*) AS n_pairs, round(avg(lp), 6) AS avg_logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       TextAnalysis.bigramLogProb(docs, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- CCNet perplexity banding over the bigram LM scores ----
+    // Same LM as q96 (train even-half, score all); both engines cut
+    // the ROUNDED score distribution at the exact 0.3/0.7 quantiles
+    // (the q46 percentile/quantile_cont interpolation parity) and
+    // label head/middle/tail. CCNet keeps head+middle.
+    Q("q155_ccnet_ppx_bands",
+      s"""WITH $bigramLmCte,
+        |agg AS (SELECT doc_id, count(*) AS n_pairs,
+        |    round(avg(lp), 6) AS avg_logprob FROM sc GROUP BY doc_id),
+        |cut AS (SELECT round(quantile_cont(avg_logprob, 0.3), 6) AS lo,
+        |    round(quantile_cont(avg_logprob, 0.7), 6) AS hi FROM agg)
+        |SELECT doc_id, n_pairs, avg_logprob,
+        |  CASE WHEN avg_logprob >= hi THEN 'head'
+        |       WHEN avg_logprob >= lo THEN 'middle'
+        |       ELSE 'tail' END AS band
+        |FROM agg, cut ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextAnalysis.ppxBands(docs, docs.filter(col("doc_id") % 2 === 0),
           "doc_id", col("text"))
         .orderBy(col("doc_id"))
     },

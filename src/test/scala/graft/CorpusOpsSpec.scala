@@ -233,6 +233,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(none.forall(r => r.getLong(1) == 2 && r.isNullAt(2)))
   }
 
+  test("ppxBands matches a driver quantile model; degenerate cuts; unscored docs absent") {
+    // deterministic word salad with enough score spread to band on
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0 until 40).map { i =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"ppx:$i".getBytes("UTF-8"))
+      val txt = (0 until 12).map(j => words((md(j) & 0xff) % words.length))
+        .mkString(" ")
+      (i.toLong, txt)
+    }
+    val df = (docs :+ ((99L, "solo"))).toDF("doc_id", "text") // 1-token: no score
+    val corpus = df.filter(col("doc_id") % 2 === 0)
+    val got = TextAnalysis.ppxBands(df, corpus, "doc_id", col("text"))
+      .select("doc_id", "avg_logprob", "band").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    assert(!got.exists(_._1 == 99L)) // unscored -> absent, like CCNet
+    // independent driver model: same exact-percentile interpolation
+    // (idx = p*(n-1), linear), same 6dp rounding, same when-chain
+    val scores = got.map(_._2)
+    def quantile(p: Double): Double = {
+      val s = scores.sorted
+      val idx = p * (s.length - 1)
+      val lo = s(idx.toInt)
+      val hi = s(math.min(idx.toInt + 1, s.length - 1))
+      val f = idx - idx.toInt
+      BigDecimal(lo + f * (hi - lo))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (lo, hi) = (quantile(0.3), quantile(0.7))
+    got.foreach { case (id, sc, band) =>
+      val want = if (sc >= hi) "head" else if (sc >= lo) "middle" else "tail"
+      assert(band == want, s"doc $id score $sc: $band vs $want (lo=$lo hi=$hi)")
+    }
+    // banding is monotone in score by construction
+    val byBand = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (h <- byBand.getOrElse("head", Array[Double]());
+         m <- byBand.getOrElse("middle", Array[Double]())) assert(h >= m)
+    for (m <- byBand.getOrElse("middle", Array[Double]());
+         t <- byBand.getOrElse("tail", Array[Double]())) assert(m > t)
+    // degenerate cuts: (0,0) -> everything is head (score >= min)
+    val all = TextAnalysis.ppxBands(df, corpus, "doc_id", col("text"),
+      pLow = 0.0, pHigh = 0.0).select("band").distinct().collect()
+    assert(all.map(_.getString(0)).toSeq == Seq("head"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ppxBands(df, corpus, "doc_id", col("text"), 0.8, 0.2)
+    }
+  }
+
   // ---- source gating ----
 
   test("filterBySourceQuality keeps only sources passing both gates") {
