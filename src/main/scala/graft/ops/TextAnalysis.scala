@@ -350,18 +350,36 @@ object TextAnalysis {
     // materialize the scored table ONCE: the percentile pass and the
     // banded output both read it, and without the checkpoint the
     // whole LM scoring lineage (pair explode + count joins) runs
-    // twice (the MMR pool-collected-once discipline)
+    // twice (the MMR pool-collected-once discipline). Long-lived
+    // sessions release the blocks after consuming the result via
+    // `releasePpxBands` — Dataset.unpersist does not cover
+    // local-checkpoint blocks (NearDup.freeLocalCheckpoint).
     val scored = bigramLogProb(score, corpus, id, text).localCheckpoint(true)
-    val cuts = scored.agg(expr(
-      s"percentile(avg_logprob, array($pLow, $pHigh))")).head().getSeq[Double](0)
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val (lo, hi) = (r6(cuts(0)), r6(cuts(1)))
-    scored.withColumn("band",
-      when(col("avg_logprob") >= hi, "head")
-        .when(col("avg_logprob") >= lo, "middle")
-        .otherwise("tail"))
+    val cutsRow = scored.agg(expr(
+      s"percentile(avg_logprob, array($pLow, $pHigh))")).head()
+    if (cutsRow.isNullAt(0)) {
+      // no finite score anywhere (every doc < 2 tokens, or an empty
+      // training corpus NULLs every avg_logprob): banding is
+      // undefined — null band, never an opaque NPE on the cuts
+      scored.withColumn("band", lit(null).cast("string"))
+    } else {
+      val cuts = cutsRow.getSeq[Double](0)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (lo, hi) = (r6(cuts(0)), r6(cuts(1)))
+      // a NULL score among finite ones (degenerate corpus) fails both
+      // >= probes and bands 'tail' — identical to the oracle's CASE
+      scored.withColumn("band",
+        when(col("avg_logprob") >= hi, "head")
+          .when(col("avg_logprob") >= lo, "middle")
+          .otherwise("tail"))
+    }
   }
+
+  /** Free the materialized LM-score blocks behind a `ppxBands` result
+    * once it has been fully consumed (collected / written). */
+  def releasePpxBands(banded: org.apache.spark.sql.DataFrame): Unit =
+    NearDup.freeLocalCheckpoint(banded)
 
   /** Gopher-style repetition/quality gate (Rae et al. 2021, arXiv:
     * 2112.11446, Table A1 spirit): per document —

@@ -279,6 +279,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.ppxBands(df, corpus, "doc_id", col("text"), 0.8, 0.2)
     }
+    // degenerate corpora: nothing scoreable -> null band, not an NPE
+    val oneWorders = Seq((1L, "solo"), (2L, "alone")).toDF("doc_id", "text")
+    assert(TextAnalysis.ppxBands(oneWorders, corpus, "doc_id", col("text"))
+      .count() == 0L)
+    val emptyCorpus = TextAnalysis.ppxBands(df, corpus.limit(0),
+      "doc_id", col("text")).select("band").collect()
+    assert(emptyCorpus.nonEmpty && emptyCorpus.forall(_.isNullAt(0)))
+    // release hook never throws on a consumed result
+    val banded = TextAnalysis.ppxBands(df, corpus, "doc_id", col("text"))
+    banded.count()
+    TextAnalysis.releasePpxBands(banded)
   }
 
   // ---- source gating ----
