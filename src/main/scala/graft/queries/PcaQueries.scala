@@ -25,20 +25,30 @@ object PcaQueries {
   val qs: Seq[Q] = Seq(
 
     // ---- population covariance, upper triangle ----
-    // Engine: ONE pass (mapPartitions fold -> treeReduce), O(dim^2/2)
-    // doubles per partial; the oracle pays the explode-twice O(dim^2)
+    // Engine: two deterministic passes (means, then the centered
+    // triangle); the oracle pays the explode-twice O(dim^2)
     // rows-per-vector formulation the engine exists to avoid.
+    // BOTH sides are the corrected two-pass CENTERED form (r17
+    // verdict): the uncentered E[xy]-E[x]E[y] cancels O(10-100) sums
+    // to O(1e-4) answers, and the residual cross-engine float noise
+    // (~1e-11) was the same order as this fixture's closest
+    // round(.,6) midpoint gap — the hash was a measured coin flip.
+    // Centered, the error is ~1e-15 against a 5e-7 half-grid
+    // (headroom pinned in PcaSpec at all three SFs).
     Q("q150_embedding_covariance",
       s"""WITH $unnestCte,
-         |p AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
-         |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
-         |      GROUP BY a.i, b.i),
-         |m AS (SELECT i, SUM(x) AS sx FROM u GROUP BY i)
+         |m AS (SELECT i, SUM(x) / (SELECT n FROM n) AS mu FROM u GROUP BY i),
+         |c AS (SELECT u.vec_id, u.i, u.x - m.mu AS cx
+         |      FROM u JOIN m ON m.i = u.i),
+         |cs AS (SELECT i, SUM(cx) AS cs FROM c GROUP BY i),
+         |p AS (SELECT a.i AS i, b.i AS j, SUM(a.cx * b.cx) AS sxy
+         |      FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |      GROUP BY a.i, b.i)
          |SELECT p.i AS i, p.j AS j,
          |  round(p.sxy / (SELECT n FROM n)
-         |        - (ma.sx / (SELECT n FROM n)) * (mb.sx / (SELECT n FROM n)),
+         |        - (ca.cs / (SELECT n FROM n)) * (cb.cs / (SELECT n FROM n)),
          |        6) AS cov
-         |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+         |FROM p JOIN cs ca ON ca.i = p.i JOIN cs cb ON cb.i = p.j
          |ORDER BY i, j""".stripMargin) { (s, d) =>
       Pca.covariance(t(s, d, "embeddings"), "embedding")
         .withColumn("cov", round(col("cov"), 6))

@@ -88,21 +88,38 @@ object Pca {
     }
   }
 
-  /** One-pass (n, Σx, upper-triangular ΣxxT) over non-null vectors.
-    * Rejects ragged dims loudly (mixed-dim corpora must not silently
-    * average).
+  /** Second-moment shape of a fold pass: nothing beyond the sums, the
+    * O(dim) diagonal only, or the full O(dim²/2) upper triangle. */
+  private final val XtxNone = 0
+  private final val XtxDiag = 1
+  private final val XtxTri = 2
+
+  /** One-pass (n, Σf(x), Σf(x)f(x)ᵀ-shaped) fold over non-null
+    * vectors, where f(x) = x − `center` (or x itself when `center` is
+    * null). Rejects ragged dims loudly (mixed-dim corpora must not
+    * silently average).
     *
     * Merge order is DETERMINISTIC: partials are keyed by scan
-    * partition id and combined in fan-in-64 keyed rounds, each group
-    * reduced in sorted-key order. A task-completion-order reduce
-    * (treeReduce) gives last-ulp-different covariances run to run —
-    * which the spec's bit-identical-refit pin caught — while this
-    * shape costs the same O(√partitions) executor-side merging at
-    * scale and the driver still receives ≤ 64 partials. */
-  private[vector] def moments(df: DataFrame, vec: String): Partial = {
+    * partition id and combined in byte-budgeted fan-in keyed rounds,
+    * each group reduced in sorted-key order. A task-completion-order
+    * reduce (treeReduce) gives last-ulp-different covariances run to
+    * run — which the spec's bit-identical-refit pin caught — while
+    * this shape costs the same O(log partitions) executor-side merge
+    * rounds at scale and the driver still receives ≤ fan-in partials.
+    *
+    * Fan-in is sized in BYTES, not partial count: a combine task
+    * materializes its whole group, and at dim 4096 a triangle partial
+    * is ~67 MB — a fixed fan-in of 64 would put ~4.3 GB in one task.
+    * The budget caps group bytes at ~512 MB and never drops below 2
+    * (the fold still terminates), so task memory stays bounded at any
+    * dim. */
+  private def foldMoments(df: DataFrame, vec: String,
+      center: Array[Double], xtxMode: Int): Partial = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(col(vec)).where(col(vec).isNotNull).as[Seq[Float]].rdd
+    val mode = xtxMode // avoid closing over `this`
+    val ctr = center
     var cur = rows.mapPartitionsWithIndex { (idx, it) =>
       var n = 0L
       var sum: Array[Double] = null
@@ -111,32 +128,56 @@ object Pca {
         val v = it.next()
         if (sum == null) {
           sum = new Array[Double](v.length)
-          xtx = new Array[Double](v.length * (v.length + 1) / 2)
+          xtx = new Array[Double](mode match {
+            case XtxNone => 0
+            case XtxDiag => v.length
+            case _ => v.length * (v.length + 1) / 2
+          })
         }
         require(v.length == sum.length,
           s"mixed embedding dims: ${v.length} vs ${sum.length}")
+        if (ctr != null) require(v.length == ctr.length,
+          s"center dim ${ctr.length} != vector dim ${v.length}")
         n += 1
         var i = 0
         var t = 0
         val d = sum.length
         while (i < d) {
-          val xi = v(i).toDouble
+          val xi = if (ctr == null) v(i).toDouble else v(i).toDouble - ctr(i)
           sum(i) += xi
-          var j = i
-          while (j < d) { xtx(t) += xi * v(j); t += 1; j += 1 }
+          mode match {
+            case XtxNone => ()
+            case XtxDiag => xtx(i) += xi * xi
+            case _ =>
+              var j = i
+              while (j < d) {
+                val xj = if (ctr == null) v(j).toDouble else v(j).toDouble - ctr(j)
+                xtx(t) += xi * xj; t += 1; j += 1
+              }
+          }
           i += 1
         }
       }
       if (n == 0L) Iterator.empty
       else Iterator.single((idx.toLong, (n, sum, xtx)))
     }
-    val FanIn = 64
+    // dim probe for the byte budget: one limit-1 scan, negligible next
+    // to the fold itself. No non-null row → same loud failure the old
+    // collect-side require raised.
+    val dimRow = df.select(size(col(vec)))
+      .where(col(vec).isNotNull).head(1)
+    require(dimRow.nonEmpty, s"Pca: no non-null '$vec' vectors to fit")
+    val dim = dimRow(0).getInt(0)
+    val partialBytes = 8L * (dim + (xtxMode match {
+      case XtxNone => 0L
+      case XtxDiag => dim.toLong
+      case _ => dim.toLong * (dim + 1) / 2
+    })) + 64L
+    val budgetBytes = 512L << 20
+    val FanIn = math.max(2L, math.min(64L, budgetBytes / partialBytes)).toInt
     // bound = max surviving key count, known statically from the scan
     var bound = math.max(rows.getNumPartitions, 1)
     while (bound > FanIn) {
-      // one ~FanIn-partial group per task, so task memory stays
-      // FanIn-bounded at any dim (bound/FanIn² funneled up to FanIn²
-      // partials through one task — tens of GB at dim 1024+)
       val parts = math.max(1, (bound + FanIn - 1) / FanIn)
       cur = cur.map { case (k, p) => (k / FanIn, (k, p)) }
         .groupByKey(parts)
@@ -150,6 +191,20 @@ object Pca {
     partials.reduceLeft(mergePartial)
   }
 
+  /** One-pass (n, Σx, upper-triangular ΣxxT) over non-null vectors —
+    * the persistable sufficient statistic (`momentsDf`, the incremental
+    * store, the streaming sink). See `foldMoments` for determinism and
+    * the byte-budgeted fan-in. */
+  private[vector] def moments(df: DataFrame, vec: String): Partial =
+    foldMoments(df, vec, center = null, xtxMode = XtxTri)
+
+  /** Deterministic per-dimension (n, mean) — pass 1 of the two-pass
+    * centered statistics. Sums only: no O(dim²) triangle. */
+  private def meanPass(df: DataFrame, vec: String): (Long, Array[Double]) = {
+    val (n, s, _) = foldMoments(df, vec, center = null, xtxMode = XtxNone)
+    (n, s.map(_ / n))
+  }
+
   private def triAt(x: Array[Double], d: Int, i: Int, j: Int): Double = {
     val (lo, hi) = if (i <= j) (i, j) else (j, i)
     x(lo * d - lo * (lo - 1) / 2 + (hi - lo))
@@ -157,15 +212,29 @@ object Pca {
 
   /** Population covariance as a DataFrame of the upper triangle
     * (1-based i ≤ j, matching DuckDB generate_subscripts): the
-    * driver-checkable face of `moments`. */
+    * driver-checkable face of the moments kernel.
+    *
+    * TWO-PASS CENTERED, deliberately (r17 verdict): the one-pass
+    * E[xy] − E[x]E[y] form cancels O(10–100)-magnitude sums down to
+    * O(1e-4) covariances, leaving cross-engine float noise (~1e-11)
+    * the same order as a round(·,6) midpoint gap — q150's hash was a
+    * measured coin flip (cells 2.5e-11 from the midpoint at sf0.01).
+    * Centering first (means pass, then Σ(x−μᵢ)(x−μⱼ)) makes every
+    * accumulated term the size of the answer, shrinking the error to
+    * ~1e-15 — six orders of headroom against the 5e-7 half-grid. The
+    * corrected-two-pass term (Σ(x−μᵢ)/n)(Σ(x−μⱼ)/n) also compensates
+    * the float error of μ itself (the oracle carries the same term).
+    * PcaSpec pins the headroom (distance-to-midpoint vs a computed
+    * error bound at all three SFs) and partitioning invariance. */
   def covariance(df: DataFrame, vec: String): DataFrame = {
-    val (n, s, x) = moments(df, vec)
-    val d = s.length
+    val (_, mean) = meanPass(df, vec)
+    val (n, cs, cx) = foldMoments(df, vec, center = mean, xtxMode = XtxTri)
+    val d = cs.length
     val rows = for {
       i <- 0 until d
       j <- i until d
     } yield Row((i + 1).toLong, (j + 1).toLong,
-      triAt(x, d, i, j) / n - (s(i) / n) * (s(j) / n))
+      triAt(cx, d, i, j) / n - (cs(i) / n) * (cs(j) / n))
     val schema = StructType(Seq(
       StructField("i", LongType, nullable = false),
       StructField("j", LongType, nullable = false),
@@ -319,6 +388,37 @@ object Pca {
       as: String = "whitened", eps: Double = 1e-12): DataFrame = {
     val scale = model.eigenvalues.map(l => if (l > eps) 1.0 / math.sqrt(l) else 1.0)
     df.withColumn(as, transformUdf(model, scale)(col(vec)))
+  }
+
+  /** Per-dimension standardization (z-scoring / DIAGONAL whitening):
+    * map-only (x − μⱼ)/σⱼ with population μ, σ from the same
+    * deterministic two-pass centered kernel as `covariance` — pass 1
+    * means, pass 2 the O(dim) variance DIAGONAL only (never the
+    * triangle). The cheap member of the decorrelation family: it
+    * equalizes per-axis scale without rotating, which is exactly what
+    * an ANN index needs when the corruption is per-dimension gain
+    * (full `whiten` additionally kills cross-correlations but its
+    * eigenbasis is not SQL-expressible — q156 hashes this face, the
+    * PcaSpec recall pin covers the rotated one). Dimensions with
+    * σ² ≤ eps pass through unscaled rather than exploding (the
+    * `whiten` discipline); null vectors standardize to null. */
+  def standardize(df: DataFrame, vec: String, as: String = "standardized",
+      eps: Double = 1e-12): DataFrame = {
+    val (_, mean) = meanPass(df, vec)
+    val (n, cs, cd) = foldMoments(df, vec, center = mean, xtxMode = XtxDiag)
+    val d = mean.length
+    val invStd = Array.tabulate(d) { j =>
+      val v = cd(j) / n - (cs(j) / n) * (cs(j) / n)
+      if (v > eps) 1.0 / math.sqrt(v) else 1.0
+    }
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        require(v.length == d, s"vector dim ${v.length} != fitted dim $d")
+        Array.tabulate(d)(j => (v(j).toDouble - mean(j)) * invStd(j))
+      }
+    }
+    df.withColumn(as, f(col(vec)))
   }
 
   /** Eigenvalue spectrum report: per-component variance and the
