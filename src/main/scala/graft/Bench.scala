@@ -66,8 +66,14 @@ import org.apache.spark.sql.SparkSession
   *  - START GATE: if 1-min loadavg exceeds half the machine's cores
   *    before the first query, the run warns and waits once
   *    (`GRAFT_BENCH_LOAD_WAIT_SECS`, default 60) for the box to
-  *    quiet, then proceeds either way — `load_gate` in the JSON
-  *    records what it saw, so a run that started hot says so.
+  *    quiet; then (r18) the CALIB probe itself is gated — loadavg
+  *    cannot see a throttled/credit-capped CPU (r17's gate passed at
+  *    4.11 while calib read 0.28-0.48 and the graded suite ran ~1.7×
+  *    floor), so the run waits in bounded rounds
+  *    (`GRAFT_BENCH_CALIB_WAITS`, default 5 × the same wait) until
+  *    the probe is inside the quiet band. Proceeds either way —
+  *    `load_gate` in the JSON records both signals, so a run that
+  *    started hot says so.
   *  - PER-QUERY RETRY: `bench_reference.json` (committed, from a
   *    sentinel-quiet run at the same sf) carries each query's
   *    last-quiet figure. A timed min exceeding 3× its reference is
@@ -76,17 +82,25 @@ import org.apache.spark.sql.SparkSession
   *    listed in `contended_rows` with a contemporaneous calib +
   *    loadavg sample, so the reader knows exactly which numbers to
   *    distrust instead of guessing from the run total.
-  *  - POST-SUITE RETIME (self-heal): if any row flagged contended
-  *    (3×+ over reference) OR landed in the 2–3× noise band (worst 6
-  *    by ratio — the sub-1.5 s sf1 rows the 3× retry never touches)
-  *    and a FRESH settled-probe calibration is quiet, each such row
-  *    is re-timed (min of 2 passes) on the quiet tail and recorded
-  *    under `retimed` (the original min stays in `queries` for
-  *    honesty) — the flag adjudicates itself inside this record
-  *    instead of costing the next round a verdict cycle.
+  *  - POST-SUITE RETIME (self-heal): EVERY row flagged contended
+  *    (3×+ over reference) or landed over 2× its reference (r18: the
+  *    old worst-6 cap left most of a contended run's flagged rows
+  *    unadjudicated) is re-timed (min of 2 passes) once a FRESH
+  *    settled-probe calibration is quiet — waiting in the same
+  *    bounded rounds as the start gate if the tail is still hot —
+  *    and recorded under `retimed` (the original min stays in
+  *    `queries` for honesty) — the flags adjudicate themselves inside
+  *    this record instead of costing the next round a verdict cycle.
   */
 object Bench {
   private val TimedPasses = 2
+
+  /** The quiet band for the ~50 ms calib probe. Sits ABOVE the
+    * documented quiet-residue readings (0.30-0.31 observed on
+    * zero-contended-row runs — r14's 0.30 gate excluded a
+    * legitimately-quiet box); shared by the start gate and the
+    * flagged-row retime gate. */
+  private val QuietCalib = 0.35
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -216,12 +230,12 @@ object Bench {
     val gateThreshold = hostCores / 2.0
     val startLoad = load1()
     var gateWaited = false
+    // a typo'd env value must not abort the whole run before the
+    // first query — degrade to the default like the reference loader
+    val waitSecs =
+      sys.env.get("GRAFT_BENCH_LOAD_WAIT_SECS")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(60)
     if (startLoad > gateThreshold) {
-      // a typo'd env value must not abort the whole run before the
-      // first query — degrade to the default like the reference loader
-      val waitSecs =
-        sys.env.get("GRAFT_BENCH_LOAD_WAIT_SECS")
-          .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(60)
       System.err.println(f"BENCH: loadavg $startLoad%.2f > cores/2 " +
         f"($gateThreshold%.1f) before start — waiting ${waitSecs}s once")
       gateWaited = true
@@ -231,6 +245,31 @@ object Bench {
     if (gateWaited && gateLoadAfter > gateThreshold)
       System.err.println(f"BENCH: still contended after wait " +
         f"(loadavg $gateLoadAfter%.2f) — proceeding; treat this run as contended")
+    // --- calib start gate (r17 verdict) ---
+    // loadavg counts runnable threads; it cannot see a throttled /
+    // credit-capped CPU or a noisy neighbor stealing cycles — r17's
+    // load gate passed at 4.11 while the calib probe read 0.28-0.48
+    // and the graded suite ran ~1.7x floor end to end. Gate on the
+    // probe itself: wait in bounded rounds for a quiet calibration,
+    // then proceed either way and stamp exactly what was seen so the
+    // record adjudicates itself.
+    val startCalib = calibrate()
+    var calibWaits = 0
+    var calibAfterWait = startCalib
+    val maxCalibWaits =
+      sys.env.get("GRAFT_BENCH_CALIB_WAITS")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(5)
+    while (calibAfterWait > QuietCalib && calibWaits < maxCalibWaits) {
+      System.err.println(f"BENCH: calib probe $calibAfterWait%.3fs > " +
+        f"$QuietCalib%.2fs quiet band before start — waiting ${waitSecs}s " +
+        f"(${calibWaits + 1}/$maxCalibWaits)")
+      Thread.sleep(waitSecs * 1000L)
+      calibWaits += 1
+      calibAfterWait = calibrate()
+    }
+    if (calibAfterWait > QuietCalib)
+      System.err.println(f"BENCH: calib still hot after $calibWaits waits " +
+        f"($calibAfterWait%.3fs) — proceeding; treat this run as contended")
     sentinel() // start
 
     // --- last-quiet reference for the per-query retry (see scaladoc) ---
@@ -278,8 +317,16 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // caches are per-query intermediates (LSH signatures etc.);
-      // clear so passes and queries are timed in isolation
+      // clear so passes and queries are timed in isolation. Checkpoint-
+      // backed results (pageRank ranks, CC labels, q155's LM table)
+      // are RDD-level persists clearCache() does not touch — without
+      // the registry drain each of the ~5 q155 passes per suite pinned
+      // another copy of the scored table for the JVM lifetime (r17
+      // ADVICE). The result was already written (noop sink), so the
+      // release is safe; like clearCache it sits outside the timed
+      // window (unpersist bookkeeping is not the query's cost).
       spark.catalog.clearCache()
+      graft.ops.Pinned.releaseAll()
       dt
     }
 
@@ -325,25 +372,40 @@ object Bench {
     // the retime itself is a min-of-2 so the healing figure is no
     // noisier than the suite mins it adjudicates.
     //
-    // Beyond the 3× contended flags, rows landing 2–3× over reference
-    // are retimed too (capped at the worst NoiseRetimeMax by ratio):
-    // the sf1 suites kept producing sub-1.5 s single-run noise rows in
-    // that band (q132 2.54×, q74 2.08× in r14) that the 3× retry never
-    // touches and that previously cost a PLANS.md adjudication each.
-    val QuietCalib = 0.35
+    // Beyond the 3× contended flags, EVERY row landing over 2× its
+    // reference is retimed (r18: the old worst-6 cap left 18 of r17's
+    // 20 >2× rows unadjudicated in the graded record, and each one
+    // costs a verdict archaeology pass): the sf1 suites kept producing
+    // sub-1.5 s single-run noise rows in that band (q132 2.54×, q74
+    // 2.08× in r14) that the 3× retry never touches. A fully-quiet
+    // run retimes nothing; a fully-contended run retimes its whole
+    // flagged set at min-of-2 a row — bounded by the suite's own size.
     val NoiseRatio = 2.0
-    val NoiseRetimeMax = 6
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val resByName = results.toMap
     val noiseRows: Seq[String] = results
       .filterNot { case (n, _) => contendedRows.contains(n) || errors.contains(n) }
       .flatMap { case (n, v) =>
         reference.get(n).filter(r => v > NoiseRatio * r).map(r => (n, v / r)) }
-      .sortBy(-_._2).take(NoiseRetimeMax).map(_._1)
+      .sortBy(-_._2).map(_._1)
     val toRetime = (contendedRows.keys.toSeq ++ noiseRows).distinct
     if (toRetime.nonEmpty) {
       Thread.sleep(2000)
-      val endCalib = calibrate()
+      // wait for the quiet tail in the same bounded rounds as the
+      // start gate (r18): "end calib still hot -> skip all retimes"
+      // shipped r17's graded record with 18 unadjudicated rows that
+      // archived runs later proved quiet — waiting a few minutes for
+      // the window to pass is far cheaper than a verdict cycle.
+      var endCalib = calibrate()
+      var endWaits = 0
+      while (endCalib > QuietCalib && endWaits < maxCalibWaits) {
+        System.err.println(f"BENCH: end calib $endCalib%.3fs still hot — " +
+          f"waiting ${waitSecs}s for a quiet retime window " +
+          f"(${endWaits + 1}/$maxCalibWaits)")
+        Thread.sleep(waitSecs * 1000L)
+        endWaits += 1
+        endCalib = calibrate()
+      }
       if (endCalib <= QuietCalib) {
         val byName = queryList.toMap
         toRetime.foreach { name =>
@@ -360,6 +422,7 @@ object Bench {
                 catch { case _: Throwable => false }
               val t = (System.nanoTime() - t0) / 1e9
               spark.catalog.clearCache()
+              graft.ops.Pinned.releaseAll()
               if (ok) Some(t) else None
             }
             (pass(), pass()) match {
@@ -404,7 +467,11 @@ object Bench {
     val loadJson = loads.map(jsonStr).mkString("[", ",", "]")
     val gateJson = s"""{"start_load":${num(startLoad, 2)},""" +
       s""""threshold":${num(gateThreshold, 1)},"waited":$gateWaited,""" +
-      s""""load_after_wait":${num(gateLoadAfter, 2)}}"""
+      s""""load_after_wait":${num(gateLoadAfter, 2)},""" +
+      s""""start_calib":${num(startCalib, 3)},""" +
+      s""""calib_threshold":${num(QuietCalib, 2)},""" +
+      s""""calib_waits":$calibWaits,""" +
+      s""""calib_after_wait":${num(calibAfterWait, 3)}}"""
     val contendedJson = contendedRows
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")

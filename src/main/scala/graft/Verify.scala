@@ -23,8 +23,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query isolation: deliberate within-query caches (the
-      // summarize LLM-amortization pin) must not leak across queries
+      // summarize LLM-amortization pin) must not leak across queries,
+      // and checkpoint-backed results (pageRank ranks, CC labels, the
+      // q155 LM table) must not pin blocks for the suite's lifetime —
+      // clearCache() does not cover RDD-level persists (r17 ADVICE)
       spark.catalog.clearCache()
+      graft.ops.Pinned.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -171,7 +171,7 @@ object Graph {
       else Seq(e, nodes, weighted, nodesByKey, ranks).filter(_ != null)
         .foreach(NearDup.freeLocalCheckpoint)
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
+    Pinned.track(ranks.select(col("node"), round(col("rank"), 6).as("pagerank")))
   }
 
   /** Duplicate-cluster size distribution over a component labeling

@@ -906,7 +906,7 @@ object NearDup {
       else Seq(edges, edgesByDst, checkpointed).filter(_ != null)
         .foreach(freeLocalCheckpoint)
     }
-    labels
+    Pinned.track(labels)
   }
 
   /** Transitive near-dup application: group candidate pairs into

@@ -354,7 +354,8 @@ object TextAnalysis {
     // sessions release the blocks after consuming the result via
     // `releasePpxBands` — Dataset.unpersist does not cover
     // local-checkpoint blocks (NearDup.freeLocalCheckpoint).
-    val scored = bigramLogProb(score, corpus, id, text).localCheckpoint(true)
+    val scored =
+      Pinned.track(bigramLogProb(score, corpus, id, text).localCheckpoint(true))
     val cutsRow = scored.agg(expr(
       s"percentile(avg_logprob, array($pLow, $pHigh))")).head()
     if (cutsRow.isNullAt(0)) {

@@ -356,7 +356,13 @@ object TextQueries {
     // Same LM as q96 (train even-half, score all); both engines cut
     // the ROUNDED score distribution at the exact 0.3/0.7 quantiles
     // (the q46 percentile/quantile_cont interpolation parity) and
-    // label head/middle/tail. CCNet keeps head+middle.
+    // label head/middle/tail. CCNet keeps head+middle. The "hi IS
+    // NULL" branch is the degenerate-corpus parity pin (r17 ADVICE):
+    // quantile_cont/percentile both NULL the cuts when NO doc has a
+    // finite score, and the op then bands every row NULL — without
+    // the explicit branch the oracle's ELSE would label those rows
+    // 'tail' (NULL >= NULL is not true, it falls through). Unreachable
+    // on this fixture; pinned so a degenerate one can't flip the hash.
     Q("q155_ccnet_ppx_bands",
       s"""WITH $bigramLmCte,
         |agg AS (SELECT doc_id, count(*) AS n_pairs,
@@ -364,7 +370,8 @@ object TextQueries {
         |cut AS (SELECT round(quantile_cont(avg_logprob, 0.3), 6) AS lo,
         |    round(quantile_cont(avg_logprob, 0.7), 6) AS hi FROM agg)
         |SELECT doc_id, n_pairs, avg_logprob,
-        |  CASE WHEN avg_logprob >= hi THEN 'head'
+        |  CASE WHEN hi IS NULL THEN NULL
+        |       WHEN avg_logprob >= hi THEN 'head'
         |       WHEN avg_logprob >= lo THEN 'middle'
         |       ELSE 'tail' END AS band
         |FROM agg, cut ORDER BY doc_id""".stripMargin) { (s, d) =>

@@ -292,6 +292,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     TextAnalysis.releasePpxBands(banded)
   }
 
+  test("Pinned registry: checkpoint-backed results are tracked and releaseAll unpersists their blocks") {
+    // The r17 ADVICE leak: ppxBands' scored LM table (and pageRank
+    // ranks / CC labels) back the RETURNED frame, so clearCache()
+    // between bench passes never freed them — one pinned copy per
+    // pass for the JVM lifetime. The harness drain is Pinned
+    // .releaseAll(); this pin proves the op registers its result and
+    // that the drain actually unpersists the checkpoint RDD blocks.
+    graft.ops.Pinned.releaseAll() // drain other suites' leftovers
+    val docs = (1L to 30L).map(i => (i, s"alpha beta gamma delta tok$i"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val banded = TextAnalysis.ppxBands(docs, docs, "doc_id", col("text"))
+    banded.count() // fully consume before releasing
+    assert(graft.ops.Pinned.trackedCount >= 1, "ppxBands must register its pin")
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "the scored LM table must be checkpoint-persisted")
+    graft.ops.Pinned.releaseAll()
+    assert(graft.ops.Pinned.trackedCount == 0)
+    // unpersist is async (blocking=false): poll briefly
+    val deadline = System.nanoTime() + 10_000_000_000L
+    def stillPinned = spark.sparkContext.getPersistentRDDs.keySet.intersect(pinned)
+    while (stillPinned.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(stillPinned.isEmpty, s"blocks still pinned: $stillPinned")
+  }
+
   // ---- source gating ----
 
   test("filterBySourceQuality keeps only sources passing both gates") {
