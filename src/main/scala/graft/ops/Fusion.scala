@@ -212,13 +212,18 @@ object Fusion {
     * standard ANN approximation: exact on the page, page chosen by
     * similarity-aware cells.
     *
-    * Cost shape: the size probe IS the passthrough collect — one
-    * bounded job reading at most maxPool+1 rows (r16, ADVICE fix: the
-    * old `limit().count()` probe ran the pool's upstream lineage a
-    * second time for ≤maxPool pools, the common case — an expensive
-    * pool source paid double). Only an OVERFLOWING pool re-executes
-    * its lineage (probe + prune), and that second pass is the
-    * distributed prune that never collects the corpus. */
+    * Cost shape (r18, closing the r16 tradeoff's other half): the
+    * probe materializes at most maxPool+1 rows EXECUTOR-side (a
+    * limit + eager localCheckpoint — one lineage execution, the r16
+    * fix preserved) and decides overflow from the materialized count,
+    * so the driver never receives a single embedding unless the pool
+    * actually passes through (the r17 ADVICE low: the old probe
+    * collected maxPool+1 full vectors — ~330 MB of driver heap at
+    * dim 4096 — only to discard them on overflow). Passthrough
+    * collects FROM the checkpoint blocks (no lineage re-run); only an
+    * overflowing pool re-executes its lineage, and that second pass
+    * is the distributed prune that never collects the corpus. The
+    * probe blocks are freed either way (`freeLocalCheckpoint`). */
   def mmrRerankLarge(candidates: DataFrame, id: String, vecCol: String,
       lambda: Double = 0.7, k: Int = 10, scoreCol: String = "score",
       maxPool: Int = 10000, nPlanes: Int = 5, seed: Long = 42L): DataFrame = {
@@ -235,14 +240,19 @@ object Fusion {
     // without this a null-score row would count toward the prune
     // decision and then sort arbitrarily in the rank window)
     val ranked = rankable(candidates, scoreCol)
-    val rows = collectPool(ranked, id, vecCol, scoreCol, maxPool)
-    if (rows.length <= maxPool) {
-      greedyFrame(candidates.sparkSession, parseCands(rows), id, scoreCol,
-        lambda, k)
-    } else {
-      mmrRerank(prunedPage(ranked, id, vecCol, scoreCol, perCell, nPlanes,
-        seed), id, vecCol, lambda, k, scoreCol, maxPool)
-    }
+    val probe = ranked
+      .select(col(id).cast("long"), col(scoreCol).cast("double"), col(vecCol))
+      .limit(maxPool + 1)
+      .localCheckpoint(true)
+    try {
+      if (probe.count() <= maxPool) {
+        greedyFrame(candidates.sparkSession, parseCands(probe.collect()),
+          id, scoreCol, lambda, k)
+      } else {
+        mmrRerank(prunedPage(ranked, id, vecCol, scoreCol, perCell, nPlanes,
+          seed), id, vecCol, lambda, k, scoreCol, maxPool)
+      }
+    } finally NearDup.freeLocalCheckpoint(probe)
   }
 
   /** The distributed prune stage of `mmrRerankLarge`: LSH-cell the

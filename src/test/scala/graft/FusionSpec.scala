@@ -165,4 +165,65 @@ class FusionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxPool"))
   }
+
+  test("mmrRerankLarge overflow probe is vector-free at the driver; passthrough equals the exact greedy") {
+    // r17 ADVICE close: the old probe collected maxPool+1 FULL rows,
+    // so an overflowing pool shipped every vector to the driver only
+    // to discard them (~330 MB at dim 4096). The probe now
+    // materializes executor-side (limit + eager localCheckpoint) and
+    // only a passthrough pool's vectors ever reach the driver. The
+    // row-width audit: sum task-result bytes of exactly this call's
+    // jobs (job-group filtered) and cap them well under the pool's
+    // vector payload.
+    val dim = 2048
+    val nRows = 400
+    val pool = spark.range(0, nRows).select(
+      col("id"),
+      round(lit(1.0) - col("id") * 0.001, 6).as("score"),
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(0), lit(dim - 1)),
+        i => sin(col("id") * 7 + i).cast("float")).as("vec"))
+    val sc = spark.sparkContext
+    val group = s"mmr-probe-width-${System.nanoTime()}"
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(js.properties).exists(p =>
+            group == p.getProperty("spark.jobGroup.id")))
+          js.stageIds.foreach(sid => stages.add(sid))
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (stages.contains(te.stageId) && te.taskMetrics != null)
+          bytes.addAndGet(te.taskMetrics.resultSize)
+    }
+    sc.addSparkListener(listener)
+    val out =
+      try {
+        sc.setJobGroup(group, "mmr probe width audit")
+        Fusion.mmrRerankLarge(pool, "id", "vec", lambda = 1.0, k = 10,
+          maxPool = 66, nPlanes = 1).collect()
+      } finally { sc.clearJobGroup(); sc.removeSparkListener(listener) }
+    // listener delivery is async: wait for the byte count to settle
+    var last = -1L
+    var settled = 0
+    while (settled < 3) {
+      Thread.sleep(200)
+      val b = bytes.get
+      if (b == last) settled += 1 else { settled = 0; last = b }
+    }
+    // lambda=1 containment guarantee: pruned == global top-k by score
+    assert(out.map(_.getLong(0)).toSeq == (0L until 10L).toSeq)
+    val poolVecBytes = nRows.toLong * dim * 4
+    assert(bytes.get > 0, "the job-group filter matched no tasks")
+    assert(bytes.get < poolVecBytes / 2,
+      s"driver received ${bytes.get} result bytes — the overflow probe is " +
+        s"shipping vectors (pool payload $poolVecBytes)")
+    // passthrough (pool <= maxPool) still equals the exact greedy
+    val small = pool.limit(40)
+    val viaLarge = Fusion.mmrRerankLarge(small, "id", "vec", lambda = 0.5,
+      k = 8, maxPool = 66, nPlanes = 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaExact = Fusion.mmrRerank(small, "id", "vec", lambda = 0.5, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLarge.toSeq == viaExact.toSeq)
+  }
 }
