@@ -15,6 +15,40 @@ import Q.t
   */
 object PcaQueries {
 
+  /** One IVF retrieval side of the q156 oracle, parameterized by
+    * space: `tbl` is the unnested (vec_id, i, `vc`) table of that
+    * space's REAL-typed values, `listTbl` its per-vector double list.
+    * Emits cd/cell/probe/appr/top/hit CTEs suffixed with `tag`:
+    * id-prefix seed cells (vec_id < 8, the `Ivf.seedCentroids` rule),
+    * argmin-by-(d2, cid) assignment, 2-probe query routing, and
+    * round-6-cosine top-10 inside the probed cells — the SQL mirror
+    * of `RecallReport.ivfRecallAtK`. Hits count against the shared
+    * `efull` ground truth (exact top-10 in the ORIGINAL space). */
+  private def ivfSide(tag: String, tbl: String, vc: String,
+      listTbl: String): String =
+    s"""cd$tag AS (SELECT t.vec_id, c.vec_id AS cid,
+       |      SUM((CAST(t.$vc AS DOUBLE) - CAST(c.$vc AS DOUBLE))
+       |        * (CAST(t.$vc AS DOUBLE) - CAST(c.$vc AS DOUBLE))) AS d2
+       |      FROM $tbl t JOIN $tbl c ON c.i = t.i AND c.vec_id < 8
+       |      GROUP BY t.vec_id, c.vec_id),
+       |cell$tag AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |      FROM cd$tag) WHERE rn = 1),
+       |probe$tag AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |      FROM cd$tag WHERE vec_id < 20) WHERE rn <= 2),
+       |appr$tag AS (SELECT pr.qid, ce.vec_id AS nid,
+       |      round(list_cosine_similarity(q.lv, t.lv), 6) AS sc
+       |      FROM probe$tag pr JOIN cell$tag ce ON ce.cid = pr.cid
+       |      JOIN $listTbl q ON q.vec_id = pr.qid
+       |      JOIN $listTbl t ON t.vec_id = ce.vec_id),
+       |top$tag AS (SELECT qid, nid FROM (SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
+       |      FROM appr$tag) WHERE rn <= 10),
+       |hit$tag AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS hits
+       |      FROM efull f JOIN top$tag t ON f.qid = t.qid AND f.nid = t.nid
+       |      GROUP BY f.qid)""".stripMargin
+
   /** Shared oracle CTE: per-(vec_id, position) doubles. */
   private val unnestCte: String =
     """u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -111,6 +145,94 @@ object PcaQueries {
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
+    },
+
+    // ---- the decorrelation layer wired into the ANN surface ----
+    // A planted per-dimension gain corruption (dim 1 × 40 — the
+    // q154/q112 planted-structure discipline) wrecks IVF retrieval in
+    // the corrupted space: cells and cosine are dominated by the hot
+    // axis, so recall@10 against the TRUE (uncorrupted) neighbors
+    // collapses to ~0.2. Standardizing with `Pca.standardize` (the
+    // same two-pass centered kernel as q150, variance face only)
+    // restores ~0.65 at the identical probe budget — measured at all
+    // three SFs. Everything is SQL-expressible END TO END (per-dim
+    // mu/sigma, float casts, seed cells, probes, round-6 cosine), so
+    // the whole raw-vs-standardized comparison full-hashes; the
+    // ROTATED face of the same claim (full `whiten`, eigenbasis not
+    // SQL-expressible) is pinned engine-side in PcaSpec against the
+    // same planted fixture.
+    Q("q156_standardized_ivf_recall",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |     WHERE embedding IS NOT NULL),
+         |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |      generate_subscripts(embedding, 1) AS i FROM e),
+         |n AS (SELECT count(*) AS n FROM e),
+         |s AS (SELECT vec_id, i,
+         |      CAST(CASE WHEN i = 1 THEN x * 40.0 ELSE x END AS REAL) AS xs
+         |      FROM u),
+         |m AS (SELECT i, SUM(CAST(xs AS DOUBLE)) / (SELECT n FROM n) AS mu
+         |      FROM s GROUP BY i),
+         |v AS (SELECT s.i,
+         |      SUM((CAST(xs AS DOUBLE) - mu) * (CAST(xs AS DOUBLE) - mu))
+         |        / (SELECT n FROM n) AS var
+         |      FROM s JOIN m ON m.i = s.i GROUP BY s.i),
+         |z AS (SELECT s.vec_id, s.i,
+         |      CAST((CAST(xs AS DOUBLE) - m.mu)
+         |           / (CASE WHEN v.var > 1e-12 THEN sqrt(v.var) ELSE 1.0 END)
+         |        AS REAL) AS xz
+         |      FROM s JOIN m ON m.i = s.i JOIN v ON v.i = s.i),
+         |sl AS (SELECT vec_id, list(CAST(xs AS DOUBLE) ORDER BY i) AS lv
+         |      FROM s GROUP BY vec_id),
+         |zl AS (SELECT vec_id, list(CAST(xz AS DOUBLE) ORDER BY i) AS lv
+         |      FROM z GROUP BY vec_id),
+         |q0 AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 20),
+         |sfull AS (SELECT qid, t.vec_id AS nid,
+         |      round(list_cosine_similarity(
+         |        list_transform(qv, x -> CAST(x AS DOUBLE)),
+         |        list_transform(t.embedding, x -> CAST(x AS DOUBLE))), 6) AS sc
+         |      FROM q0, e t),
+         |efull AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
+         |      FROM sfull) WHERE rn <= 10),
+         |tot AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+         |      FROM efull GROUP BY qid),
+         |${ivfSide("r", "s", "xs", "sl")},
+         |${ivfSide("z", "z", "xz", "zl")}
+         |SELECT tot.qid AS vec_id, n_exact,
+         |  coalesce(hr.hits, 0) AS raw_hits,
+         |  round(coalesce(hr.hits, 0) / CAST(n_exact AS DOUBLE), 4) AS raw_recall,
+         |  coalesce(hz.hits, 0) AS std_hits,
+         |  round(coalesce(hz.hits, 0) / CAST(n_exact AS DOUBLE), 4) AS std_recall
+         |FROM tot LEFT JOIN hitr hr ON hr.qid = tot.qid
+         |         LEFT JOIN hitz hz ON hz.qid = tot.qid
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import graft.vector.{Ivf, RecallReport}
+      val emb = t(s, d, "embeddings").where(col("embedding").isNotNull)
+      val skew = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, (x.cast("double") * lit(40.0)).cast("float"))
+            .otherwise(x)).as("skewed"))
+      val std = Pca.standardize(skew, "skewed", "z")
+        .withColumn("z", col("z").cast("array<float>"))
+      val truth = RecallReport.exactTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 10)
+      def report(corpus: org.apache.spark.sql.DataFrame, vc: String) =
+        RecallReport.ivfRecallAtK(corpus, "vec_id", vc,
+          corpus.where(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col(vc).as("qv")),
+          "qid", "qv", k = 10,
+          cents = Ivf.seedCentroids(corpus, "vec_id", vc, 8),
+          nProbe = 2, exact = Some(truth))
+      report(skew, "skewed")
+        .select(col("qid"), col("n_exact"),
+          col("n_hits").as("raw_hits"), col("recall").as("raw_recall"))
+        .join(report(std, "z")
+          .select(col("qid"), col("n_hits").as("std_hits"),
+            col("recall").as("std_recall")), Seq("qid"))
+        .withColumnRenamed("qid", "vec_id")
+        .orderBy(col("vec_id"))
     }
   )
 }

@@ -407,15 +407,18 @@ object Pca {
     val (_, mean) = meanPass(df, vec)
     val (n, cs, cd) = foldMoments(df, vec, center = mean, xtxMode = XtxDiag)
     val d = mean.length
-    val invStd = Array.tabulate(d) { j =>
+    // division (not a precomputed reciprocal): one rounding per
+    // element, exactly the arithmetic the SQL oracle performs —
+    // (x - mu) / sigma must round identically on both engines
+    val std = Array.tabulate(d) { j =>
       val v = cd(j) / n - (cs(j) / n) * (cs(j) / n)
-      if (v > eps) 1.0 / math.sqrt(v) else 1.0
+      if (v > eps) math.sqrt(v) else 1.0
     }
     val f = udf { (v: Seq[Float]) =>
       if (v == null) null
       else {
         require(v.length == d, s"vector dim ${v.length} != fitted dim $d")
-        Array.tabulate(d)(j => (v(j).toDouble - mean(j)) * invStd(j))
+        Array.tabulate(d)(j => (v(j).toDouble - mean(j)) / std(j))
       }
     }
     df.withColumn(as, f(col(vec)))

@@ -321,6 +321,66 @@ class PcaSpec extends AnyFunSuite {
     assert(nz.head.isNullAt(0))
   }
 
+  test("whitening recovers ANN recall under a ROTATED corruption that standardization cannot fix") {
+    // q156 hashes the diagonal face (per-dim gain -> standardize
+    // recovers) because it is SQL-expressible end to end. This pin is
+    // the rotated face the oracle can't see: a rank-1 inflation along
+    // the mixed direction a = 1/sqrt(d)*(1..1) — y = x + 39(x.a)a —
+    // leaves every per-dim variance equally inflated, so z-scoring
+    // changes nothing (measured 0.215 -> 0.215), while full `whiten`
+    // (eigenbasis rotation + scale) restores recall against the TRUE
+    // neighbors (measured 0.57) at the identical IVF probe budget.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), s"$dir absent")
+    import graft.vector.{Ivf, RecallReport}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+    val d8 = lit(0.125) // 1/sqrt(64)
+    val corrupt = emb
+      .withColumn("__dot", aggregate(col("embedding"), lit(0.0),
+        (acc, e) => acc + e.cast("double")) * d8)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => (x.cast("double") + lit(39.0) * col("__dot") * d8)
+          .cast("float")).as("y"))
+    val truth = RecallReport.exactTopK(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv", k = 10)
+    def meanRecall(corpus: org.apache.spark.sql.DataFrame, vc: String): Double =
+      RecallReport.ivfRecallAtK(corpus, "vec_id", vc,
+          corpus.where(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col(vc).as("qv")),
+          "qid", "qv", k = 10,
+          cents = Ivf.seedCentroids(corpus, "vec_id", vc, 8),
+          nProbe = 2, exact = Some(truth))
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val raw = meanRecall(corrupt, "y")
+    val std = meanRecall(
+      Pca.standardize(corrupt, "y", "z")
+        .withColumn("z", col("z").cast("array<float>")), "z")
+    val mdl = Pca.fit(corrupt, "y")
+    val wh = meanRecall(
+      Pca.whiten(corrupt, "y", mdl)
+        .withColumn("whitened", col("whitened").cast("array<float>")),
+      "whitened")
+    assert(wh >= raw + 0.2, f"whitened $wh%.3f vs raw $raw%.3f")
+    assert(wh >= std + 0.2, f"whitened $wh%.3f vs standardized $std%.3f")
+    assert(math.abs(std - raw) < 0.1,
+      f"z-scoring must NOT fix a rotated corruption: std $std%.3f raw $raw%.3f")
+  }
+
+  test("q156 fixture: standardized IVF recall beats the corrupted-raw recall by a wide margin") {
+    // the query's hash pins exact per-query values; this pin states
+    // the CLAIM the query exists to make, so a testdata regeneration
+    // that accidentally kills the separation fails loudly here
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), s"$dir absent")
+    val out = graft.SparkEntry.queries("q156_standardized_ivf_recall")(spark, dir)
+      .agg(avg(col("raw_recall")), avg(col("std_recall"))).head()
+    val (raw, std) = (out.getDouble(0), out.getDouble(1))
+    assert(std >= raw + 0.2, f"std $std%.3f vs raw $raw%.3f")
+  }
+
   test("plan: projection and whitening are map-only (no exchange)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     Seq(
