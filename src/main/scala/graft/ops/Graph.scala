@@ -171,7 +171,27 @@ object Graph {
       else Seq(e, nodes, weighted, nodesByKey, ranks).filter(_ != null)
         .foreach(NearDup.freeLocalCheckpoint)
     }
-    Pinned.track(ranks.select(col("node"), round(col("rank"), 6).as("pagerank")))
+    // Final 6dp projection via EXACT INTEGER arithmetic (r18): the
+    // ranks sit on the per-iteration 1e-9 grid, so ~1/1000 of them
+    // land exactly ON a 6dp midpoint — where Spark's BigDecimal-on-
+    // exact-binary HALF_UP and a C-style multiply-then-nearbyint
+    // round() can legitimately disagree about the SAME double (the
+    // headroom audit read dist=0 for this column; emitting the raw
+    // 9dp grid instead surfaced a different 1-row cross-engine
+    // straddle at sf0.001). Extracting the grid integer N =
+    // rint(rank·1e9) — exact, the value is within ulps of N — and
+    // half-up-rounding in integer space, floor((N+500)/1000)/1e6,
+    // is the same function of the same double on every engine:
+    // midpoint landings are decided by +500/floor, not by whose
+    // round() implementation runs. The 9dp iteration contract still
+    // absorbs sum-order noise; the residual (a pre-round sum
+    // straddling a 1e-9 boundary) is then absorbed AGAIN by the
+    // 1000-step projection unless it sits on the 6dp grid edge —
+    // the compound rarity that has kept this row green, now without
+    // the round()-implementation channel on top of it.
+    Pinned.track(ranks.select(col("node"),
+      (floor((rint(col("rank") * lit(1e9)) + lit(500.0)) / lit(1000.0))
+        / lit(1e6)).as("pagerank")))
   }
 
   /** Duplicate-cluster size distribution over a component labeling

@@ -33,7 +33,8 @@ object GraphQueries {
        |nn AS (SELECT count(*) AS cnt FROM nodes),
        |r0 AS (SELECT node, round(1.0 / (SELECT cnt FROM nn), 9) AS rank FROM nodes),
        |$steps
-       |SELECT node AS vec_id, round(rank, 6) AS pagerank
+       |SELECT node AS vec_id,
+       |  floor((round(rank * 1e9) + 500) / 1000) / 1e6 AS pagerank
        |FROM r$iters ORDER BY vec_id""".stripMargin
   }
 

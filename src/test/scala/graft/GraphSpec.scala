@@ -25,7 +25,10 @@ class GraphSpec extends AnyFunSuite {
       ranks = nodes.map(v =>
         v -> rnd((1.0 - damping) / n + damping * in.getOrElse(v, 0.0), roundTo)).toMap
     }
-    ranks.map { case (k, v) => k -> rnd(v, 6) }
+    // the op's exact-integer 6dp projection (see Graph.pageRank r18)
+    ranks.map { case (k, v) =>
+      k -> math.floor((math.rint(v * 1e9) + 500.0) / 1000.0) / 1e6
+    }
   }
 
   test("pageRank matches a driver-side reference on a known graph") {
@@ -39,7 +42,7 @@ class GraphSpec extends AnyFunSuite {
       assert(rank == expect(node), s"node $node: $rank != ${expect(node)}")
     }
     // node 4 has no incoming edges: exactly the (1-d)/N floor
-    assert(out(4L) == BigDecimal(0.15 / 4).setScale(6,
+    assert(out(4L) == BigDecimal(0.15 / 4).setScale(9,
       BigDecimal.RoundingMode.HALF_UP).toDouble)
     // hub 1 outranks everyone
     assert(out(1L) > out(2L) && out(2L) > out(3L) && out(3L) > out(4L))
@@ -50,7 +53,8 @@ class GraphSpec extends AnyFunSuite {
     val edges = (0L until 6L).map(i => (i, (i + 1) % 6))
     val out = Graph.pageRank(edges.toDF("src", "dst"), iterations = 20)
       .collect().map(_.getDouble(1))
-    // output is rounded to 6 decimals: tolerance is the rounding step
+    // output sits on the per-iteration 1e-9 grid; 20 rounds of grid
+    // error stay far inside this tolerance
     assert(out.forall(r => math.abs(r - 1.0 / 6) < 5e-7))
     assert(math.abs(out.sum - 1.0) < 1e-5)
   }
