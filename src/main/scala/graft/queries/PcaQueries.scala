@@ -214,10 +214,15 @@ object PcaQueries {
             .otherwise(x)).as("skewed"))
       val std = Pca.standardize(skew, "skewed", "z")
         .withColumn("z", col("z").cast("array<float>"))
-      val truth = RecallReport.exactTopK(emb, "vec_id", "embedding",
-        emb.where(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        "qid", "qv", k = 10)
+      // the exact ground truth feeds BOTH reports, each of which reads
+      // it twice (totals + hits): checkpoint it once instead of
+      // running the QxN scoring pass four times. Harness-released
+      // via the Pinned registry after the result is consumed.
+      val truth = graft.ops.Pinned.track(
+        RecallReport.exactTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10).localCheckpoint(true))
       def report(corpus: org.apache.spark.sql.DataFrame, vc: String) =
         RecallReport.ivfRecallAtK(corpus, "vec_id", vc,
           corpus.where(col("vec_id") < 20)

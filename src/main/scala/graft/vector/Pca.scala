@@ -161,13 +161,21 @@ object Pca {
       if (n == 0L) Iterator.empty
       else Iterator.single((idx.toLong, (n, sum, xtx)))
     }
-    // dim probe for the byte budget: one limit-1 scan, negligible next
-    // to the fold itself. No non-null row → same loud failure the old
-    // collect-side require raised.
-    val dimRow = df.select(size(col(vec)))
-      .where(col(vec).isNotNull).head(1)
-    require(dimRow.nonEmpty, s"Pca: no non-null '$vec' vectors to fit")
-    val dim = dimRow(0).getInt(0)
+    // dim for the byte budget: from the center when we have one, else
+    // a one-row probe scan — but only when the triangle is in play
+    // (sums-only partials are O(dim) doubles; the 64 cap is already
+    // byte-safe there, and skipping the probe saves a scheduler
+    // round-trip per pass on small inputs). An empty input fails at
+    // the collect-side require below either way.
+    val dim: Int =
+      if (ctr != null) ctr.length
+      else if (xtxMode == XtxNone) 1
+      else {
+        val dimRow = df.select(size(col(vec)))
+          .where(col(vec).isNotNull).head(1)
+        require(dimRow.nonEmpty, s"Pca: no non-null '$vec' vectors to fit")
+        dimRow(0).getInt(0)
+      }
     val partialBytes = 8L * (dim + (xtxMode match {
       case XtxNone => 0L
       case XtxDiag => dim.toLong
