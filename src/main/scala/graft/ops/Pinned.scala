@@ -28,24 +28,56 @@ import org.apache.spark.sql.DataFrame
   * BEFORE the frame's last action — a lineage-truncated frame cannot
   * recompute — which is why only result-consuming harness code calls
   * `releaseAll`, never the ops themselves.
+  *
+  * The registry is THREAD-scoped (the NearDup ThreadLocal-listener
+  * discipline): `releaseAll` drains only frames the CALLING thread's
+  * ops tracked. The harnesses construct and consume each query on one
+  * thread, so they see every frame; parallel ScalaTest suites sharing
+  * the session cannot free each other's in-flight checkpoints (a
+  * global drain did exactly that — one suite's releaseAll unpersisted
+  * another suite's not-yet-consumed labels mid-run).
   */
 object Pinned {
 
-  private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val reg =
+    ThreadLocal.withInitial[java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]](
+      () => new java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]())
 
-  /** Track a checkpoint-backed result frame; returns it unchanged. */
-  private[graft] def track(df: DataFrame): DataFrame = { reg.add(df); df }
+  /** Track a checkpoint-backed result frame; returns it unchanged.
+    * The registry holds WEAK references: a thread that never drains
+    * (a test thread, a streaming micro-batch thread whose ops free
+    * their own pins) must not keep the frame reachable forever —
+    * once the caller drops it, the ContextCleaner's GC-driven
+    * unpersist path takes over exactly as it did before the registry
+    * existed. Only a live, still-referenced frame is drained by
+    * `releaseAll`. */
+  private[graft] def track(df: DataFrame): DataFrame = {
+    val q = reg.get()
+    q.add(new java.lang.ref.WeakReference(df))
+    // bound the ref-queue itself for never-draining threads
+    while (q.size > 256) q.removeFirst()
+    df
+  }
 
-  /** How many results are currently tracked (spec observability). */
-  def trackedCount: Int = reg.size()
+  /** How many still-live results this thread currently tracks (spec
+    * observability). */
+  def trackedCount: Int = {
+    val it = reg.get().iterator()
+    var n = 0
+    while (it.hasNext) if (it.next().get() != null) n += 1
+    n
+  }
 
-  /** Unpersist every tracked result's checkpoint blocks. Call only
-    * after the frames have been fully consumed (written/collected). */
+  /** Unpersist every still-live result tracked BY THIS THREAD. Call
+    * only after the frames have been fully consumed
+    * (written/collected). */
   def releaseAll(): Unit = {
-    var df = reg.poll()
-    while (df != null) {
-      NearDup.freeLocalCheckpoint(df)
-      df = reg.poll()
+    val q = reg.get()
+    var ref = q.poll()
+    while (ref != null) {
+      val df = ref.get()
+      if (df != null) NearDup.freeLocalCheckpoint(df)
+      ref = q.poll()
     }
   }
 }

@@ -377,6 +377,9 @@ class PcaSpec extends AnyFunSuite {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists(), s"$dir absent")
     val out = graft.SparkEntry.queries("q156_standardized_ivf_recall")(spark, dir)
       .agg(avg(col("raw_recall")), avg(col("std_recall"))).head()
+    // the query Pinned-tracks its truth checkpoint for the harness to
+    // drain; in a shared test session WE are the harness
+    graft.ops.Pinned.releaseAll()
     val (raw, std) = (out.getDouble(0), out.getDouble(1))
     assert(std >= raw + 0.2, f"std $std%.3f vs raw $raw%.3f")
   }

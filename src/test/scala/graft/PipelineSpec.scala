@@ -125,6 +125,12 @@ class PipelineSpec extends AnyFunSuite {
     val segs = (1 to 250).map { i =>
       ("m2.mp4", i.toLong, s"word$i", 0.05, i * 10.0, i * 10.0 + 9.5)
     }.toDF("file", "id", "text", "no_speech_prob", "start", "end")
+    // snapshot BEFORE the stage: the claim is that summarize ITSELF
+    // pins nothing — in a shared parallel-suite session, other
+    // suites' legitimate in-flight checkpoints (CC loops, recall
+    // ground truths) must not fail this pin (r18: the global
+    // isEmpty assert was schedule/GC-luck-dependent)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val out = CouncilPipeline.summarize(segs, counting, chunkSize = 100)
     assert(out.count() == 4) // 3 chunks + rollup
     // the chunk LLM pass ran exactly once per chunk, the reduce once per
@@ -134,8 +140,10 @@ class PipelineSpec extends AnyFunSuite {
     // and the stage pins nothing: no cache in the plan, no persistent
     // RDD left registered after materialization
     assert(!out.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "summarize must not leave a cache pinned after materialization")
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty,
+      s"summarize must not leave a cache pinned after materialization: $leaked")
   }
 
   test("stage5: crawl throttle caps per-partition fetch rate through the stage") {
