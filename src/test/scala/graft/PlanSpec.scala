@@ -313,6 +313,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q156 recall plan: probes/cells join broadcast, truth is a broadcast nested loop, no cartesian") {
+    // Both IVF sides join the corpus to the (20-query × 2-probe) set
+    // on the cell id — those must be broadcast hash joins, never a
+    // shuffle of the corpus onto a 40-row side; the exact ground
+    // truth is the one INTENDED Q×N replicate and must execute as a
+    // BroadcastNestedLoopJoin (the query sample broadcasts), never a
+    // partitioned CartesianProduct.
+    val p = plan("q156_standardized_ivf_recall")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    graft.ops.Pinned.releaseAll() // the query's truth checkpoint
+    // the truth itself is checkpointed inside q156 (so its Q×N pass
+    // shows as Scan ExistingRDD above) — assert its replicate shape
+    // on the un-checkpointed op directly
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val tp = graft.vector.RecallReport.exactTopK(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv", k = 3).queryExecution.executedPlan.toString
+    assert(!tp.contains("CartesianProduct"), tp.take(800))
+    assert(tp.contains("BroadcastNestedLoopJoin"), tp.take(800))
+  }
+
   test("wide-class NB shape: class spine broadcasts, no cartesian, no TF replicate join") {
     // scoreNaiveBayesManyClasses exists to keep the heavy TF table
     // OUT of any per-class replicate. The model is CHECKPOINTED so
