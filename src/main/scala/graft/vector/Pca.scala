@@ -432,6 +432,45 @@ object Pca {
     df.withColumn(as, f(col(vec)))
   }
 
+  /** `standardize` from a persisted moments store/log (the
+    * `fitFromMoments` twin): per-dim mean and variance come from the
+    * stored (n, Σx, ΣxxT) sufficient statistic — one O(dim²) row per
+    * tick, never a corpus rescan. The store is an UNCENTERED
+    * statistic, so the variance here is the one-pass E[x²]−E[x]² form
+    * (noise ~1e-12 — fine for scaling an ANN index, NOT for a hashed
+    * round-6 grid; the oracle-hashed q156 path uses the two-pass
+    * centered `standardize`). */
+  def standardizeFromMoments(m: DataFrame, df: DataFrame, vec: String,
+      as: String = "standardized", eps: Double = 1e-12): DataFrame = {
+    val model = fitFromMoments(m)
+    val mean = model.mean
+    val d = model.dim
+    // per-dim variance = covariance trace terms; recover via a k=dim
+    // refit is wasteful — read the diagonal from the merged partial
+    val p =
+      if (m.columns.contains("batch")) {
+        val rows = m.select(col("batch").cast("long"), col("n"),
+          col("sum"), col("xtx")).collect()
+        rows.sortBy(_.getLong(0))
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toArray,
+            r.getSeq[Double](3).toArray): Partial)
+          .reduceLeft(mergePartial)
+      } else partialOf(m)
+    val (n, s, x) = p
+    val std = Array.tabulate(d) { j =>
+      val v = triAt(x, d, j, j) / n - (s(j) / n) * (s(j) / n)
+      if (v > eps) math.sqrt(v) else 1.0
+    }
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        require(v.length == d, s"vector dim ${v.length} != fitted dim $d")
+        Array.tabulate(d)(j => (v(j).toDouble - mean(j)) / std(j))
+      }
+    }
+    df.withColumn(as, f(col(vec)))
+  }
+
   /** Eigenvalue spectrum report: per-component variance and the
     * cumulative explained fraction — the k-picking curve. Shares are
     * of TOTAL variance (the trace carried on the model), so a

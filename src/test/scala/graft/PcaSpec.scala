@@ -321,6 +321,22 @@ class PcaSpec extends AnyFunSuite {
     assert(nz.head.isNullAt(0))
   }
 
+  test("standardizeFromMoments: the store-backed z-scoring matches the two-pass direct path") {
+    val direct = Pca.standardize(df, "embedding", "z")
+      .orderBy("vec_id").select(col("z")).as[Seq[Double]].collect()
+    val log = synth().grouped(16).toSeq.zipWithIndex.map { case (b, k) =>
+      Pca.momentsDf(b.toDF("vec_id", "embedding"), "embedding")
+        .withColumn("batch", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    val stored = Pca.standardizeFromMoments(log, df, "embedding", "z")
+      .orderBy("vec_id").select(col("z")).as[Seq[Double]].collect()
+    direct.zip(stored).zipWithIndex.foreach { case ((a, b), r) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-6, s"row $r: $x vs $y")
+      }
+    }
+  }
+
   test("whitening recovers ANN recall under a ROTATED corruption that standardization cannot fix") {
     // q156 hashes the diagonal face (per-dim gain -> standardize
     // recovers) because it is SQL-expressible end to end. This pin is
