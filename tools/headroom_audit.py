@@ -49,6 +49,20 @@ import duckdb
 
 MARGIN = 1e-5  # grid-relative flag threshold (see calibration above)
 
+# Inner rounding sites that deserve their own probe (the rounded value
+# is consumed by a downstream comparison, so the generic final-select
+# strip cannot see it): replace the source query's final SELECT with
+# one that emits the UNROUNDED value(s). q155's quantile cuts are the
+# canonical case — a cut near a midpoint could round differently
+# across engines and re-band every doc between the two candidates.
+NAMED_PROBES = {
+    "q155_ccnet_ppx_bands": (
+        "SELECT quantile_cont(avg_logprob, 0.3) AS lo, "
+        "quantile_cont(avg_logprob, 0.7) AS hi FROM agg",
+        [("lo", 6), ("hi", 6)],
+    ),
+}
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -144,6 +158,20 @@ def main():
                 rows.append((sf, name, col, k, dist))
                 if dist < MARGIN:
                     flagged.append((sf, name, f"{col}@{k}dp dist={dist:.2e}"))
+        for name, (final_sel, probe_cols) in sorted(NAMED_PROBES.items()):
+            sql = sqls[name]
+            probe_sql = sql[:final_select_pos(sql)] + final_sel
+            pdf = con.execute(probe_sql).df()
+            for col, k in probe_cols:
+                v = pdf[col].dropna().astype(float)
+                if len(v) == 0:
+                    continue
+                g = v * (10.0 ** k)
+                frac = g - g.apply(lambda x: int(x) if x >= 0 else int(x) - 1)
+                dist = (frac - 0.5).abs().min()
+                rows.append((sf, f"{name} (inner probe)", col, k, dist))
+                if dist < MARGIN:
+                    flagged.append((sf, name, f"inner {col}@{k}dp dist={dist:.2e}"))
         con.close()
     print("# Rounded-grid headroom report")
     print()
