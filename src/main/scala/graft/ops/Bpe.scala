@@ -1,0 +1,281 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Learned BPE subword tokenizer (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the trained twin of the regex token counter
+  * (`TextAnalysis.tokenCounts` / q146's fertility report). The engine
+  * had "BPE-ish" heuristics; this is the real learned object: merge
+  * rules fit on the corpus, then applied as a deterministic function.
+  *
+  * Semantics (all deterministic, shared verbatim with the DuckDB
+  * oracles):
+  *  - words: maximal `\S+` runs of `lower(trim(text))`, empties
+  *    dropped; training sees the word HISTOGRAM truncated to the
+  *    `topM` most frequent words (ties → lexicographically smaller
+  *    word first) — the standard scale recipe: BPE training never
+  *    needs the corpus, only (word, count).
+  *  - a word starts as its character sequence; each step counts ALL
+  *    adjacent token pairs (overlapping included, Sennrich's
+  *    `get_stats`), weighted by word count, picks the pair by
+  *    (count desc, left asc, right asc), and merges it left-to-right
+  *    non-overlapping within every word ("aaaa" + (a,a) → [aa, aa];
+  *    "aaa" → [aa, a]).
+  *  - application replays the learned merges in order with the same
+  *    left-to-right rule — identical to the state training reached
+  *    for in-vocabulary words, and well-defined for unseen words.
+  *
+  * Scale shape: the histogram is ONE shuffle with map-side combine —
+  * the only corpus-sized stage at any SF; truncation bounds everything
+  * after it by construction (topM × max word length, like
+  * `Ivf.seedCentroids`' documented collect cap). Training itself is
+  * either a driver loop over that bounded array (`trainMerges`) or,
+  * when the histogram must stay distributed, `trainMergesDistributed`:
+  * per step one bounded-size pair-count aggregation + a 1-row collect,
+  * with the token state recomputed map-side from the immutable word
+  * column each step (no iterative lineage growth). Applying the
+  * learned merges to a corpus is map-only against a broadcast of
+  * ≤ numMerges string pairs. Corpus-level token statistics (q158/q159)
+  * are computed from histograms joined to the per-word tokenization —
+  * never by re-tokenizing raw text a second time.
+  */
+object Bpe {
+
+  /** One learned merge: at `step` (1-based), `left`+`right` had the
+    * highest corpus pair count. */
+  final case class Merge(step: Int, left: String, right: String,
+      pairCount: Long)
+
+  /** Corpus word histogram, deterministically truncated to the topM
+    * most frequent words (count desc, word asc). One shuffle,
+    * map-side combined; the TakeOrdered limit keeps the result
+    * driver-safe at any corpus size. */
+  def wordHistogram(df: DataFrame, textCol: String,
+      topM: Int = DefaultTopM): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(topM)
+
+  /** Default histogram truncation — 4096 words × ≤64 chars is a few
+    * hundred KB on the driver, the same bounded-collect contract as
+    * Ivf.seedCentroids. */
+  val DefaultTopM = 4096
+
+  /** Greedy left-to-right single-merge application: replace every
+    * non-overlapping adjacent (left, right) in token order. */
+  def mergeOnce(toks: IndexedSeq[String], left: String,
+      right: String): IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = toks.length
+    while (i < n) {
+      if (i + 1 < n && toks(i) == left && toks(i + 1) == right) {
+        out += left + right; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Apply learned merges in order to one word. Deterministic for any
+    * word, seen in training or not. */
+  def tokenizeWord(word: String,
+      merges: Seq[(String, String)]): IndexedSeq[String] = {
+    var toks: IndexedSeq[String] = word.map(_.toString)
+    merges.foreach { case (l, r) =>
+      // cheap containment pre-check: most merges touch few words
+      if (toks.length > 1) toks = mergeOnce(toks, l, r)
+    }
+    toks
+  }
+
+  /** Driver-side training over a bounded (word, count) histogram —
+    * O(topM · maxWordLen) per step. Stops early when no pair remains
+    * (all words reduced to single tokens). */
+  def trainMerges(hist: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    var state: Array[IndexedSeq[String]] =
+      hist.map { case (w, _) => w.map(_.toString): IndexedSeq[String] }.toArray
+    val cnt = hist.map(_._2).toArray
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < state.length) {
+        val t = state(wi)
+        var i = 0
+        while (i + 1 < t.length) {
+          val p = (t(i), t(i + 1))
+          pairs.update(p, pairs.getOrElse(p, 0L) + cnt(wi))
+          i += 1
+        }
+        wi += 1
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        // (count desc, left asc, right asc) — the oracle's ORDER BY
+        val ((l, r), c) = pairs.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        merges += Merge(step, l, r, c)
+        wi = 0
+        while (wi < state.length) {
+          if (state(wi).length > 1) state(wi) = mergeOnce(state(wi), l, r)
+          wi += 1
+        }
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed trainer — the form for when even the truncated
+    * histogram should stay off the driver (topM raised into the
+    * millions). Per step: recompute token state map-side from the
+    * immutable word column (lineage stays one map deep), aggregate
+    * pair counts (rows bounded by Σ word length over the histogram),
+    * collect exactly ONE row. Produces bit-identical merges to
+    * `trainMerges` (BpeSpec pins it). */
+  def trainMergesDistributed(histDf: DataFrame, numMerges: Int): Seq[Merge] = {
+    val spark = histDf.sparkSession
+    val hist = histDf.select(col("word"), col("cnt").cast("long"))
+      .localCheckpoint(true) // reused numMerges times: cut to blocks
+    val merges = Seq.newBuilder[Merge]
+    var learned = Vector.empty[(String, String)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val cur = learned
+      val tokUdf = udf((w: String) => tokenizeWord(w, cur))
+      val best = hist
+        .select(col("cnt"), tokUdf(col("word")).as("toks"))
+        // single-token words emit no pairs — and Spark's
+        // sequence(1, 0) DESCENDS rather than returning empty, so the
+        // guard must come before the transform, not inside it
+        .filter(size(col("toks")) > 1)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS l, toks[i] AS r))"))
+          .as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val row = best.head
+        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += Merge(step, l, r, c)
+        learned = learned :+ ((l, r))
+        step += 1
+      }
+    }
+    hist.unpersist()
+    merges.result()
+  }
+
+  /** UNtruncated (word, cnt) — the BPE sufficient statistic. Unlike
+    * `wordHistogram` this is vocab-sized, not topM-bounded: it exists
+    * to be STORED and merged (truncation is a fit-time decision, and
+    * merging truncated histograms would not equal truncating the
+    * merged one). */
+  def wordHistogramStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Keyed integer sum over histograms — commutative, associative,
+    * exact (the NB mergeNbStats discipline). */
+  def mergeHistograms(hists: DataFrame*): DataFrame =
+    hists.reduce(_.unionByName(_))
+      .groupBy("word").agg(sum("cnt").as("cnt"))
+
+  /** Fit-time truncation of a (possibly merged) histogram: the same
+    * deterministic (count desc, word asc) top-M rule wordHistogram
+    * applies inline. */
+  def truncateHistogram(histDf: DataFrame, topM: Int = DefaultTopM): DataFrame =
+    histDf.orderBy(col("cnt").desc, col("word")).limit(topM)
+
+  /** Train from a stored/merged histogram: truncate → bounded collect
+    * → driver loop. Incremental ≡ one-shot by construction (counts
+    * are exact integers and training is a pure function of the
+    * truncated histogram — q161 pins it under q157's verbatim
+    * oracle). */
+  def trainFromHistogram(histDf: DataFrame, numMerges: Int,
+      topM: Int = DefaultTopM): Seq[Merge] = {
+    val hist = truncateHistogram(histDf, topM).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainMerges(scala.collection.immutable.ArraySeq.unsafeWrapArray(hist),
+      numMerges)
+  }
+
+  /** Fold a batch into a persisted histogram store (K1 staging swap,
+    * crash-recoverable — the Pca.updateMomentsStore idiom). The store
+    * is vocab-sized: each fold costs one count pass over the BATCH
+    * plus a rewrite of the vocab table, never a corpus re-read. An
+    * empty batch is a no-op. */
+  def updateHistogramStore(spark: SparkSession, storePath: String,
+      batch: DataFrame, textCol: String): Unit = {
+    graft.io.Sinks.recoverSwap(spark, storePath)
+    val batchH = wordHistogramStats(batch, textCol)
+    if (batchH.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+        mergeHistograms(spark.read.parquet(storePath), batchH)
+      else batchH
+    graft.io.Sinks.overwriteInPlace(merged, storePath)
+  }
+
+  /** Fit on a corpus: histogram (one shuffle) → bounded collect →
+    * driver training. The convenience entry the queries use. */
+  def fitFromCorpus(df: DataFrame, textCol: String, numMerges: Int,
+      topM: Int = DefaultTopM): Seq[Merge] = {
+    val hist = wordHistogram(df, textCol, topM).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainMerges(scala.collection.immutable.ArraySeq.unsafeWrapArray(hist),
+      numMerges)
+  }
+
+  /** The learned merge table as a DataFrame (q157's shape). Schema is
+    * explicit so zero-merge corpora still produce the right columns. */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("left_tok", StringType, nullable = false),
+      StructField("right_tok", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    val rows = merges.map(m => org.apache.spark.sql.Row(
+      m.step, m.left, m.right, m.left + m.right, m.pairCount))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Tokenize the bounded word histogram with the learned merges —
+    * the (word, cnt, toks) table corpus token statistics derive from.
+    * Map-only over ≤ topM rows; merges ride the closure (≤ numMerges
+    * string pairs — broadcast-sized by construction). */
+  def tokenizeHistogram(histDf: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tokUdf = udf((w: String) => tokenizeWord(w, merges))
+    histDf.withColumn("toks", tokUdf(col("word")))
+  }
+
+  /** Corpus tokenization — doc id + token array, map-only at any
+    * corpus size (the merges are a broadcast-sized closure constant;
+    * no shuffle, no join). For token STATISTICS prefer the histogram
+    * path (tokenizeHistogram) — this exists for downstream per-doc
+    * consumers (packing, fertility-per-doc). */
+  def tokenize(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], as: String = "bpe_tokens"): DataFrame = {
+    val tokUdf = udf { (text: String) =>
+      if (text == null) null
+      else text.toLowerCase.trim.split("\\s+").toIndexedSeq
+        .filter(_.nonEmpty).flatMap(w => tokenizeWord(w, merges))
+    }
+    df.withColumn(as, tokUdf(col(textCol)))
+  }
+}

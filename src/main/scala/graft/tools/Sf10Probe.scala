@@ -88,7 +88,7 @@ object Sf10Probe {
       }
       pairs.unpersist()
     }
-    // GRAFT_PROBE_ONLY=cc|pagerank|store|labels|nb|pca skips the other
+    // GRAFT_PROBE_ONLY=cc|pagerank|store|labels|nb|pca|bpe skips the other
     // families — a dev shortcut while iterating on one family's
     // instrumentation. Committed probe records come from FULL runs
     // (the families share a JVM and their numbers are compared
@@ -309,6 +309,37 @@ object Sf10Probe {
         graft.vector.Pca.fitFromMoments(spark.read.parquet(store)).n
       }
       batchEmb.unpersist()
+    }
+
+    // ---- q157-q160: BPE training at 1× and 100× ----
+    // Claims under test: the word histogram is the ONLY corpus-sized
+    // stage (x1→x100 no worse than row-linear); training over the
+    // truncated histogram is corpus-independent (driver loop) or
+    // histogram-bounded (distributed); tokenizing a fixed batch
+    // against an x100-trained vocab costs the batch, not the corpus.
+    // The x100 corpus prefixes every word per copy (c1…c99), so its
+    // vocab is ~100× wider — the truncation path actually binds.
+    family("bpe") {
+      for ((corpus, tag) <- Seq((docs1, "x1"), (docs100, s"x$copies"))) {
+        T(s"bpe_hist $tag") {
+          graft.ops.Bpe.wordHistogram(corpus, "text").count()
+        }
+        T(s"bpe_train_driver(16 merges) $tag") {
+          graft.ops.Bpe.fitFromCorpus(corpus, "text", 16).size.toLong
+        }
+      }
+      T(s"bpe_train_distributed(16 merges) x$copies") {
+        graft.ops.Bpe.trainMergesDistributed(
+          graft.ops.Bpe.wordHistogram(docs100, "text"), 16).size.toLong
+      }
+      val merges100 = graft.ops.Bpe.fitFromCorpus(docs100, "text", 16)
+        .map(m => (m.left, m.right))
+      val batchDocs = docs1.filter(col("doc_id") < 5000).localCheckpoint()
+      val nbd = batchDocs.count()
+      T(s"bpe_tokenize_fixed_batch(n=$nbd) vs x$copies vocab") {
+        graft.ops.Bpe.tokenize(batchDocs, "text", merges100).count()
+      }
+      batchDocs.unpersist()
     }
     spark.stop()
   }

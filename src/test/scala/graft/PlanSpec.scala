@@ -372,6 +372,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("BPE plans: q159's vocab map broadcasts; q158 runs off the bounded histogram") {
+    // q159 joins the corpus-sized (source, word) histogram to the
+    // ≤topM-row tokenized-vocab map: that join must be a broadcast
+    // hash join (never a shuffle of the per-source histogram onto a
+    // 4096-row side), and nothing in the family may fall back to a
+    // cartesian.
+    val p159 = plan("q159_bpe_compression")
+    assert(!p159.contains("CartesianProduct"), p159.take(800))
+    assert(p159.contains("BroadcastHashJoin"), p159.take(800))
+    // q158's only corpus-sized stage is the histogram aggregate — the
+    // token explode and re-aggregation run over ≤topM rows. Pin shape:
+    // no join at all in the plan (merges ride the closure, not a join).
+    val p158 = plan("q158_bpe_tokens")
+    assert(!p158.contains("Join"), p158.take(800))
+  }
+
   test("q129 line dedup: count side shuffles hashes, not line text") {
     // the kill-set aggregation groups by xxhash64(line) — its exchange
     // carries (hash, count) pairs only. Lines legitimately cross once
