@@ -179,6 +179,51 @@ object BpeQueries {
             .as("fertility"))
     },
 
+    // ---- cross-family composite: pack sequences by LEARNED-BPE token
+    // budget (the q60 packing shape, priced by this family's tokenizer
+    // instead of the whitespace counter). Per-doc token counts come
+    // from the (doc, word) histogram joined to the broadcast vocab map
+    // — the corpus text is never re-tokenized; docs with no in-vocab
+    // word (empty text) drop on both sides ----
+    Q("q162_bpe_pack",
+      s"""WITH ${trainCtes(NMerges)},
+         |map AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_toks
+         |  FROM s$NMerges),
+         |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE word <> '' GROUP BY 1, 2),
+         |dt AS (SELECT dw.doc_id,
+         |    CAST(SUM(map.n_toks * dw.c) AS BIGINT) AS n_tokens
+         |  FROM dw JOIN map ON dw.word = map.word GROUP BY dw.doc_id),
+         |pp AS (SELECT doc_id, n_tokens,
+         |    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |  FROM dt)
+         |SELECT doc_id, n_tokens,
+         |  CAST(prefix AS BIGINT) AS prefix_tokens,
+         |  CAST(prefix // 2048 AS BIGINT) AS pack_id
+         |FROM pp""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val merges = Bpe.fitFromCorpus(docs, "text", NMerges)
+        .map(m => (m.left, m.right))
+      val map = Bpe.tokenizeHistogram(Bpe.wordHistogram(docs, "text"), merges)
+        .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+      val perDoc = docs
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .join(broadcast(map), "word")
+        .groupBy("doc_id")
+        .agg(sum(col("n_toks") * col("c")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packByTokenBudget(perDoc, Seq(col("doc_id")),
+          col("n_tokens"), budget = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"),
+          col("pack_id"))
+    },
+
     // ---- the full final tokenization state, word by word — the
     // strongest pin: hashes every token boundary the training run
     // produced ----

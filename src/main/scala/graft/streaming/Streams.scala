@@ -423,6 +423,37 @@ object Streams {
         ()
       }
 
+  /** Streaming BPE: fold each micro-batch of documents into a
+    * per-tick word-histogram log (`storePath/batch=<id>/`, vocab-sized
+    * rows) — the BPE sufficient statistic, so the tokenizer refreshes
+    * via `Bpe.trainFromHistogram(Bpe.mergeHistograms(
+    * spark.read.parquet(storePath)))` without a corpus re-read.
+    * Same idempotence contract as pcaMomentsSink: per-batch partition
+    * overwrite makes at-least-once replay rewrite the identical rows;
+    * the marker is a fast-path skip; an empty tick writes nothing. */
+  def bpeHistogramSink(docs: DataFrame, textCol: String, storePath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$storePath/_committed_batch_$batchId")
+        val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!mfs.exists(marker)) {
+          // batch-level null check (not histogram emptiness): one cheap
+          // probe instead of computing the aggregation twice
+          if (!batch.where(col(textCol).isNotNull).isEmpty) {
+            graft.ops.Bpe.wordHistogramStats(batch, textCol)
+              .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          }
+          mfs.create(marker, true).close()
+        }
+        ()
+      }
+
   /** Drain a streaming query synchronously (test/cron-tick helper). */
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()

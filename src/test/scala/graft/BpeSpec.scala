@@ -167,6 +167,39 @@ class BpeSpec extends AnyFunSuite {
       == Bpe.fitFromCorpus(docs, "text", 16))
   }
 
+  test("bpeHistogramSink: streamed histogram log trains like the one-shot fit; empty tick no-op; replay redelivers nothing") {
+    import graft.streaming.Streams
+    val dir = TestSpark.tempDir("bpestream")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val parity = abs(xxhash64(col("doc_id"))) % 3
+    (0 until 3).foreach { k =>
+      docs.filter(parity === k).coalesce(1).write.parquet(s"$dir/in/f=$k")
+    }
+    // one all-null tick: must write nothing and not kill the query
+    Seq((999999L, null: String)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/in/f=3")
+    val schema = spark.read.parquet(s"$dir/in/f=0").schema
+    val q = Streams.bpeHistogramSink(
+      Streams.fileStream(spark, s"$dir/in/*/", schema, maxFilesPerTrigger = 1),
+      "text", s"$dir/store", s"$dir/ckpt").start()
+    q.awaitTermination()
+    val oneShot = Bpe.fitFromCorpus(docs, "text", 16)
+    def fromStore() = Bpe.trainFromHistogram(
+      Bpe.mergeHistograms(spark.read.parquet(s"$dir/store")
+        .select("word", "cnt")), 16)
+    assert(fromStore() == oneShot)
+    // the null tick wrote no batch partition
+    assert(spark.read.parquet(s"$dir/store").select("batch").distinct()
+      .count() == 3)
+    // same checkpoint re-run: nothing redelivered, store unchanged
+    val q2 = Streams.bpeHistogramSink(
+      Streams.fileStream(spark, s"$dir/in/*/", schema, maxFilesPerTrigger = 1),
+      "text", s"$dir/store", s"$dir/ckpt").start()
+    q2.awaitTermination()
+    assert(fromStore() == oneShot)
+  }
+
   test("histogram truncation is deterministic under ties") {
     val df = Seq("b b a a", "c c").toDF("text")
     // all of a/b/c have count 2; topM=2 keeps (a, b) by word asc
