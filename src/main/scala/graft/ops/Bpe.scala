@@ -268,13 +268,29 @@ object Bpe {
     * corpus size (the merges are a broadcast-sized closure constant;
     * no shuffle, no join). For token STATISTICS prefer the histogram
     * path (tokenizeHistogram) — this exists for downstream per-doc
-    * consumers (packing, fertility-per-doc). */
+    * consumers (packing, fertility-per-doc).
+    *
+    * Words repeat heavily in natural corpora, so the per-word merge
+    * replay is memoized in a per-task map (the closure deserializes
+    * fresh per task — single-writer, no races), capped so an
+    * adversarial vocabulary degrades to recompute instead of OOM.
+    * Locale note: Locale.ROOT lowercasing, matching Spark's
+    * locale-independent `lower()` (a tr_TR default locale would
+    * otherwise dot-map I differently than the histogram side). */
   def tokenize(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], as: String = "bpe_tokens"): DataFrame = {
+    // created OUTSIDE the lambda: serialized empty with the closure,
+    // deserialized once per task — so the memo spans all of a task's
+    // rows, not just one
+    val memo = new scala.collection.mutable.HashMap[String, IndexedSeq[String]]
     val tokUdf = udf { (text: String) =>
       if (text == null) null
-      else text.toLowerCase.trim.split("\\s+").toIndexedSeq
-        .filter(_.nonEmpty).flatMap(w => tokenizeWord(w, merges))
+      else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+        .toIndexedSeq.filter(_.nonEmpty).flatMap { w =>
+          if (memo.size < (1 << 20))
+            memo.getOrElseUpdate(w, tokenizeWord(w, merges))
+          else memo.getOrElse(w, tokenizeWord(w, merges))
+        }
     }
     df.withColumn(as, tokUdf(col(textCol)))
   }
