@@ -47,6 +47,34 @@ object Bpe {
   final case class Merge(step: Int, left: String, right: String,
       pairCount: Long)
 
+  /** A word's initial token sequence: one token per Unicode CODE
+    * POINT, not per UTF-16 code unit — matching the oracle's
+    * `regexp_extract_all(word, '.')`. Splitting by code unit would
+    * tear a supplementary char (emoji) into lone surrogates: a
+    * different merge table than DuckDB's, and token strings that
+    * cannot round-trip through UTF8String. */
+  private[ops] def charTokens(word: String): IndexedSeq[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      b += word.substring(i, i + n)
+      i += n
+    }
+    b.result()
+  }
+
+  /** UTF-8 binary string order — what Spark's UTF8String comparisons
+    * and DuckDB's ORDER BY both implement. Java String.compareTo is
+    * UTF-16 code-UNIT order, which disagrees above the BMP (an emoji
+    * sorts below U+FFFD in UTF-16 but above it in UTF-8), so the
+    * driver trainer's tie-break must not use it: the distributed
+    * trainer and the oracle would pick the other pair. */
+  private def utf8Less(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   /** Corpus word histogram, deterministically truncated to the topM
     * most frequent words (count desc, word asc). One shuffle,
     * map-side combined; the TakeOrdered limit keeps the result
@@ -83,7 +111,7 @@ object Bpe {
     * word, seen in training or not. */
   def tokenizeWord(word: String,
       merges: Seq[(String, String)]): IndexedSeq[String] = {
-    var toks: IndexedSeq[String] = word.map(_.toString)
+    var toks: IndexedSeq[String] = charTokens(word)
     merges.foreach { case (l, r) =>
       // cheap containment pre-check: most merges touch few words
       if (toks.length > 1) toks = mergeOnce(toks, l, r)
@@ -96,7 +124,7 @@ object Bpe {
     * (all words reduced to single tokens). */
   def trainMerges(hist: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
     var state: Array[IndexedSeq[String]] =
-      hist.map { case (w, _) => w.map(_.toString): IndexedSeq[String] }.toArray
+      hist.map { case (w, _) => charTokens(w) }.toArray
     val cnt = hist.map(_._2).toArray
     val merges = Seq.newBuilder[Merge]
     var step = 1
@@ -116,8 +144,15 @@ object Bpe {
       }
       if (pairs.isEmpty) done = true
       else {
-        // (count desc, left asc, right asc) — the oracle's ORDER BY
-        val ((l, r), c) = pairs.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        // (count desc, left asc, right asc) in UTF-8 BINARY order —
+        // the oracle's ORDER BY and the distributed trainer's orderBy
+        var bl: String = null; var br: String = null; var bc = 0L
+        pairs.foreach { case ((pl, pr), pc) =>
+          val better = bl == null || pc > bc || (pc == bc &&
+            (utf8Less(pl, bl) || (pl == bl && utf8Less(pr, br))))
+          if (better) { bl = pl; br = pr; bc = pc }
+        }
+        val (l, r, c) = (bl, br, bc)
         merges += Merge(step, l, r, c)
         wi = 0
         while (wi < state.length) {
@@ -141,6 +176,7 @@ object Bpe {
     val spark = histDf.sparkSession
     val hist = histDf.select(col("word"), col("cnt").cast("long"))
       .localCheckpoint(true) // reused numMerges times: cut to blocks
+    try {
     val merges = Seq.newBuilder[Merge]
     var learned = Vector.empty[(String, String)]
     var step = 1
@@ -170,8 +206,10 @@ object Bpe {
         step += 1
       }
     }
-    hist.unpersist()
     merges.result()
+    // checkpoint blocks must not outlive a THROWING train either — a
+    // long-lived session retrying failed fits would accumulate them
+    } finally hist.unpersist()
   }
 
   /** UNtruncated (word, cnt) — the BPE sufficient statistic. Unlike
@@ -217,8 +255,11 @@ object Bpe {
   def updateHistogramStore(spark: SparkSession, storePath: String,
       batch: DataFrame, textCol: String): Unit = {
     graft.io.Sinks.recoverSwap(spark, storePath)
+    // batch-level null probe, not histogram emptiness — the latter
+    // would execute the count aggregation twice (the bpeHistogramSink
+    // / Pca.updateMomentsStore discipline)
+    if (batch.where(col(textCol).isNotNull).isEmpty) return
     val batchH = wordHistogramStats(batch, textCol)
-    if (batchH.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
@@ -228,14 +269,36 @@ object Bpe {
     graft.io.Sinks.overwriteInPlace(merged, storePath)
   }
 
-  /** Fit on a corpus: histogram (one shuffle) → bounded collect →
-    * driver training. The convenience entry the queries use. */
-  def fitFromCorpus(df: DataFrame, textCol: String, numMerges: Int,
-      topM: Int = DefaultTopM): Seq[Merge] = {
+  /** Fit on a corpus, returning BOTH the collected histogram and the
+    * merges — queries that also need the vocab table reuse the
+    * collected rows (via `histogramDf`) instead of re-running the
+    * corpus-sized histogram shuffle a second time. */
+  def fitAndHistogram(df: DataFrame, textCol: String, numMerges: Int,
+      topM: Int = DefaultTopM): (Array[(String, Long)], Seq[Merge]) = {
     val hist = wordHistogram(df, textCol, topM).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    trainMerges(scala.collection.immutable.ArraySeq.unsafeWrapArray(hist),
-      numMerges)
+    (hist, trainMerges(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(hist), numMerges))
+  }
+
+  /** Fit on a corpus: histogram (one shuffle) → bounded collect →
+    * driver training. */
+  def fitFromCorpus(df: DataFrame, textCol: String, numMerges: Int,
+      topM: Int = DefaultTopM): Seq[Merge] =
+    fitAndHistogram(df, textCol, numMerges, topM)._2
+
+  /** A collected (≤ topM-row) histogram back as a DataFrame — the
+    * broadcast-sized vocab side of the report joins. */
+  def histogramDf(spark: SparkSession,
+      hist: Array[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        hist.toIndexedSeq.map(h => org.apache.spark.sql.Row(h._1, h._2)), 1),
+      schema)
   }
 
   /** The learned merge table as a DataFrame (q157's shape). Schema is
@@ -274,24 +337,27 @@ object Bpe {
     * replay is memoized in a per-task map (the closure deserializes
     * fresh per task — single-writer, no races), capped so an
     * adversarial vocabulary degrades to recompute instead of OOM.
-    * Locale note: Locale.ROOT lowercasing, matching Spark's
-    * locale-independent `lower()` (a tr_TR default locale would
-    * otherwise dot-map I differently than the histogram side). */
+    * Case-folding happens OUTSIDE the udf via Spark's own
+    * `lower(trim(...))` — the identical function the histogram side
+    * applies, so the two paths cannot diverge on locale-sensitive
+    * mappings (JVM String.toLowerCase is locale-dependent, and
+    * Spark's own non-ASCII slow path has its own rules: matching them
+    * by construction beats matching them by argument). */
   def tokenize(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], as: String = "bpe_tokens"): DataFrame = {
     // created OUTSIDE the lambda: serialized empty with the closure,
     // deserialized once per task — so the memo spans all of a task's
     // rows, not just one
     val memo = new scala.collection.mutable.HashMap[String, IndexedSeq[String]]
-    val tokUdf = udf { (text: String) =>
-      if (text == null) null
-      else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val tokUdf = udf { (lowered: String) =>
+      if (lowered == null) null
+      else lowered.split("\\s+")
         .toIndexedSeq.filter(_.nonEmpty).flatMap { w =>
           if (memo.size < (1 << 20))
             memo.getOrElseUpdate(w, tokenizeWord(w, merges))
           else memo.getOrElse(w, tokenizeWord(w, merges))
         }
     }
-    df.withColumn(as, tokUdf(col(textCol)))
+    df.withColumn(as, tokUdf(lower(trim(col(textCol)))))
   }
 }

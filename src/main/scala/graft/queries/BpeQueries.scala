@@ -100,9 +100,9 @@ object BpeQueries {
     },
 
     // ---- incremental training path under q157's oracle ----
-    // The corpus ingested as TWO histogram batches (split doc_id % 2
-    // — doc_id is a string in this fixture, so the split keys on its
-    // hash parity), merged by keyed integer sum, truncated and trained
+    // The corpus ingested as TWO histogram batches (hash-parity split
+    // — robust to whatever type doc_id ships as), merged by keyed
+    // integer sum, truncated and trained
     // at fit time. Counts are exact integers and training is a pure
     // function of the truncated histogram, so the incremental path
     // must reproduce q157's merge table EXACTLY — the oracle is
@@ -126,9 +126,11 @@ object BpeQueries {
          |  SELECT cnt, unnest(toks) AS token FROM s$NMerges)
          |GROUP BY token""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val merges = Bpe.fitFromCorpus(docs, "text", NMerges)
-        .map(m => (m.left, m.right))
-      Bpe.tokenizeHistogram(Bpe.wordHistogram(docs, "text"), merges)
+      // fitAndHistogram: ONE corpus histogram pass — the vocab table
+      // is rebuilt from the collected rows, not re-shuffled
+      val (hist, ms) = Bpe.fitAndHistogram(docs, "text", NMerges)
+      val merges = ms.map(m => (m.left, m.right))
+      Bpe.tokenizeHistogram(Bpe.histogramDf(s, hist), merges)
         .select(col("cnt"), explode(col("toks")).as("token"))
         .groupBy("token")
         .agg(sum("cnt").cast("long").as("tok_count"))
@@ -157,9 +159,9 @@ object BpeQueries {
          |FROM sw JOIN map ON sw.word = map.word
          |GROUP BY sw.source""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val merges = Bpe.fitFromCorpus(docs, "text", NMerges)
-        .map(m => (m.left, m.right))
-      val map = Bpe.tokenizeHistogram(Bpe.wordHistogram(docs, "text"), merges)
+      val (hist, ms) = Bpe.fitAndHistogram(docs, "text", NMerges)
+      val merges = ms.map(m => (m.left, m.right))
+      val map = Bpe.tokenizeHistogram(Bpe.histogramDf(s, hist), merges)
         .select(col("word"), length(col("word")).cast("long").as("wl"),
           size(col("toks")).cast("long").as("n_toks"))
       val sw = docs
@@ -206,9 +208,9 @@ object BpeQueries {
          |  CAST(prefix // 2048 AS BIGINT) AS pack_id
          |FROM pp""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val merges = Bpe.fitFromCorpus(docs, "text", NMerges)
-        .map(m => (m.left, m.right))
-      val map = Bpe.tokenizeHistogram(Bpe.wordHistogram(docs, "text"), merges)
+      val (hist, ms) = Bpe.fitAndHistogram(docs, "text", NMerges)
+      val merges = ms.map(m => (m.left, m.right))
+      val map = Bpe.tokenizeHistogram(Bpe.histogramDf(s, hist), merges)
         .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
       val perDoc = docs
         .select(col("doc_id"),
@@ -233,9 +235,9 @@ object BpeQueries {
          |  CAST(len(toks) AS BIGINT) AS n_tokens
          |FROM s$NMerges""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val merges = Bpe.fitFromCorpus(docs, "text", NMerges)
-        .map(m => (m.left, m.right))
-      Bpe.tokenizeHistogram(Bpe.wordHistogram(docs, "text"), merges)
+      val (hist, ms) = Bpe.fitAndHistogram(docs, "text", NMerges)
+      val merges = ms.map(m => (m.left, m.right))
+      Bpe.tokenizeHistogram(Bpe.histogramDf(s, hist), merges)
         .select(col("word"), col("cnt"),
           array_join(col("toks"), "|").as("tok_str"),
           size(col("toks")).cast("long").as("n_tokens"))

@@ -18,48 +18,10 @@ class BpeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  // ---- naive reference: merge by string replacement on a marked
-  // representation (tokens joined by ), recounted from scratch
-  // each step — deliberately not sharing mergeOnce/tokenizeWord ----
+  // the naive separator-string reference lives in NaiveBpe (shared
+  // with PropertySpec's randomized pins — one reference, two specs)
   private def naiveTrain(hist: Seq[(String, Long)],
-      n: Int): Seq[(String, String, Long)] = {
-    val SEP = ''
-    var state = hist.map { case (w, c) => (w.mkString(SEP.toString), c) }
-    val out = Seq.newBuilder[(String, String, Long)]
-    var k = 0
-    var stop = false
-    while (k < n && !stop) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      state.foreach { case (s, c) =>
-        val toks = s.split(SEP)
-        toks.sliding(2).foreach {
-          case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
-          case _           =>
-        }
-      }
-      if (counts.isEmpty) stop = true
-      else {
-        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
-        out += ((l, r, c))
-        // left-to-right non-overlap: linear scan over the separator
-        // representation (regex replaceAll on l+SEP+r would also merge
-        // across already-consumed tokens in runs, so scan explicitly)
-        state = state.map { case (s, c2) =>
-          val toks = s.split(SEP)
-          val b = Seq.newBuilder[String]
-          var i = 0
-          while (i < toks.length) {
-            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
-              b += l + r; i += 2
-            } else { b += toks(i); i += 1 }
-          }
-          (b.result().mkString(SEP.toString), c2)
-        }
-        k += 1
-      }
-    }
-    out.result()
-  }
+      n: Int): Seq[(String, String, Long)] = NaiveBpe.train(hist, n)
 
   test("mergeOnce: greedy left-to-right non-overlap on runs") {
     def m(w: String, l: String, r: String) =
@@ -86,6 +48,21 @@ class BpeSpec extends AnyFunSuite {
     val gotR = Bpe.trainMerges(real, 16).map(m => (m.left, m.right, m.pairCount))
     assert(gotR == naiveTrain(real, 16))
     assert(gotR.size == 16, "fixture supports a full 16-merge run")
+  }
+
+  test("non-BMP words: code-point tokens, UTF-8 tie-break order") {
+    // a supplementary char must be ONE token (the oracle's '.' regex
+    // is code-point based), never two lone surrogates
+    assert(Bpe.tokenizeWord("😀x", Nil) == Vector("😀", "x"))
+    // tie between (a, U+FFFD) and (a, 😀): UTF-8 binary order puts
+    // U+FFFD (EF BF BD) BELOW the emoji (F0 9F 98 80) — Java
+    // code-unit order says the opposite (D83D < FFFD), which is the
+    // bug class this pins against (driver trainer vs oracle/orderBy)
+    val m = Bpe.trainMerges(Seq(("a�", 1L), ("a😀", 1L)), 1)
+    assert((m.head.left, m.head.right) == ("a", "�"))
+    assert(Bpe.trainMerges(Seq(("a�", 1L), ("a😀", 1L)), 4)
+      .map(x => (x.left, x.right, x.pairCount))
+      == naiveTrain(Seq(("a�", 1L), ("a😀", 1L)), 4))
   }
 
   test("tie-break: equal counts pick (left asc, right asc)") {

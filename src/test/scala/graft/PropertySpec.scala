@@ -1513,52 +1513,10 @@ class PropertySpec extends AnyFunSuite {
     }, n = 12)
   }
 
-  // ---- BPE: random histograms vs a separator-string naive model ----
+  // ---- BPE: random histograms vs the shared NaiveBpe reference
   // (BpeSpec pins fixed corpora + the real fixture; these drive random
   // overlap runs — "aaa…" words are generated often by the tiny
-  // alphabet — through a representation-independent reference.)
-  private object NaiveBpe {
-    val SEP = ''
-    def applyOne(s: String, l: String, r: String): String = {
-      val toks = s.split(SEP)
-      val b = Seq.newBuilder[String]
-      var i = 0
-      while (i < toks.length) {
-        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
-          b += l + r; i += 2
-        } else { b += toks(i); i += 1 }
-      }
-      b.result().mkString(SEP.toString)
-    }
-    def train(hist: Seq[(String, Long)], n: Int): Seq[(String, String, Long)] = {
-      var state = hist.map { case (w, c) => (w.mkString(SEP.toString), c) }
-      val out = Seq.newBuilder[(String, String, Long)]
-      var k = 0
-      var stop = false
-      while (k < n && !stop) {
-        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-        state.foreach { case (s, c) =>
-          s.split(SEP).sliding(2).foreach {
-            case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
-            case _           =>
-          }
-        }
-        if (counts.isEmpty) stop = true
-        else {
-          val ((l, r), c) = counts.minBy { case ((a, b), m) => (-m, a, b) }
-          out += ((l, r, c))
-          state = state.map { case (s, c2) => (applyOne(s, l, r), c2) }
-          k += 1
-        }
-      }
-      out.result()
-    }
-    def tokenize(w: String, merges: Seq[(String, String)]): Seq[String] = {
-      var s = w.mkString(SEP.toString)
-      merges.foreach { case (l, r) => s = applyOne(s, l, r) }
-      if (s.isEmpty) Seq.empty else s.split(SEP).toSeq
-    }
-  }
+  // alphabet — through the representation-independent model) ----
 
   test("property: BPE trainMerges + tokenizeWord == naive separator-string model on random histograms") {
     import graft.ops.Bpe
