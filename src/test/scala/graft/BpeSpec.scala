@@ -10,7 +10,7 @@ import graft.ops.Bpe
   * token-array kernel), driver≡distributed trainer equivalence,
   * partitioning invariance, early-stop/degenerate corpora, and the
   * corpus-path/histogram-path token-count identity the q158/q159
-  * oracles rely on. The q157–q160 oracles hash the same training run
+  * oracles rely on. The q157–q162 oracles hash the same training run
   * against DuckDB's unrolled-CTE replay at all three SFs.
   */
 class BpeSpec extends AnyFunSuite {
