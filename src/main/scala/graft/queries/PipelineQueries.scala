@@ -256,5 +256,94 @@ object PipelineQueries {
           col("start_time"), col("end_time"), col("start_id"), col("end_id"))
         .orderBy(col("file"), col("chunk_id"))
     },
+
+    // ---- the pretraining-cleanup pipeline end to end, one DAG ----
+    // C4 line/page clean → Gopher quality gate → exact dedup → token
+    // accounting, with a one-row funnel hashing every stage's survivor
+    // count. Planting (both engines, identically — the q154/q112
+    // discipline): line structure via the ' line|row '→'.\n' rewrite
+    // (the raw fixture has none, so C4 would kill every page), and 25
+    // duplicate pages at doc_id+1e6 so the dedup stage provably fires
+    // (keep-min drops exactly the planted copies that survive to it).
+    // Every hashed value is an exact integer; each stage is the same
+    // operator its own query verifies (q153/q154, q93, q11-family).
+    Q("q163_pretrain_funnel",
+      """WITH raw AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 25),
+        |base AS (SELECT doc_id,
+        |    regexp_replace(COALESCE(text, ''), ' (line|row) ',
+        |      '.' || chr(10), 'g') AS text
+        |  FROM raw),
+        |cl AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, chr(10)), l ->
+        |    regexp_matches(rtrim(l), '[.!?"]$')
+        |    AND len(regexp_extract_all(l, '\S+')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        | FROM base),
+        |c2 AS (SELECT doc_id, text,
+        |   COALESCE(array_to_string(kept, chr(10)), '') AS ctext FROM cl),
+        |s1 AS (SELECT doc_id, ctext AS text FROM c2
+        |  WHERE NOT (len(regexp_extract_all(ctext, '[.!?]')) < 3
+        |    OR contains(text, '{') OR contains(lower(text), 'lorem ipsum'))),
+        |w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM s1),
+        |u AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+        |wc AS (SELECT doc_id, wd, count(*) AS c FROM u GROUP BY doc_id, wd),
+        |agg AS (SELECT doc_id,
+        |  sum(length(wd) * c) / CAST(sum(c) AS DOUBLE) AS mwl,
+        |  sum(CASE WHEN regexp_matches(wd, '\p{L}') THEN c ELSE 0 END)
+        |    / CAST(sum(c) AS DOUBLE) AS fa,
+        |  max(c) / CAST(sum(c) AS DOUBLE) AS twf
+        | FROM wc GROUP BY doc_id),
+        |p AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM
+        |  (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |   FROM w WHERE len(ws) >= 2)),
+        |pc AS (SELECT doc_id, bg, count(*) AS c FROM p GROUP BY doc_id, bg),
+        |bagg AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS tbf
+        | FROM pc GROUP BY doc_id),
+        |kp AS (SELECT a.doc_id FROM agg a LEFT JOIN bagg b USING (doc_id)
+        |  WHERE mwl BETWEEN 3 AND 10 AND fa >= 0.8 AND twf <= 0.2
+        |    AND coalesce(tbf, 0) <= 0.18),
+        |s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN kp USING (doc_id)),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY sha256(text)),
+        |s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN dd USING (doc_id))
+        |SELECT
+        |  (SELECT count(*) FROM base) AS pages,
+        |  (SELECT count(*) FROM s1) AS after_c4,
+        |  (SELECT count(*) FROM s2) AS after_gopher,
+        |  (SELECT count(*) FROM s3) AS after_dedup,
+        |  (SELECT CAST(COALESCE(SUM(len(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))), 0)
+        |    AS BIGINT) FROM s3) AS tokens_final""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val raw = docs.unionByName(docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val planted = raw.withColumn("text",
+        regexp_replace(col("text"), " (line|row) ", ".\n"))
+      val s1 = graft.ops.C4Clean.clean(planted, "text")
+        .select(col("doc_id"), col("text"))
+      val kp = graft.ops.TextAnalysis.gopherReport(s1, "doc_id", col("text"))
+        .where(col("keep")).select(col("doc_id"))
+      val s2 = s1.join(kp, "doc_id")
+      val dd = s2.groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s3 = s2.join(dd, "doc_id")
+      def one(df: DataFrame, as: String): DataFrame =
+        df.agg(count(lit(1)).as(as))
+      val toks = s3.agg(coalesce(sum(size(filter(
+          split(lower(trim(col("text"))), "\\s+"), w => w =!= ""))), lit(0))
+        .cast("long").as("tokens_final"))
+      // 1-row × 1-row composition: every crossJoin side is broadcast
+      one(planted, "pages")
+        .crossJoin(broadcast(one(s1, "after_c4")))
+        .crossJoin(broadcast(one(s2, "after_gopher")))
+        .crossJoin(broadcast(one(s3, "after_dedup")))
+        .crossJoin(broadcast(toks))
+    },
   )
 }

@@ -388,6 +388,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p158.contains("Join"), p158.take(800))
   }
 
+  test("q163 pretrain funnel: 1-row stage counts compose as broadcast loops, no cartesian") {
+    // the five stage aggregates are crossJoined 1-row × 1-row — each
+    // must execute as a BroadcastNestedLoopJoin; a partitioned
+    // CartesianProduct here would mean a stage count stopped being a
+    // 1-row broadcast side
+    val p = plan("q163_pretrain_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q129 line dedup: count side shuffles hashes, not line text") {
     // the kill-set aggregation groups by xxhash64(line) — its exchange
     // carries (hash, count) pairs only. Lines legitimately cross once
