@@ -255,18 +255,23 @@ object Bpe {
   def updateHistogramStore(spark: SparkSession, storePath: String,
       batch: DataFrame, textCol: String): Unit = {
     graft.io.Sinks.recoverSwap(spark, storePath)
-    // batch-level null probe, not histogram emptiness — the latter
-    // would execute the count aggregation twice (the bpeHistogramSink
-    // / Pca.updateMomentsStore discipline)
+    // cheap batch-level null probe first; then the empty-HISTOGRAM
+    // no-op (an all-whitespace batch contributes nothing and must not
+    // rewrite the whole vocab store) checked against a CHECKPOINTED
+    // histogram so the aggregation executes exactly once — isEmpty
+    // and the merged write both read the materialized blocks
     if (batch.where(col(textCol).isNotNull).isEmpty) return
-    val batchH = wordHistogramStats(batch, textCol)
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
-        mergeHistograms(spark.read.parquet(storePath), batchH)
-      else batchH
-    graft.io.Sinks.overwriteInPlace(merged, storePath)
+    val batchH = wordHistogramStats(batch, textCol).localCheckpoint(true)
+    try {
+      if (batchH.isEmpty) return
+      val fs = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged =
+        if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+          mergeHistograms(spark.read.parquet(storePath), batchH)
+        else batchH
+      graft.io.Sinks.overwriteInPlace(merged, storePath)
+    } finally batchH.unpersist()
   }
 
   /** Fit on a corpus, returning BOTH the collected histogram and the

@@ -336,7 +336,7 @@ object PipelineQueries {
       def one(df: DataFrame, as: String): DataFrame =
         df.agg(count(lit(1)).as(as))
       val toks = s3.agg(coalesce(sum(size(filter(
-          split(lower(trim(col("text"))), "\\s+"), w => w =!= ""))), lit(0))
+          graft.ops.NearDup.tokens(col("text")), w => w =!= ""))), lit(0))
         .cast("long").as("tokens_final"))
       // 1-row × 1-row composition: every crossJoin side is broadcast
       one(planted, "pages")

@@ -134,6 +134,10 @@ class BpeSpec extends AnyFunSuite {
     Bpe.updateHistogramStore(spark, store, docs.filter(parity === 0), "text")
     Bpe.updateHistogramStore(spark, store, docs.filter(parity === 1), "text")
     Bpe.updateHistogramStore(spark, store, docs.limit(0), "text") // no-op
+    // non-null but all-whitespace text: empty histogram, also a no-op
+    // (must not rewrite — or create — a store)
+    Bpe.updateHistogramStore(spark, store,
+      Seq((777777L, "   ")).toDF("doc_id", "text"), "text")
     val fromStore = spark.read.parquet(store)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val oneShot = Bpe.wordHistogramStats(docs, "text")
