@@ -217,7 +217,7 @@ object CorpusQueries {
         |llr AS (SELECT term,
         |  ln((nt + 1.0) / (tt + v)) - ln((nr + 1.0) / (tr + v)) AS l
         | FROM v, tots)
-        |SELECT doc_id, count(*) AS n_tokens, round(avg(l), 6) AS avg_llr
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(l), 6) + 0.0 AS avg_llr
         |FROM rtok2 JOIN llr USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
@@ -300,7 +300,7 @@ object CorpusQueries {
         |llr AS (SELECT feat,
         |  ln((nt + 1.0) / (tt + v)) - ln((nr + 1.0) / (tr + v)) AS l
         | FROM v, tots)
-        |SELECT doc_id, count(*) AS n_feats, round(avg(l), 6) AS avg_llr
+        |SELECT doc_id, count(*) AS n_feats, round(avg(l), 6) + 0.0 AS avg_llr
         |FROM rh JOIN llr USING (feat)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
@@ -350,13 +350,15 @@ object CorpusQueries {
     // f64), rounded 6dp per the q74/q88 contract.
     Q("q140_nb_model",
       s"""WITH $nbTrainCte
-        |SELECT label, term, n, round(ln((n + 1.0) / (tot_c + v)), 6) AS log_cond
+        |SELECT label, term, n, round(ln((n + 1.0) / (tot_c + v)), 6) + 0.0 AS log_cond
         |FROM grid, vv ORDER BY label, term""".stripMargin) { (s, d) =>
+      // log_cond straddles zero (a dominant term's smoothed prob can
+      // graze 1) → `+ 0.0` signed-zero normalization (r19 audit)
       val docs = t(s, d, "documents")
       TextClassifier.trainNaiveBayes(
           docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
         .select(col("label"), col("term"), col("n"),
-          round(col("log_cond"), 6).as("log_cond"))
+          (round(col("log_cond"), 6) + lit(0.0)).as("log_cond"))
         .orderBy(col("label"), col("term"))
     },
 
@@ -491,7 +493,7 @@ object CorpusQueries {
     // a re-read of the corpus.
     Q("q145_nb_incremental",
       s"""WITH $nbTrainCte
-        |SELECT label, term, n, round(ln((n + 1.0) / (tot_c + v)), 6) AS log_cond
+        |SELECT label, term, n, round(ln((n + 1.0) / (tot_c + v)), 6) + 0.0 AS log_cond
         |FROM grid, vv ORDER BY label, term""".stripMargin) { (s, d) =>
       val train = t(s, d, "documents").filter(col("doc_id") % 7 =!= 0)
       val s1 = TextClassifier.nbSufficientStats(
@@ -500,7 +502,7 @@ object CorpusQueries {
         train.filter(col("doc_id") % 2 =!= 0), col("source"), col("text"))
       TextClassifier.trainFromStats(TextClassifier.mergeNbStats(s1, s2))
         .select(col("label"), col("term"), col("n"),
-          round(col("log_cond"), 6).as("log_cond"))
+          (round(col("log_cond"), 6) + lit(0.0)).as("log_cond"))
         .orderBy(col("label"), col("term"))
     },
 
@@ -609,18 +611,18 @@ object CorpusQueries {
         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
         |  FROM documents WHERE doc_id % 7 <> 0)
         |SELECT c.label, c.term, c.n,
-        |  round(ln((c.n + 1.0) / (ct.tot_c + vv.v)), 6) AS log_cond,
-        |  round(ln(1.0 / (ct.tot_c + vv.v)), 6) AS oov_ll,
-        |  round(ln(cd.n_docs_c / CAST(nd.n_docs AS DOUBLE)), 6) AS log_prior
+        |  round(ln((c.n + 1.0) / (ct.tot_c + vv.v)), 6) + 0.0 AS log_cond,
+        |  round(ln(1.0 / (ct.tot_c + vv.v)), 6) + 0.0 AS oov_ll,
+        |  round(ln(cd.n_docs_c / CAST(nd.n_docs AS DOUBLE)), 6) + 0.0 AS log_prior
         |FROM cnt c JOIN ct USING (label) JOIN cd USING (label), vv, nd
         |ORDER BY label, term""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       TextClassifier.trainNaiveBayesSparse(
           docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
         .select(col("label"), col("term"), col("n"),
-          round(col("log_cond"), 6).as("log_cond"),
-          round(col("oov_ll"), 6).as("oov_ll"),
-          round(col("log_prior"), 6).as("log_prior"))
+          (round(col("log_cond"), 6) + lit(0.0)).as("log_cond"),
+          (round(col("oov_ll"), 6) + lit(0.0)).as("oov_ll"),
+          (round(col("log_prior"), 6) + lit(0.0)).as("log_prior"))
         .orderBy(col("label"), col("term"))
     },
   )

@@ -179,14 +179,16 @@ object OlapQueries {
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 6) AS sd_qty,
         | round(var_samp(l_quantity), 6) AS var_qty,
-        | round(corr(l_quantity, l_discount), 6) AS corr_qd,
-        | round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        | round(corr(l_quantity, l_discount), 6) + 0.0 AS corr_qd,
+        | round(covar_samp(l_quantity, l_discount), 6) + 0.0 AS cov_qd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // corr/cov straddle zero → `+ 0.0` signed-zero normalization on
+      // both engines (r19 audit); sd/var are non-negative by identity
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
           round(var_samp(col("l_quantity")), 6).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
-          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+          (round(corr(col("l_quantity"), col("l_discount")), 6) + lit(0.0)).as("corr_qd"),
+          (round(covar_samp(col("l_quantity"), col("l_discount")), 6) + lit(0.0)).as("cov_qd"))
         .orderBy(col("l_returnflag"))
     },
 

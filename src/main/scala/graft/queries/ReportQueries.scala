@@ -87,7 +87,7 @@ object ReportQueries {
         |f AS (SELECT source, ln(CAST(rn AS DOUBLE)) AS x,
         |  ln(CAST(c AS DOUBLE)) AS y FROM r WHERE rn <= 100)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
-        | round(regr_slope(y, x), 6) AS zipf_slope,
+        | round(regr_slope(y, x), 6) + 0.0 AS zipf_slope,
         | round(regr_intercept(y, x), 6) AS zipf_intercept
         |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       CorpusReports.zipfReport(t(s, d, "documents"),

@@ -344,7 +344,7 @@ object TextQueries {
     // does the same) — see bigramLogProb's scaladoc.
     Q("q96_bigram_lm",
       s"""WITH $bigramLmCte
-        |SELECT doc_id, count(*) AS n_pairs, round(avg(lp), 6) AS avg_logprob
+        |SELECT doc_id, count(*) AS n_pairs, round(avg(lp), 6) + 0.0 AS avg_logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       TextAnalysis.bigramLogProb(docs, docs.filter(col("doc_id") % 2 === 0),
@@ -366,7 +366,7 @@ object TextQueries {
     Q("q155_ccnet_ppx_bands",
       s"""WITH $bigramLmCte,
         |agg AS (SELECT doc_id, count(*) AS n_pairs,
-        |    round(avg(lp), 6) AS avg_logprob FROM sc GROUP BY doc_id),
+        |    round(avg(lp), 6) + 0.0 AS avg_logprob FROM sc GROUP BY doc_id),
         |cut AS (SELECT round(quantile_cont(avg_logprob, 0.3), 6) AS lo,
         |    round(quantile_cont(avg_logprob, 0.7), 6) AS hi FROM agg)
         |SELECT doc_id, n_pairs, avg_logprob,

@@ -282,6 +282,23 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("q150's rounded output contains no IEEE negative zeros at all three SFs") {
+    // The r18 hash break: one cell rounded to -0.0 in DuckDB and +0.0
+    // in Spark — value-equal, byte-unequal, and the driver hashes
+    // bytes. Both sides now normalize with `+ 0.0`; this pin bit-scans
+    // the REGISTERED query's actual output (and, belt-and-braces,
+    // asserts Spark's HALF_UP path stayed -0.0-free) so a regression
+    // fails here instead of as a driver-only hash mismatch.
+    val q150 = graft.queries.Registry.all.find(_.name == "q150_embedding_covariance").get
+    Seq("0.001", "0.01", "0.1").foreach { sf =>
+      val dir = s"/root/testdata/sf$sf"
+      assume(new java.io.File(s"$dir/embeddings.parquet").exists(), s"$dir absent")
+      val negZeros = q150.fn(spark, dir).collect().count(r =>
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)) == Long.MinValue)
+      assert(negZeros == 0, s"sf$sf: $negZeros -0.0 cells in q150 output")
+    }
+  }
+
   test("partitioning sweep: the rounded covariance grid is identical at 1/4/32/256 partitions") {
     // Different partitionings re-order the float sums; the centered
     // kernel plus the deterministic fan-in must keep every cell on

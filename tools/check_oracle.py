@@ -6,6 +6,7 @@ Not part of the shipped library — developer feedback loop only.
 """
 import sys, json, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -41,7 +42,16 @@ def main():
                 a, b = exp[c], got[c]
                 if str(a.dtype) != str(b.dtype):
                     diffs.append(f"dtype[{c}]: {a.dtype} vs {b.dtype}")
-                neq = ~((a == b) | (a.isna() & b.isna()))
+                if a.dtype.kind == "f" and b.dtype.kind == "f" \
+                        and a.dtype == b.dtype:
+                    # byte-faithful: the driver hashes bytes, for which
+                    # -0.0 != +0.0 and NaN payloads matter; pandas ==
+                    # says -0.0 == 0.0 (how q150 shipped red in r18).
+                    av = a.to_numpy().view(f"int{a.dtype.itemsize * 8}")
+                    bv = b.to_numpy().view(f"int{b.dtype.itemsize * 8}")
+                    neq = pd.Series(av != bv, index=a.index)
+                else:
+                    neq = ~((a == b) | (a.isna() & b.isna()))
                 if neq.any():
                     i = neq.idxmax()
                     diffs.append(f"val[{c}] row {i}: exp={a[i]!r} got={b[i]!r} ({int(neq.sum())} rows)")

@@ -37,6 +37,17 @@ hazard surfaces through the final-select columns they feed (the score
 columns ARE audited) plus per-site custom probes where warranted
 (q150: PcaSpec headroom pin; q155 cuts: the audited avg_logprob grid).
 
+r19 adds the SIGNED-ZERO audit (the q150 r18 lesson): DuckDB
+round(x, k) of a tiny negative returns IEEE -0.0 while Spark's
+BigDecimal HALF_UP returns +0.0 — value-equal, byte-unequal, and the
+driver hashes bytes. For every audited site this tool now ALSO
+(a) runs the ORIGINAL query and bit-scans each rounded column for
+-0.0 (a present -0.0 is a guaranteed hash break → hard flag), and
+(b) reports which sites' unrounded distributions contain negatives
+(latent: a fixture shift could land one in [-grid/2, 0) and produce
+-0.0). Convention: every straddling site carries `+ 0.0` after the
+final round() on BOTH engines (-0.0 + 0.0 = +0.0 in IEEE on both).
+
 Usage: python3 tools/headroom_audit.py <verify_out_dir_with_oracle_sql>
          <sfdir> [<sfdir> ...]
 Writes a markdown table to stdout; exit 1 if any site flags.
@@ -46,6 +57,7 @@ import re
 import sys
 
 import duckdb
+import numpy as np
 
 MARGIN = 1e-5  # grid-relative flag threshold (see calibration above)
 
@@ -110,7 +122,11 @@ def audit_sites(sql):
     out = sql
     for start, argstart, comma, end in sorted(finals, reverse=True):
         k_txt = sql[comma + 1:end - 1].strip()
-        m = re.match(r"\s*AS\s+(\w+)", sql[end:], re.IGNORECASE)
+        # `round(expr, k) + 0.0 AS name` is the signed-zero-normalized
+        # form of the same site — audit it identically (the +0.0 shifts
+        # nothing, so it can stay in the stripped query)
+        m = re.match(r"\s*(?:\+\s*0\.0\s+)?AS\s+(\w+)", sql[end:],
+                     re.IGNORECASE)
         if not m or not re.fullmatch(r"-?\d+", k_txt):
             inner += 1  # unnamed/odd site: counted, not audited
             continue
@@ -132,12 +148,33 @@ def main():
     verify_dir, sfdirs = sys.argv[1], sys.argv[2:]
     sqls = json.load(open(f"{verify_dir}/oracle_sql.json"))
     rows, flagged, inner_total = [], [], 0
+    zero_rows = {}  # (name, col) -> {"neg": bool, "neg0": bool}
     for sf in sfdirs:
         con = connect(sf)
         for name in sorted(sqls):
             stripped, cols, inner = audit_sites(sqls[name])
             if sf == sfdirs[0]:
                 inner_total += inner
+            # -0.0 bit-scan covers EVERY float output column of EVERY
+            # query — including rounds that live inside CTEs and flow
+            # to the final select (the q155 shape the site audit below
+            # cannot see)
+            try:
+                odf = con.execute(sqls[name]).df()
+            except Exception as e:
+                flagged.append((sf, name, f"oracle failed: {str(e)[:100]}"))
+                continue
+            for ocol in odf.columns:
+                if odf[ocol].dtype.kind != "f":
+                    continue
+                bits = odf[ocol].dropna().to_numpy(dtype="float64") \
+                    .view("int64")
+                if (bits == np.int64(-(2 ** 63))).any():
+                    zero_rows.setdefault((name, ocol),
+                                         {"neg": False, "neg0": False})
+                    zero_rows[(name, ocol)]["neg0"] = True
+                    flagged.append((sf, name,
+                                    f"{ocol}: -0.0 in rounded output"))
             if not cols:
                 continue
             try:
@@ -158,6 +195,12 @@ def main():
                 rows.append((sf, name, col, k, dist))
                 if dist < MARGIN:
                     flagged.append((sf, name, f"{col}@{k}dp dist={dist:.2e}"))
+                # negatives in the unrounded distribution are the
+                # LATENT signed-zero form — the site must carry `+ 0.0`
+                # (the hard -0.0 scan above covers the produced form)
+                z = zero_rows.setdefault((name, col),
+                                         {"neg": False, "neg0": False})
+                z["neg"] = z["neg"] or bool((v < 0).any())
         for name, (final_sel, probe_cols) in sorted(NAMED_PROBES.items()):
             sql = sqls[name]
             probe_sql = sql[:final_select_pos(sql)] + final_sel
@@ -190,6 +233,18 @@ def main():
         cells = " | ".join(
             ("-" if per.get(s) is None else f"{per[s]:.3g}") for s in sfdirs)
         print(f"| {name} | {col} | {k} | {cells} |")
+    print()
+    straddle = sorted(k for k, z in zero_rows.items() if z["neg"])
+    neg0 = sorted(k for k, z in zero_rows.items() if z["neg0"])
+    print("## Signed-zero audit")
+    print()
+    print(f"- sites with -0.0 in rounded output (hash break): "
+          f"{len(neg0)}" + (" — " + ", ".join(
+              f"{n}.{c}" for n, c in neg0) if neg0 else ""))
+    print(f"- sites whose unrounded distribution contains negatives "
+          f"(must carry `+ 0.0` on both engines): {len(straddle)}")
+    for n, c in straddle:
+        print(f"  - {n}.{c}")
     print()
     if flagged:
         print("## FLAGGED (under margin)")
