@@ -322,6 +322,34 @@ object Bpe {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Persist the learned merge table as an on-disk store (K1 staging
+    * swap, crash-recoverable — the `updateHistogramStore` idiom). The
+    * table is numMerges rows, so the write is trivially bounded; the
+    * point is restartability: a tokenize job (q162's pack composite)
+    * can load the vocab a training run produced yesterday instead of
+    * holding it in a closure. */
+  def saveMerges(spark: SparkSession, storePath: String,
+      merges: Seq[Merge]): Unit = {
+    graft.io.Sinks.recoverSwap(spark, storePath)
+    graft.io.Sinks.overwriteInPlace(mergesDf(spark, merges), storePath)
+  }
+
+  /** Load a persisted merge table, restoring TRAINING ORDER (step
+    * ascending — BPE application replays merges in the order they
+    * were learned; an unordered read would tokenize differently).
+    * Round-trip contract: `loadMerges(save(m)) == m` (BpeSpec). */
+  def loadMerges(spark: SparkSession, storePath: String): Seq[Merge] = {
+    graft.io.Sinks.recoverSwap(spark, storePath)
+    spark.read.parquet(storePath)
+      .select(col("step"), col("left_tok"), col("right_tok"),
+        col("pair_count"))
+      .orderBy(col("step"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .toIndexedSeq
+  }
+
   /** Tokenize the bounded word histogram with the learned merges —
     * the (word, cnt, toks) table corpus token statistics derive from.
     * Map-only over ≤ topM rows; merges ride the closure (≤ numMerges

@@ -229,11 +229,7 @@ object BpeQueries {
     // ---- the full final tokenization state, word by word — the
     // strongest pin: hashes every token boundary the training run
     // produced ----
-    Q("q160_bpe_word_tokens",
-      s"""WITH ${trainCtes(NMerges)}
-         |SELECT word, cnt, array_to_string(toks, '|') AS tok_str,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens
-         |FROM s$NMerges""".stripMargin) { (s, d) =>
+    Q("q160_bpe_word_tokens", wordTokensOracle) { (s, d) =>
       val docs = t(s, d, "documents")
       val (hist, ms) = Bpe.fitAndHistogram(docs, "text", NMerges)
       val merges = ms.map(m => (m.left, m.right))
@@ -241,6 +237,36 @@ object BpeQueries {
         .select(col("word"), col("cnt"),
           array_join(col("toks"), "|").as("tok_str"),
           size(col("toks")).cast("long").as("n_tokens"))
+    },
+
+    // ---- tokenize from the PERSISTED merge store ----
+    // q160's oracle verbatim: train, save the merge table through the
+    // K1 staging swap, load it back, tokenize from the LOADED rows.
+    // A hash match proves the store round-trips bit-for-bit INCLUDING
+    // training order — the restartable form of the q162 composite
+    // (the NB-stats / PCA-moments store discipline for the vocab).
+    Q("q164_bpe_store_tokens", wordTokensOracle) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val (hist, ms) = Bpe.fitAndHistogram(docs, "text", NMerges)
+      val dir = "target/tmp/q164_state"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Bpe.saveMerges(s, s"$dir/merges", ms)
+      val merges = Bpe.loadMerges(s, s"$dir/merges").map(m => (m.left, m.right))
+      Bpe.tokenizeHistogram(Bpe.histogramDf(s, hist), merges)
+        .select(col("word"), col("cnt"),
+          array_join(col("toks"), "|").as("tok_str"),
+          size(col("toks")).cast("long").as("n_tokens"))
     }
   )
+
+  /** q160's oracle — also q164's verbatim (tokenizing from the
+    * persisted merge store must reproduce the in-memory table's
+    * tokenization exactly). */
+  private lazy val wordTokensOracle: String =
+    s"""WITH ${trainCtes(NMerges)}
+       |SELECT word, cnt, array_to_string(toks, '|') AS tok_str,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens
+       |FROM s$NMerges""".stripMargin
 }

@@ -345,5 +345,197 @@ object PipelineQueries {
         .crossJoin(broadcast(one(s3, "after_dedup")))
         .crossJoin(broadcast(toks))
     },
+
+    // ---- the PRODUCTION funnel: q163 + the two stages a shipped
+    // pipeline runs between quality gating and token accounting ----
+    // C4 → Gopher → NB classifier gate (q148's model, threshold re-cut
+    // at -3.75 for the CLEANED-text score scale) → exact dedup → MinHash-LSH near-dup with
+    // connected-component keep-min (q14's bands + q116's components)
+    // → token accounting. Planting: q163's line rewrite + 25 exact
+    // copies (+1e6) so exact dedup provably fires, PLUS 40 truncated
+    // copies (+2e6, the q14 mutation) so the NEAR-dup stage provably
+    // fires on survivors exact dedup cannot see. One row of exact
+    // integers; each stage is the operator its own query verifies.
+    Q("q165_pretrain_funnel_full",
+      """WITH RECURSIVE raw AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    substr(text, 1, greatest(length(text) - 20, 1)) AS text
+        |  FROM documents WHERE doc_id < 40),
+        |base AS (SELECT doc_id,
+        |    regexp_replace(COALESCE(text, ''), ' (line|row) ',
+        |      '.' || chr(10), 'g') AS text
+        |  FROM raw),
+        |cl AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, chr(10)), l ->
+        |    regexp_matches(rtrim(l), '[.!?"]$')
+        |    AND len(regexp_extract_all(l, '\S+')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        | FROM base),
+        |c2 AS (SELECT doc_id, text,
+        |   COALESCE(array_to_string(kept, chr(10)), '') AS ctext FROM cl),
+        |s1 AS MATERIALIZED (SELECT doc_id, ctext AS text FROM c2
+        |  WHERE NOT (len(regexp_extract_all(ctext, '[.!?]')) < 3
+        |    OR contains(text, '{') OR contains(lower(text), 'lorem ipsum'))),
+        |w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM s1),
+        |u AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+        |wc AS (SELECT doc_id, wd, count(*) AS c FROM u GROUP BY doc_id, wd),
+        |agg AS (SELECT doc_id,
+        |  sum(length(wd) * c) / CAST(sum(c) AS DOUBLE) AS mwl,
+        |  sum(CASE WHEN regexp_matches(wd, '\p{L}') THEN c ELSE 0 END)
+        |    / CAST(sum(c) AS DOUBLE) AS fa,
+        |  max(c) / CAST(sum(c) AS DOUBLE) AS twf
+        | FROM wc GROUP BY doc_id),
+        |p AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM
+        |  (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |   FROM w WHERE len(ws) >= 2)),
+        |pc AS (SELECT doc_id, bg, count(*) AS c FROM p GROUP BY doc_id, bg),
+        |bagg AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS tbf
+        | FROM pc GROUP BY doc_id),
+        |kp AS (SELECT a.doc_id FROM agg a LEFT JOIN bagg b USING (doc_id)
+        |  WHERE mwl BETWEEN 3 AND 10 AND fa >= 0.8 AND twf <= 0.2
+        |    AND coalesce(tbf, 0) <= 0.18),
+        |s2 AS MATERIALIZED (SELECT s1.doc_id, s1.text FROM s1 JOIN kp USING (doc_id)),
+        |ntok AS (SELECT source AS label, unnest(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+        | FROM documents WHERE doc_id % 7 <> 0),
+        |ncnt AS (SELECT label, term, CAST(count(*) AS BIGINT) AS n
+        |  FROM ntok GROUP BY 1, 2),
+        |nct AS (SELECT label, CAST(sum(n) AS BIGINT) AS tot_c
+        |  FROM ncnt GROUP BY 1),
+        |nvv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ncnt),
+        |ncd AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS n_docs_c
+        |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1),
+        |nnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |ncls AS (SELECT nct.label, nct.tot_c,
+        |  ln(ncd.n_docs_c / CAST(nnd.n_docs AS DOUBLE)) AS log_prior
+        | FROM nct JOIN ncd USING (label), nnd),
+        |htf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM s2) GROUP BY 1, 2),
+        |nsc AS (SELECT h.doc_id, c.label,
+        |  sum(h.cnt * coalesce(ln((m.n + 1.0) / (c.tot_c + nvv.v)),
+        |                       ln(1.0 / (c.tot_c + nvv.v)))) / sum(h.cnt) AS avg_ll,
+        |  CAST(sum(h.cnt) AS BIGINT) AS n_tokens,
+        |  any_value(c.log_prior) AS log_prior
+        | FROM htf h CROSS JOIN ncls c CROSS JOIN nvv
+        | LEFT JOIN ncnt m ON m.label = c.label AND m.term = h.term
+        | GROUP BY 1, 2),
+        |np AS (SELECT doc_id, label,
+        |  round(avg_ll + log_prior / n_tokens, 6) AS score,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY round(avg_ll + log_prior / n_tokens, 6) DESC, label) AS rk
+        | FROM nsc),
+        |gate AS (SELECT doc_id FROM np WHERE rk = 1
+        |  AND label IN ('src0','src1','src2','src3','src4',
+        |    'src5','src6','src7','src8','src9') AND score >= -3.75),
+        |s3 AS MATERIALIZED (SELECT s2.doc_id, s2.text FROM s2 JOIN gate USING (doc_id)),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY sha256(text)),
+        |s4 AS MATERIALIZED (SELECT s3.doc_id, s3.text FROM s3 JOIN dd USING (doc_id)),
+        |mw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        | FROM s4 WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2),
+        |msh AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
+        | FROM mw),
+        |mhh AS (SELECT doc_id, sha256(s) AS h FROM msh),
+        |msig AS (SELECT doc_id,
+        |  min(substr(h,1,12)) AS mh0, min(substr(h,13,12)) AS mh1,
+        |  min(substr(h,25,12)) AS mh2, min(substr(h,37,12)) AS mh3
+        | FROM mhh GROUP BY doc_id),
+        |mbands AS (
+        | SELECT doc_id, '0|' || mh0 || '|' || mh1 AS band FROM msig
+        | UNION ALL
+        | SELECT doc_id, '1|' || mh2 || '|' || mh3 AS band FROM msig),
+        |mprs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM mbands a JOIN mbands b
+        |   ON a.band = b.band AND a.doc_id < b.doc_id),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM mprs
+        | UNION
+        | SELECT doc_b AS src, doc_a AS dst FROM mprs),
+        |walk AS (
+        | SELECT src AS node, dst AS reach FROM edges
+        | UNION
+        | SELECT w2.node, e.dst FROM walk w2 JOIN edges e ON e.src = w2.reach),
+        |comp AS (SELECT node, least(node, min(reach)) AS component
+        | FROM walk GROUP BY node),
+        |s5 AS MATERIALIZED (SELECT s4.doc_id, s4.text FROM s4
+        | LEFT JOIN comp c ON c.node = s4.doc_id
+        | WHERE coalesce(c.component, s4.doc_id) = s4.doc_id)
+        |SELECT
+        |  (SELECT count(*) FROM base) AS pages,
+        |  (SELECT count(*) FROM s1) AS after_c4,
+        |  (SELECT count(*) FROM s2) AS after_gopher,
+        |  (SELECT count(*) FROM s3) AS after_nb,
+        |  (SELECT count(*) FROM s4) AS after_exact,
+        |  (SELECT count(*) FROM s5) AS after_neardup,
+        |  (SELECT CAST(COALESCE(SUM(len(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))), 0)
+        |    AS BIGINT) FROM s5) AS tokens_final""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val raw = docs
+        .unionByName(docs.where(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") < 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("text").substr(lit(1),
+              greatest(length(col("text")) - 20, lit(1))).as("text")))
+      val planted = raw.withColumn("text",
+        regexp_replace(col("text"), " (line|row) ", ".\n"))
+      // each stage frontier feeds BOTH its 1-row survivor count and
+      // every later stage: checkpoint the three expensive ones (C4,
+      // Gopher, NB gate) so the clean/score passes run once, not once
+      // per downstream branch — the materialization a production
+      // funnel does between stages anyway. Pinned-tracked: the
+      // harness releases the blocks after the result is consumed.
+      def pin(df: DataFrame): DataFrame =
+        graft.ops.Pinned.track(df.localCheckpoint(true))
+      val s1 = pin(graft.ops.C4Clean.clean(planted, "text")
+        .select(col("doc_id"), col("text")))
+      val kp = graft.ops.TextAnalysis.gopherReport(s1, "doc_id", col("text"))
+        .where(col("keep")).select(col("doc_id"))
+      val s2 = pin(s1.join(kp, "doc_id"))
+      // q148's gate verbatim: model trained on the RAW labeled corpus,
+      // applied to the funnel's CLEANED survivors
+      val model = graft.ops.TextClassifier.trainNaiveBayes(
+        t(s, d, "documents").filter(col("doc_id") % 7 =!= 0),
+        col("source"), col("text"))
+      val s3 = pin(graft.ops.TextClassifier.classifierGate(
+          s2, col("doc_id"), col("text"), model,
+          (0 to 9).map(i => s"src$i"), minScore = -3.75)
+        .select(col("doc_id"), col("text")))
+      val dd = s3.groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s4 = s3.join(dd, "doc_id")
+      val sigs = graft.ops.NearDup.minhashSignaturesFused(
+        s4, "doc_id", col("text"))
+      val labels = graft.ops.NearDup.connectedComponents(
+        graft.ops.NearDup.lshCandidatePairs(sigs, "doc_id"))
+      val s5 = s4.join(labels.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .where(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      def one(df: DataFrame, as: String): DataFrame =
+        df.agg(count(lit(1)).as(as))
+      val toks = s5.agg(coalesce(sum(size(filter(
+          graft.ops.NearDup.tokens(col("text")), w => w =!= ""))), lit(0))
+        .cast("long").as("tokens_final"))
+      one(planted, "pages")
+        .crossJoin(broadcast(one(s1, "after_c4")))
+        .crossJoin(broadcast(one(s2, "after_gopher")))
+        .crossJoin(broadcast(one(s3, "after_nb")))
+        .crossJoin(broadcast(one(s4, "after_exact")))
+        .crossJoin(broadcast(one(s5, "after_neardup")))
+        .crossJoin(broadcast(toks))
+    },
   )
 }

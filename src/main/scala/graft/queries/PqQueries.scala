@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.vector.{Pq, Quantize}
+import Q.t
+
+/** Product-quantization queries (the compressed-ANN layer next to
+  * q52's int8 and q58/q87's IVF): trained-codebook code assignment
+  * cell by cell, ADC ranking, the PQ-vs-int8 recall report, and the
+  * reconstruction-error report. The oracle replays the ENTIRE
+  * training loop — id-prefix seeds, one Lloyd round with grid-snapped
+  * float32 centroid means, empty-code fallback — so a hash match
+  * proves the distributed trainer, not just the encoder.
+  *
+  * Fixed geometry on the dim-64 fixture: m=8 subspaces × dsub=8,
+  * k=16 codes — 64 floats (256 bytes) → 8 small ints. */
+object PqQueries {
+
+  private val M = 8
+  private val K = 16
+  private val Iters = 1
+
+  /** Shared engine-side model: seeds from `vec_id < K`, one Lloyd
+    * round, round-6 float32 centroid grid (`Pq.trainCodebooks`). */
+  private def model(emb: org.apache.spark.sql.DataFrame): Pq.PqModel =
+    Pq.trainCodebooks(emb, "vec_id", "embedding", M, K, iters = Iters)
+
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "embeddings").where(col("embedding").isNotNull)
+
+  /** Shared oracle CTE chain ending in the trained codebook `cb1`
+    * (s, c, j, cx) and the final assignment `a1` (vec_id, s, c):
+    *   sv   per-(vector, subspace s = p//8, local dim j = p%8) doubles
+    *   cb0  seed codebooks = the `vec_id < K` rows sliced per subspace
+    *   a0   round-0 assignment (argmin d2, ties → smaller code)
+    *   mu   per-(s, c, j) Lloyd means over a0's members
+    *   cb1  round(mu, 6)::REAL — the exact grid snap the engine does
+    *        (decimal → double → float32); empty codes keep the seed
+    *   a1   reassignment under cb1
+    * All argmins ORDER BY (d2, c) — the PqEncode first-wins scan. */
+  private val pqCte: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings
+       |     WHERE embedding IS NOT NULL),
+       |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |      generate_subscripts(embedding, 1) - 1 AS p FROM e),
+       |sv AS (SELECT vec_id, p // 8 AS s, p % 8 AS j, x FROM u),
+       |cb0 AS (SELECT vec_id AS c, p // 8 AS s, p % 8 AS j, x AS cx
+       |      FROM u WHERE vec_id < $K),
+       |d0 AS (SELECT t.vec_id, t.s, c.c,
+       |      SUM((t.x - c.cx) * (t.x - c.cx)) AS d2
+       |      FROM sv t JOIN cb0 c ON c.s = t.s AND c.j = t.j
+       |      GROUP BY t.vec_id, t.s, c.c),
+       |a0 AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |      FROM d0) WHERE rn = 1),
+       |mu AS (SELECT a0.s, a0.c, t.j, AVG(t.x) AS mu
+       |      FROM a0 JOIN sv t ON t.vec_id = a0.vec_id AND t.s = a0.s
+       |      GROUP BY a0.s, a0.c, t.j),
+       |cb1 AS (SELECT cb0.s, cb0.c, cb0.j,
+       |      CAST(COALESCE(CAST(round(mu.mu, 6) AS REAL),
+       |                    CAST(cb0.cx AS REAL)) AS DOUBLE) AS cx
+       |      FROM cb0 LEFT JOIN mu
+       |        ON mu.s = cb0.s AND mu.c = cb0.c AND mu.j = cb0.j),
+       |d1 AS (SELECT t.vec_id, t.s, c.c,
+       |      SUM((t.x - c.cx) * (t.x - c.cx)) AS d2
+       |      FROM sv t JOIN cb1 c ON c.s = t.s AND c.j = t.j
+       |      GROUP BY t.vec_id, t.s, c.c),
+       |a1 AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |      FROM d1) WHERE rn = 1)""".stripMargin
+
+  /** Decoded (reconstructed) per-dimension values of every vector. */
+  private val decCte: String =
+    """dec AS (SELECT a1.vec_id, c.s, c.j, c.cx
+      |      FROM a1 JOIN cb1 c ON c.s = a1.s AND c.c = a1.c)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- trained PQ codes, cell by cell ----
+    // One row per (vector, subspace): which trained code captured it.
+    // A wrong seed slice, a drifted Lloyd mean, a missed empty-code
+    // fallback, or a tie broken the other way all break the hash.
+    Q("q166_pq_codes",
+      s"""WITH $pqCte
+         |SELECT vec_id, s AS subspace, c AS code
+         |FROM a1 ORDER BY vec_id, subspace""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      Pq.encode(e, col("embedding"), model(e), "pq_codes")
+        .select(col("vec_id"),
+          posexplode(col("pq_codes")).as(Seq("subspace", "code")))
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code").cast("long").as("code"))
+        .orderBy(col("vec_id"), col("subspace"))
+    },
+
+    // ---- ADC top-10 for one query ----
+    // The oracle builds the m×k lookup table from the trained codebook
+    // and ranks by the summed table entries — the literal ADC
+    // computation. Engine: `Pq.pqTopK` (broadcast LUT, map-only scan,
+    // TakeOrdered). Distances round-6, ties → vec_id.
+    Q("q167_pq_adc_topk",
+      s"""WITH $pqCte,
+         |q AS (SELECT p // 8 AS s, p % 8 AS j, x AS qx
+         |      FROM u WHERE vec_id = 0),
+         |lut AS (SELECT c.s, c.c, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d2
+         |      FROM cb1 c JOIN q ON q.s = c.s AND q.j = c.j
+         |      GROUP BY c.s, c.c),
+         |ad AS (SELECT a1.vec_id, SUM(l.d2) AS d2
+         |      FROM a1 JOIN lut l ON l.s = a1.s AND l.c = a1.c
+         |      GROUP BY a1.vec_id)
+         |SELECT vec_id, round(d2, 6) AS adc_d2 FROM ad
+         |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      Pq.pqTopK(e, "vec_id", "embedding",
+        VectorQueries.queryVec(s, d, 0), 10, model(e))
+    },
+
+    // ---- recall@10: PQ reconstruction vs int8 quantization ----
+    // The report that prices the 32× PQ compression against the 4×
+    // int8 baseline (q52/q122) on equal terms: exact L2 top-10 on the
+    // raw floats is ground truth; each compressed representation
+    // ranks by L2 against its reconstruction (for PQ that IS the ADC
+    // ranking — the PQ identity); one row per query with both hit
+    // counts. int8 uses the q52 symmetric per-vector scale.
+    Q("q168_pq_vs_int8_recall",
+      s"""WITH $pqCte, $decCte,
+         |qu AS (SELECT vec_id AS qid, p, x FROM u WHERE vec_id < 20),
+         |qs AS (SELECT vec_id AS qid, s, j, x FROM sv WHERE vec_id < 20),
+         |exd AS (SELECT q.qid, t.vec_id AS nid,
+         |      round(SUM((q.x - t.x) * (q.x - t.x)), 6) AS d2
+         |      FROM qu q JOIN u t ON t.p = q.p GROUP BY q.qid, t.vec_id),
+         |ext AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+         |      FROM exd) WHERE rn <= 10),
+         |pqd AS (SELECT q.qid, d.vec_id AS nid,
+         |      round(SUM((q.x - d.cx) * (q.x - d.cx)), 6) AS d2
+         |      FROM qs q JOIN dec d ON d.s = q.s AND d.j = q.j
+         |      GROUP BY q.qid, d.vec_id),
+         |pqt AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+         |      FROM pqd) WHERE rn <= 10),
+         |scl AS (SELECT vec_id,
+         |      list_max(list_transform(embedding,
+         |        v -> abs(CAST(v AS DOUBLE)))) AS sc FROM e),
+         |i8 AS (SELECT u.vec_id, u.p, CAST(CAST(
+         |        round(u.x / scl.sc * 127) AS BIGINT)
+         |          * scl.sc / 127 AS REAL) AS dq
+         |      FROM u JOIN scl ON scl.vec_id = u.vec_id),
+         |i8d AS (SELECT q.qid, t.vec_id AS nid,
+         |      round(SUM((q.x - CAST(t.dq AS DOUBLE))
+         |              * (q.x - CAST(t.dq AS DOUBLE))), 6) AS d2
+         |      FROM qu q JOIN i8 t ON t.p = q.p GROUP BY q.qid, t.vec_id),
+         |i8t AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+         |      FROM i8d) WHERE rn <= 10),
+         |tot AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+         |      FROM ext GROUP BY qid),
+         |ph AS (SELECT e.qid, CAST(count(*) AS BIGINT) AS hits
+         |      FROM ext e JOIN pqt p ON p.qid = e.qid AND p.nid = e.nid
+         |      GROUP BY e.qid),
+         |ih AS (SELECT e.qid, CAST(count(*) AS BIGINT) AS hits
+         |      FROM ext e JOIN i8t i ON i.qid = e.qid AND i.nid = e.nid
+         |      GROUP BY e.qid)
+         |SELECT tot.qid AS vec_id, n_exact,
+         |  coalesce(ph.hits, 0) AS pq_hits,
+         |  round(coalesce(ph.hits, 0) / CAST(n_exact AS DOUBLE), 4) AS pq_recall,
+         |  coalesce(ih.hits, 0) AS int8_hits,
+         |  round(coalesce(ih.hits, 0) / CAST(n_exact AS DOUBLE), 4) AS int8_recall
+         |FROM tot LEFT JOIN ph ON ph.qid = tot.qid
+         |         LEFT JOIN ih ON ih.qid = tot.qid
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val mod = model(e)
+      val rep = Pq.encode(e, col("embedding"), mod, "pq_codes")
+        .withColumn("pq_dec", Pq.decode(col("pq_codes"), mod))
+        .withColumn("__scale", Quantize.scaleOf(col("embedding")))
+        .withColumn("int8_dec", Quantize.dequantize(
+          Quantize.quantize(col("embedding"), col("__scale")), col("__scale")))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // exact ground truth feeds both reports — compute once,
+      // checkpoint, release via the Pinned registry (q156 discipline)
+      val truth = graft.ops.Pinned.track(
+        Pq.l2TopK(rep, "vec_id", col("embedding"), queries, "qid", "qv", 10)
+          .localCheckpoint(true))
+      Pq.l2RecallAtK(rep, "vec_id", col("embedding"), col("pq_dec"),
+          queries, "qid", "qv", 10, exact = Some(truth))
+        .select(col("qid"), col("n_exact"),
+          col("n_hits").as("pq_hits"), col("recall").as("pq_recall"))
+        .join(Pq.l2RecallAtK(rep, "vec_id", col("embedding"),
+            col("int8_dec"), queries, "qid", "qv", 10, exact = Some(truth))
+          .select(col("qid"), col("n_hits").as("int8_hits"),
+            col("recall").as("int8_recall")), Seq("qid"))
+        .withColumnRenamed("qid", "vec_id")
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- corpus reconstruction error: PQ vs int8 ----
+    // One row: how much of the signal each compression keeps. MSE
+    // over every (vector, dimension) cell; the PQ/int8 ratio is the
+    // honest price tag of the extra 8× compression.
+    Q("q169_pq_reconstruction_error",
+      s"""WITH $pqCte, $decCte,
+         |pe AS (SELECT SUM((t.x - d.cx) * (t.x - d.cx)) AS se,
+         |      CAST(count(*) AS BIGINT) AS n
+         |      FROM sv t JOIN dec d ON d.vec_id = t.vec_id
+         |        AND d.s = t.s AND d.j = t.j),
+         |scl AS (SELECT vec_id,
+         |      list_max(list_transform(embedding,
+         |        v -> abs(CAST(v AS DOUBLE)))) AS sc FROM e),
+         |ie AS (SELECT SUM((u.x - CAST(CAST(CAST(
+         |        round(u.x / scl.sc * 127) AS BIGINT)
+         |          * scl.sc / 127 AS REAL) AS DOUBLE))
+         |        * (u.x - CAST(CAST(CAST(
+         |        round(u.x / scl.sc * 127) AS BIGINT)
+         |          * scl.sc / 127 AS REAL) AS DOUBLE))) AS se,
+         |      CAST(count(*) AS BIGINT) AS n
+         |      FROM u JOIN scl ON scl.vec_id = u.vec_id)
+         |SELECT pe.n AS n_cells,
+         |  round(pe.se / pe.n * 1000000, 6) AS pq_mse_ppm,
+         |  round(ie.se / ie.n * 1000000, 6) AS int8_mse_ppm
+         |FROM pe, ie""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val mod = model(e)
+      val rep = Pq.encode(e, col("embedding"), mod, "pq_codes")
+        .withColumn("pq_dec", Pq.decode(col("pq_codes"), mod))
+        .withColumn("__scale", Quantize.scaleOf(col("embedding")))
+        .withColumn("int8_dec", Quantize.dequantize(
+          Quantize.quantize(col("embedding"), col("__scale")), col("__scale")))
+      rep.agg(
+          sum(Pq.l2Sq(col("embedding"), col("pq_dec"))).as("__pse"),
+          sum(Pq.l2Sq(col("embedding"), col("int8_dec"))).as("__ise"),
+          sum(size(col("embedding")).cast("long")).as("n_cells"))
+        .select(col("n_cells"),
+          round(col("__pse") / col("n_cells") * 1000000, 6).as("pq_mse_ppm"),
+          round(col("__ise") / col("n_cells") * 1000000, 6).as("int8_mse_ppm"))
+    }
+  )
+}

@@ -7,7 +7,7 @@ object Registry {
       TextQueries.qs ++ ScalarQueries.qs ++ MiscQueries.qs ++
       PipelineQueries.qs ++ OlapQueries.qs ++ CorpusQueries.qs ++
       GraphQueries.qs ++ RetrievalQueries.qs ++ ReportQueries.qs ++
-      PcaQueries.qs ++ C4Queries.qs ++ BpeQueries.qs
+      PcaQueries.qs ++ C4Queries.qs ++ BpeQueries.qs ++ PqQueries.qs
 
   private lazy val index: Map[String, Q] = all.map(q => q.name -> q).toMap
   def byName(name: String): Q = index(name)

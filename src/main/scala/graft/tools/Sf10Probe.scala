@@ -341,6 +341,32 @@ object Sf10Probe {
       }
       batchDocs.unpersist()
     }
+
+    // ---- q166-q169: product quantization at 1× and 100× ----
+    // Claims under test: training is one encode+partial-agg pass per
+    // Lloyd round (x1→x100 row-linear; only dim·k doubles reach the
+    // driver); encoding is map-only against broadcast codebooks
+    // (row-linear); ADC top-k on a trained model is one map-only scan
+    // + TakeOrdered (row-linear, no float column in the scoring path).
+    family("pq") {
+      import graft.vector.Pq
+      for ((corpus, tag) <- Seq((emb1, "x1"), (emb100, s"x$copies"))) {
+        T(s"pq_train(m=8,k=16,1 round) $tag") {
+          Pq.trainCodebooks(corpus, "vec_id", "embedding", 8, 16).k.toLong
+        }
+      }
+      val mod100 = Pq.trainCodebooks(emb100, "vec_id", "embedding", 8, 16)
+      for ((corpus, tag) <- Seq((emb1, "x1"), (emb100, s"x$copies"))) {
+        T(s"pq_encode $tag") {
+          Pq.encode(corpus, col("embedding"), mod100).count()
+        }
+        T(s"pq_adc_top10 $tag") {
+          val q = corpus.orderBy("vec_id").select("embedding")
+            .head().getSeq[Float](0).toArray
+          Pq.pqTopK(corpus, "vec_id", "embedding", q, 10, mod100).count()
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,269 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — compressed-vector ANN storage and
+  * asymmetric-distance scoring (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+  * IVF-PQ default). The reference wishes for exactly this capability:
+  * its vector store asks for a compressed HNSW index
+  * (vectorize.py:119-123); PQ is the Spark-native answer — a dim-D
+  * float vector (4·D bytes) becomes m small ints (m bytes at k ≤ 256),
+  * a 32× cut at D=64/m=8, which at 100 TB is the difference between a
+  * corpus whose codes fit in cluster RAM and one that doesn't.
+  *
+  * Structure: the vector splits into m contiguous subspaces of
+  * dsub = D/m dims; each subspace gets its own k-centroid codebook;
+  * a vector's code is the per-subspace nearest-centroid index
+  * (`PqEncode`, one codegen'd pass). Distances are scored
+  * ASYMMETRICALLY (ADC): the query stays float, and
+  * ‖q − decode(code)‖² = Σ_s ‖q_s − cb[s][code_s]‖², so a per-query
+  * m×k lookup table turns every candidate distance into m array reads
+  * — no float vector is ever touched at scan time.
+  *
+  * Determinism (the oracle contract): codebooks are either id-prefix
+  * seeds (`seedCodebooks`, the q87/q58 `vec_id < k` rule) or seeds
+  * refined by Lloyd rounds whose centroid means are snapped to a
+  * round-6 grid and cast to float32 (`trainCodebooks`) — both engines
+  * compute means within ~1e-13 of each other, the grid snap makes
+  * them bit-identical (the q19 CAST-AS-REAL discipline), and every
+  * argmin breaks ties toward the smaller code id. DuckDB re-derives
+  * codes, LUTs, and ADC rankings exactly (q166–q169).
+  *
+  * Scale shape: training is one posexplode + per-(subspace, code,
+  * dim) partial-agg pass per Lloyd round (map-side combined; only
+  * m·k·dsub = D·k doubles ever reach the driver); encoding is
+  * map-only against broadcast codebooks; ADC scoring is map-only
+  * against a broadcast m×k LUT. Nothing here shuffles the corpus.
+  */
+object Pq {
+
+  /** Trained product quantizer: `codebooks(s)(c)(j)` = subspace s,
+    * code c, local dim j. */
+  final case class PqModel(dsub: Int, codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def dim: Int = m * dsub
+    private[vector] def cbSeq: Seq[Seq[Seq[Float]]] =
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
+  /** Deterministic id-prefix seed codebooks: subspace s's codebook is
+    * the s-th dsub-slice of the `id < k` rows (ascending id) — the
+    * `Ivf.seedCentroids` rule sliced per subspace, reproducible by
+    * any engine. Rows with null vectors are skipped. */
+  def seedCodebooks(df: DataFrame, id: String, vec: String, m: Int,
+      k: Int): PqModel = {
+    require(m >= 1, "seedCodebooks: m must be >= 1")
+    val seeds = Ivf.seedCentroids(df.filter(col(vec).isNotNull), id, vec, k)
+    require(seeds.length == k,
+      s"seedCodebooks: only ${seeds.length} of $k id-prefix seeds present")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"seedCodebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    PqModel(dsub, Array.tabulate(m, k) { (s, c) =>
+      java.util.Arrays.copyOfRange(seeds(c), s * dsub, (s + 1) * dsub)
+    })
+  }
+
+  /** One distributed Lloyd round over ALL m subspaces in a single
+    * pass: encode under the current model (map-only), posexplode each
+    * vector once, and partial-aggregate per (subspace, code, local
+    * dim) means — m·k·dsub = dim·k cells total, a bounded collect.
+    * New centroid values are `round(mean, grid)` cast to float32 so
+    * both engines land on identical bits; a code that captured no
+    * rows keeps its previous centroid (the standard empty-cluster
+    * fallback, `Ivf.trainCentroids` discipline). */
+  def lloydOnce(df: DataFrame, vec: String, model: PqModel,
+      grid: Int = 6): PqModel = {
+    val dsub = model.dsub
+    val enc = encode(df.filter(col(vec).isNotNull), col(vec), model, "__codes")
+    val means = enc
+      .select(col("__codes"), posexplode(col(vec)).as(Seq("__pos", "__x")))
+      .select(
+        floor(col("__pos") / lit(dsub)).cast("int").as("__s"),
+        (col("__pos") % lit(dsub)).cast("int").as("__j"),
+        element_at(col("__codes"),
+          floor(col("__pos") / lit(dsub)).cast("int") + lit(1)).as("__c"),
+        col("__x").cast("double").as("__x"))
+      .groupBy(col("__s"), col("__c"), col("__j"))
+      .agg(avg(col("__x")).as("__mu"))
+      .collect()
+    val next = model.codebooks.map(_.map(_.clone()))
+    means.foreach { r =>
+      // decimal → nearest DOUBLE → nearest FLOAT, in that order: the
+      // exact arithmetic of DuckDB's CAST(round(mu, grid) AS REAL).
+      // BigDecimal.toFloat directly would skip the double hop and can
+      // double-round differently at float boundary values.
+      next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        BigDecimal(r.getDouble(3))
+          .setScale(grid, BigDecimal.RoundingMode.HALF_UP).toDouble.toFloat
+    }
+    model.copy(codebooks = next)
+  }
+
+  /** Seed + `iters` Lloyd rounds (grid-snapped — see `lloydOnce`).
+    * For corpus-adaptive (non-prefix) codebooks train each subspace
+    * with `Ivf.trainCentroids` on sliced vectors instead; this path
+    * is the cross-engine-reproducible one the oracles replay. */
+  def trainCodebooks(df: DataFrame, id: String, vec: String, m: Int,
+      k: Int, iters: Int = 1, grid: Int = 6): PqModel = {
+    var mod = seedCodebooks(df, id, vec, m, k)
+    var i = 0
+    while (i < iters) { mod = lloydOnce(df, vec, mod, grid); i += 1 }
+    mod
+  }
+
+  /** Attach the PQ code column (array<int>, length m) — map-only,
+    * codegen'd, codebooks broadcast with the plan. */
+  def encode(df: DataFrame, vec: Column, model: PqModel,
+      as: String = "pq_codes"): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    df.withColumn(as, ColumnBridge.column(
+      PqEncode(ColumnBridge.expression(vec), model.codebooks)))
+  }
+
+  /** Reconstruct the quantized vector from its code (array<float>,
+    * length dim): subspace s contributes codebook row cb[s][code_s].
+    * Pure Column composition (flatten ∘ transform ∘ element_at) —
+    * stays in codegen, and ADC distance to a query equals exact L2
+    * against this reconstruction by the PQ identity. */
+  def decode(codes: Column, model: PqModel): Column =
+    flatten(transform(codes, (c, s) =>
+      element_at(element_at(typedlit(model.cbSeq), s + lit(1)), c + lit(1))))
+
+  /** Per-query ADC lookup table, flattened [s·k + c] → ‖q_s − cb[s][c]‖²
+    * (doubles, index-order accumulation — the kernel arithmetic). */
+  def adcLutFlat(query: Array[Float], model: PqModel): Array[Double] = {
+    val lut = new Array[Double](model.m * model.k)
+    var s = 0
+    while (s < model.m) {
+      val off = s * model.dsub
+      var c = 0
+      while (c < model.k) {
+        val cent = model.codebooks(s)(c)
+        val n = math.min(cent.length, math.max(0, query.length - off))
+        var d = 0.0
+        var j = 0
+        while (j < n) {
+          val t = query(off + j).toDouble - cent(j).toDouble
+          d += t * t
+          j += 1
+        }
+        lut(s * model.k + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** ADC squared distance of a code column against a broadcast LUT:
+    * m array reads + m adds per row, no float vector touched. */
+  def adcDist(codes: Column, lutFlat: Seq[Double], k: Int): Column =
+    aggregate(
+      transform(codes, (c, s) =>
+        element_at(typedlit(lutFlat), s * lit(k) + c + lit(1))),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** PQ top-k for one query: encode (or reuse a stored code column),
+    * ADC-score against the broadcast LUT, round-6 + id tie-break (the
+    * suite's ranking discipline), take k. Map-only + TakeOrdered —
+    * no shuffle, no float scan. */
+  def pqTopK(df: DataFrame, id: String, vec: String, query: Array[Float],
+      kTop: Int, model: PqModel): DataFrame = {
+    require(kTop >= 1, "pqTopK: kTop must be >= 1")
+    val lut = adcLutFlat(query, model)
+    encode(df.filter(col(vec).isNotNull), col(vec), model, "__codes")
+      .select(col(id),
+        round(adcDist(col("__codes"), lut.toSeq, model.k), 6).as("adc_d2"))
+      .orderBy(col("adc_d2"), col(id))
+      .limit(kTop)
+  }
+
+  /** IVF-PQ: restrict the ADC scan to the query's nProbe IVF cells
+    * (the FAISS IVFPQ composition — coarse cells prune the corpus,
+    * codes price the survivors), optionally re-ranking the top
+    * `rerank` ADC candidates with exact float L2 before taking kTop.
+    * At 100 TB the collection is stored partitioned by `ivf_cell`
+    * with only (id, ivf_cell, pq_codes) in the index files — the
+    * probe prunes partitions, ADC never reads the float column, and
+    * only the ≤rerank finalists fetch their vectors. */
+  def ivfPqTopK(df: DataFrame, id: String, vec: String,
+      query: Array[Float], kTop: Int, model: PqModel,
+      cents: Array[Array[Float]], nProbe: Int = 2,
+      rerank: Int = 0): DataFrame = {
+    require(kTop >= 1, "ivfPqTopK: kTop must be >= 1")
+    val probes = Ivf.nearestCells(query, cents, nProbe)
+    val cand = Ivf.assignCells(df.filter(col(vec).isNotNull), col(vec), cents)
+      .filter(col("ivf_cell").isin(probes: _*))
+    val lut = adcLutFlat(query, model)
+    val scored = encode(cand, col(vec), model, "__codes")
+      .withColumn("adc_d2",
+        round(adcDist(col("__codes"), lut.toSeq, model.k), 6))
+    if (rerank <= 0) {
+      scored.select(col(id), col("adc_d2"))
+        .orderBy(col("adc_d2"), col(id)).limit(kTop)
+    } else {
+      val qLit = typedlit(query.toSeq)
+      scored
+        .orderBy(col("adc_d2"), col(id)).limit(math.max(rerank, kTop))
+        .withColumn("exact_d2", round(aggregate(
+          zip_with(col(vec), qLit, (x, y) =>
+            (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0d), (acc, e) => acc + e), 6))
+        .select(col(id), col("adc_d2"), col("exact_d2"))
+        .orderBy(col("exact_d2"), col(id))
+        .limit(kTop)
+    }
+  }
+
+  /** Squared L2 between two float-array columns in double precision —
+    * the shared scoring expression of the recall/error reports. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0d), (acc, e) => acc + e)
+
+  /** Per-query L2 top-k of `scoreVec` against the bounded query
+    * sample: one broadcast nested-loop (the RecallReport shape),
+    * round-6 d2 + id tie-break. Output (qid, id) membership rows —
+    * the shared ground-truth / approximate-side primitive. */
+  def l2TopK(corpus: DataFrame, id: String, scoreVec: Column,
+      queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "l2TopK: k must be >= 1")
+    val w = Window.partitionBy(col(qid)).orderBy(col("__d2"), col(id))
+    corpus.crossJoin(broadcast(queries.select(col(qid), col(qvec))))
+      .select(col(qid), col(id),
+        round(l2Sq(scoreVec, col(qvec)), 6).as("__d2"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(qid), col(id))
+  }
+
+  /** Recall@k of an approximate representation under L2: exact ground
+    * truth ranks `origVec`, the approximate side ranks `approxVec`
+    * (a PQ reconstruction, an int8 dequantization, …). Pass `exact`
+    * to reuse one ground-truth pass across several reports (the
+    * RecallReport convention). Output one row per query:
+    * (qid, n_exact, n_hits, recall). */
+  def l2RecallAtK(corpus: DataFrame, id: String, origVec: Column,
+      approxVec: Column, queries: DataFrame, qid: String, qvec: String,
+      k: Int, exact: Option[DataFrame] = None): DataFrame = {
+    val truth = exact.getOrElse(
+      l2TopK(corpus, id, origVec, queries, qid, qvec, k))
+    val approx = l2TopK(corpus, id, approxVec, queries, qid, qvec, k)
+    val totals = truth.groupBy(col(qid)).agg(count(lit(1)).as("n_exact"))
+    val hits = truth.join(approx, Seq(qid, id), "left_semi")
+      .groupBy(col(qid)).agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq(qid), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col(qid), col("n_exact"), col("n_hits"),
+        round(col("n_hits") / col("n_exact"), 4).as("recall"))
+  }
+}

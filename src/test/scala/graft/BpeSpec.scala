@@ -148,6 +148,29 @@ class BpeSpec extends AnyFunSuite {
       == Bpe.fitFromCorpus(docs, "text", 16))
   }
 
+  test("merge store: loadMerges(save(m)) == m, and tokenization from the store is identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val store = TestSpark.tempDir("bpe-merges") + "/merges"
+    val (hist, ms) = Bpe.fitAndHistogram(docs, "text", 16)
+    Bpe.saveMerges(spark, store, ms)
+    val loaded = Bpe.loadMerges(spark, store)
+    assert(loaded == ms, "round-trip lost or reordered merges")
+    // the q164 contract: tokenizing from the persisted table ==
+    // tokenizing from the in-memory one, token for token
+    val hd = Bpe.histogramDf(spark, hist)
+    val a = Bpe.tokenizeHistogram(hd, ms.map(m => (m.left, m.right)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val b = Bpe.tokenizeHistogram(hd, loaded.map(m => (m.left, m.right)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(a == b)
+    // overwrite with a shorter table: the store swaps, never appends
+    Bpe.saveMerges(spark, store, ms.take(3))
+    assert(Bpe.loadMerges(spark, store) == ms.take(3))
+    // zero-merge corpora persist an empty (but well-formed) table
+    Bpe.saveMerges(spark, store, Seq.empty)
+    assert(Bpe.loadMerges(spark, store).isEmpty)
+  }
+
   test("bpeHistogramSink: streamed histogram log trains like the one-shot fit; empty tick no-op; replay redelivers nothing") {
     import graft.streaming.Streams
     val dir = TestSpark.tempDir("bpestream")

@@ -398,6 +398,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q165 full funnel: stage counts compose as broadcast loops, no cartesian") {
+    // q163's pin extended to the production funnel: seven 1-row sides
+    // (pages, c4, gopher, nb, exact, neardup, tokens) must each be a
+    // BroadcastNestedLoopJoin; the NB gate's class replicate inside
+    // the DAG must broadcast too, so NO CartesianProduct anywhere
+    val p = plan("q165_pretrain_funnel_full")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("PQ plans: codes/ADC stay map-side, the recall ground truth is the one intended broadcast loop") {
+    // q166: train + encode + posexplode — no join at all in the final
+    // projection (codebooks ride the plan as reference objects)
+    val p166 = plan("q166_pq_codes")
+    assert(!p166.contains("CartesianProduct"), p166.take(800))
+    assert(!p166.contains("SortMergeJoin"), p166.take(800))
+    // q168: three Q×N scoring passes (exact, pq, int8) — all must be
+    // broadcast nested loops over the 20-query side, never a
+    // partitioned cartesian
+    val p168 = plan("q168_pq_vs_int8_recall")
+    assert(!p168.contains("CartesianProduct"), p168.take(800))
+    assert(p168.contains("BroadcastNestedLoopJoin"), p168.take(800))
+  }
+
   test("q129 line dedup: count side shuffles hashes, not line text") {
     // the kill-set aggregation groups by xxhash64(line) — its exchange
     // carries (hash, count) pairs only. Lines legitimately cross once

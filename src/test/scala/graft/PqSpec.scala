@@ -1,0 +1,229 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.vector.{Ivf, Pq}
+
+/** Pins for the product-quantization layer (vector/Pq.scala).
+  *
+  * The q166–q169 oracles replay seed→Lloyd→encode→ADC through DuckDB;
+  * this spec checks the pieces against an INDEPENDENT naive PQ model
+  * (plain Scala arrays, no Spark, no shared kernels) plus what SQL
+  * can't see: the ADC ≡ decoded-L2 identity, null/short-vector guards,
+  * partitioning invariance of the trained model, and the map-only
+  * encode plan.
+  */
+class PqSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+  private val dsub = dim / m
+  private val k = 8
+  private val n = 60
+
+  /** Deterministic anisotropic cloud (the PcaSpec construction). */
+  private def synth(): Seq[(Long, Seq[Float])] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    (0 until n).map { r =>
+      val h = md.digest(s"pq:$r".getBytes("UTF-8"))
+      val v = Array.tabulate(dim) { i =>
+        val u = ((h(2 * (i % 16)) & 0xff) * 256 + (h(2 * (i % 16) + 1) & 0xff)) / 65535.0 - 0.5
+        (u * (1.0 + (i % 5)) + 0.01 * r * ((i % 3) - 1)).toFloat
+      }
+      (r.toLong, v.toSeq)
+    }
+  }
+
+  private lazy val rows = synth()
+  private lazy val df = rows.toDF("vec_id", "embedding")
+
+  // ---- independent naive reference ----
+
+  private def naiveSeed(): Array[Array[Array[Float]]] =
+    Array.tabulate(m, k) { (s, c) =>
+      rows(c)._2.slice(s * dsub, (s + 1) * dsub).toArray
+    }
+
+  private def naiveEncode(v: Seq[Float],
+      cbs: Array[Array[Array[Float]]]): Array[Int] =
+    Array.tabulate(cbs.length) { s =>
+      val off = s * cbs(s)(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      for (c <- cbs(s).indices) {
+        var d = 0.0
+        for (j <- cbs(s)(c).indices if off + j < v.length) {
+          val t = v(off + j).toDouble - cbs(s)(c)(j).toDouble
+          d += t * t
+        }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+
+  private def naiveLloydOnce(
+      cbs: Array[Array[Array[Float]]]): Array[Array[Array[Float]]] = {
+    val sums = Array.fill(m, k, dsub)(0.0)
+    val cnts = Array.fill(m, k)(0L)
+    rows.foreach { case (_, v) =>
+      val codes = naiveEncode(v, cbs)
+      for (s <- 0 until m) {
+        cnts(s)(codes(s)) += 1
+        for (j <- 0 until dsub)
+          sums(s)(codes(s))(j) += v(s * dsub + j).toDouble
+      }
+    }
+    Array.tabulate(m, k) { (s, c) =>
+      if (cnts(s)(c) == 0) cbs(s)(c).clone()
+      else Array.tabulate(dsub) { j =>
+        BigDecimal(sums(s)(c)(j) / cnts(s)(c))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble.toFloat
+      }
+    }
+  }
+
+  private lazy val naiveModel: Array[Array[Array[Float]]] =
+    naiveLloydOnce(naiveSeed())
+
+  private lazy val model: Pq.PqModel =
+    Pq.trainCodebooks(df, "vec_id", "embedding", m, k, iters = 1)
+
+  test("trainCodebooks == naive seed + one Lloyd round, bit for bit") {
+    assert(model.m == m && model.k == k && model.dsub == dsub)
+    for (s <- 0 until m; c <- 0 until k)
+      assert(model.codebooks(s)(c).toSeq == naiveModel(s)(c).toSeq,
+        s"codebook[$s][$c] differs")
+  }
+
+  test("trained model is identical at 1/4/32 input partitions") {
+    Seq(1, 4, 32).foreach { p =>
+      val mp = Pq.trainCodebooks(df.repartition(p), "vec_id", "embedding",
+        m, k, iters = 1)
+      for (s <- 0 until m; c <- 0 until k)
+        assert(mp.codebooks(s)(c).toSeq == model.codebooks(s)(c).toSeq,
+          s"codebook[$s][$c] differs at $p partitions")
+    }
+  }
+
+  test("encode == naive per-row argmin; seeds self-encode under iters=0") {
+    val got = Pq.encode(df, col("embedding"), model)
+      .select(col("vec_id"), col("pq_codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) == naiveEncode(v, naiveModel).toSeq, s"codes differ for $id")
+    }
+    // under pure seeds, the c-th seed row's nearest subspace centroid
+    // is itself (d2 = 0) in every subspace
+    val seedModel = Pq.seedCodebooks(df, "vec_id", "embedding", m, k)
+    val selfCodes = Pq.encode(df.where(col("vec_id") < k),
+        col("embedding"), seedModel)
+      .select(col("vec_id"), col("pq_codes")).collect()
+    selfCodes.foreach { r =>
+      assert(r.getSeq[Int](1).forall(_ == r.getLong(0).toInt),
+        s"seed row ${r.getLong(0)} does not self-encode")
+    }
+  }
+
+  test("ADC distance == exact L2 against the decoded reconstruction (the PQ identity)") {
+    val query = rows(3)._2.toArray
+    val lut = Pq.adcLutFlat(query, model)
+    val both = Pq.encode(df, col("embedding"), model)
+      .select(col("vec_id"),
+        Pq.adcDist(col("pq_codes"), lut.toSeq, model.k).as("adc"),
+        Pq.l2Sq(Pq.decode(col("pq_codes"), model),
+          typedlit(query.toSeq)).as("dec"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        s"vec ${r.getLong(0)}: adc=${r.getDouble(1)} decoded-l2=${r.getDouble(2)}")
+    }
+  }
+
+  test("pqTopK == naive brute force over decoded vectors") {
+    val query = rows(5)._2.toArray
+    val naive = rows.map { case (id, v) =>
+      val codes = naiveEncode(v, naiveModel)
+      var d = 0.0
+      for (s <- 0 until m; j <- 0 until dsub) {
+        val t = query(s * dsub + j).toDouble - naiveModel(s)(codes(s))(j).toDouble
+        d += t * t
+      }
+      (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    val got = Pq.pqTopK(df, "vec_id", "embedding", query, 10, model)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == naive)
+  }
+
+  test("ivfPqTopK probes cells and the exact rerank restores true ranking") {
+    val query = rows(7)._2.toArray
+    val cents = Ivf.seedCentroids(df, "vec_id", "embedding", 4)
+    // nProbe = all cells + rerank >= corpus degenerates to exact L2
+    val exact = rows.map { case (id, v) =>
+      var d = 0.0
+      for (i <- 0 until dim) {
+        val t = query(i).toDouble - v(i).toDouble; d += t * t
+      }
+      (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, d) => (d, id) }.take(5)
+    val got = Pq.ivfPqTopK(df, "vec_id", "embedding", query, 5, model,
+        cents, nProbe = 4, rerank = n)
+      .select(col("vec_id"), col("exact_d2")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact)
+    // a 2-probe ADC-only pass returns k rows from the probed cells
+    val adcOnly = Pq.ivfPqTopK(df, "vec_id", "embedding", query, 5, model,
+      cents, nProbe = 2)
+    assert(adcOnly.count() == 5)
+  }
+
+  test("l2RecallAtK: identical representation scores recall 1.0; shared exact pass matches") {
+    val queries = df.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val self = Pq.l2RecallAtK(df, "vec_id", col("embedding"),
+      col("embedding"), queries, "qid", "qv", 5).collect()
+    assert(self.length == 3 && self.forall(_.getDouble(3) == 1.0))
+    val truth = Pq.l2TopK(df, "vec_id", col("embedding"), queries,
+      "qid", "qv", 5)
+    val withShared = Pq.l2RecallAtK(df, "vec_id", col("embedding"),
+      col("embedding"), queries, "qid", "qv", 5, exact = Some(truth))
+      .collect()
+    assert(withShared.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("null vector encodes to null; short vector encodes without throwing") {
+    val withNull = (rows :+ ((99L, null: Seq[Float]))).toDF("vec_id", "embedding")
+    val nz = Pq.encode(withNull, col("embedding"), model)
+      .filter(col("vec_id") === 99L).select(col("pq_codes")).collect()
+    assert(nz.head.isNullAt(0))
+    val short = Seq((1L, Seq(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val sc = Pq.encode(short, col("embedding"), model)
+      .select(col("pq_codes")).head().getSeq[Int](0)
+    assert(sc.length == m) // trailing subspaces compare zero dims
+  }
+
+  test("encode plan is map-only: no exchange, no join, codegen'd") {
+    // repartition first: a pure LocalRelation input would be folded
+    // into a LocalTableScan (projection evaluated at plan time) and
+    // the pin would assert against an empty plan
+    val src = df.repartition(2).localCheckpoint()
+    val plan = Pq.encode(src, col("embedding"), model)
+      .queryExecution.executedPlan.toString
+    src.unpersist()
+    assert(!plan.contains("Exchange"), s"encode shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"encode joins:\n$plan")
+    assert(plan.contains("pq_encode"), s"missing the codegen kernel:\n$plan")
+  }
+
+  test("model geometry validations reject bad shapes") {
+    intercept[IllegalArgumentException] {
+      Pq.seedCodebooks(df, "vec_id", "embedding", 5, k) // 16 % 5 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Pq.pqTopK(df, "vec_id", "embedding", rows(0)._2.toArray, 0, model)
+    }
+  }
+}
