@@ -93,14 +93,14 @@ object Fusion {
     * the output is deterministic. Output: (id, mmr_rank, score). */
   def mmrRerank(candidates: DataFrame, id: String, vecCol: String,
       lambda: Double = 0.7, k: Int = 10, scoreCol: String = "score",
-      maxPool: Int = 10000): DataFrame = {
+      maxPool: Int = 10000, objectiveGrid: Option[Int] = None): DataFrame = {
     validateMmrArgs(candidates, id, lambda, k, "mmrRerank")
     val rows = collectPool(candidates, id, vecCol, scoreCol, maxPool)
     require(rows.length <= maxPool,
       s"mmrRerank: candidate pool exceeds maxPool=$maxPool — MMR re-ranks " +
         "a bounded top-N page; cut the pool in the upstream ranker")
     greedyFrame(candidates.sparkSession, parseCands(rows), id, scoreCol,
-      lambda, k)
+      lambda, k, objectiveGrid)
   }
 
   private def validateMmrArgs(candidates: DataFrame, id: String,
@@ -151,8 +151,16 @@ object Fusion {
 
   /** The exact driver-side greedy over a parsed pool (pool already
     * sorted by (rel DESC, id ASC) — `parseCands`). */
+  /** `objectiveGrid = Some(g)` snaps each candidate's MMR objective to
+    * the g-decimal grid (HALF_UP) before the argmax. The relevance
+    * term's bits are already engine-identical (scoreCol is pre-rounded
+    * upstream); only the redundancy cosine carries summation-order
+    * noise (~1e-15), so on the grid the argmax — and therefore the
+    * whole selection — is reproducible by any engine (the discipline
+    * that gives q111 a full-hash oracle). None = raw doubles, the
+    * original behavior. */
   private def greedyPick(pool: Array[Cand], lambda: Double,
-      k: Int): Seq[Cand] = {
+      k: Int, objectiveGrid: Option[Int] = None): Seq[Cand] = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       if (a.length != b.length || a.isEmpty) return 0.0
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -171,7 +179,16 @@ object Fusion {
           if (picked.isEmpty || lambda == 1.0) 0.0
           else picked.map(p => cos(c.vec, p.vec)).max
         val mmr = lambda * c.rel - (1 - lambda) * red
-        (-mmr, c.cid) // max mmr, ties to smaller id
+        val key = objectiveGrid match {
+          // NaN passes through ungridded (BigDecimal rejects it);
+          // rankable() already dropped NaN rel, so this is only a
+          // NaN-vector-element edge, ordered the same as before
+          case Some(g) if !mmr.isNaN =>
+            BigDecimal(mmr).setScale(g, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+          case _ => mmr
+        }
+        (-key, c.cid) // max mmr, ties to smaller id
       }
       picked += best
       remaining -= best
@@ -181,9 +198,9 @@ object Fusion {
 
   private def greedyFrame(spark: org.apache.spark.sql.SparkSession,
       pool: Array[Cand], id: String, scoreCol: String, lambda: Double,
-      k: Int): DataFrame = {
+      k: Int, objectiveGrid: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    greedyPick(pool, lambda, k).zipWithIndex
+    greedyPick(pool, lambda, k, objectiveGrid).zipWithIndex
       .map { case (c, i) => (c.cid, (i + 1).toLong, c.rel) }
       .toDF(id, "mmr_rank", scoreCol)
   }

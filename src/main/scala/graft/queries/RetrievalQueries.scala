@@ -75,12 +75,22 @@ object RetrievalQueries {
     // the semantics (near-dup suppression, lambda extremes, ties) and
     // the driver records the rows-only check. Pool = exact-cosine
     // top-30 for query vec 0, re-ranked to 10 at lambda 0.7.
-    Q.noOracle("q111_mmr_rerank") { (s, d) =>
+    // The general-λ greedy, FULL-HASH (r19 — previously rows-only):
+    // the selection loop unrolls into one materialized CTE per pick
+    // (the BPE training-oracle discipline), and both engines snap the
+    // argmax objective 0.7·rel − 0.3·max-cos to the round-6 grid
+    // (`objectiveGrid`) — rel's bits are engine-identical already
+    // (round-6 cosine), so only the redundancy term's ~1e-15
+    // summation-order noise rides under a 5e-7 half-grid. The 30×30
+    // pool cosine matrix is computed once; step k argmaxes over the
+    // unpicked rows against the picked set, ties to the smaller id.
+    Q("q111_mmr_rerank", mmrOracle(30, 10)) { (s, d) =>
       val emb = t(s, d, "embeddings")
       val pool = Similarity.topK(emb, "vec_id", "embedding",
           queryVec(s, d, 0), 30)
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      Fusion.mmrRerank(pool, "vec_id", "embedding", lambda = 0.7, k = 10)
+      Fusion.mmrRerank(pool, "vec_id", "embedding", lambda = 0.7, k = 10,
+          objectiveGrid = Some(6))
         .orderBy(col("mmr_rank"))
     },
 
@@ -185,4 +195,49 @@ object RetrievalQueries {
         .select(col("lambda"), col("k"), col("pool_n"), col("overlap_at_k"))
     },
   )
+
+  /** q111's oracle: the λ=0.7 MMR greedy over the top-`poolN` cosine
+    * pool, unrolled into one materialized CTE per pick. `cm` is the
+    * pool's cosine matrix (unrounded doubles — the engine greedy's
+    * exact arithmetic); each step's argmax orders by the ROUND-6
+    * objective then id, mirroring `objectiveGrid = Some(6)`. */
+  private def mmrOracle(poolN: Int, k: Int): String = {
+    val head =
+      s"""u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |      generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+         |      generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 0),
+         |cs AS (SELECT vec_id,
+         |  round(SUM(x*qx) / (sqrt(SUM(x*x)) * sqrt(SUM(qx*qx))), 6) AS rel
+         | FROM u JOIN q USING (i) GROUP BY vec_id),
+         |pool AS MATERIALIZED (SELECT vec_id, rel FROM cs
+         |  ORDER BY rel DESC, vec_id LIMIT $poolN),
+         |pu AS (SELECT u.vec_id, u.x, u.i FROM u
+         |  JOIN pool ON pool.vec_id = u.vec_id),
+         |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM pu GROUP BY vec_id),
+         |cm AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |  SUM(a.x * b.x) / (na.nrm * nb.nrm) AS cs
+         |  FROM pu a JOIN pu b ON b.i = a.i
+         |  JOIN nrm na ON na.vec_id = a.vec_id
+         |  JOIN nrm nb ON nb.vec_id = b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+         |s1 AS MATERIALIZED (SELECT vec_id, 1 AS mmr_rank, rel FROM pool
+         |  ORDER BY round(0.7 * rel, 6) DESC, vec_id LIMIT 1)""".stripMargin
+    val steps = (2 to k).map { j =>
+      s"""p$j AS MATERIALIZED (
+         |  SELECT vec_id, $j AS mmr_rank, rel FROM (
+         |    SELECT c.vec_id, c.rel, max(m.cs) AS red
+         |    FROM pool c JOIN cm m ON m.ia = c.vec_id
+         |    JOIN s${j - 1} p ON p.vec_id = m.ib
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM s${j - 1})
+         |    GROUP BY c.vec_id, c.rel)
+         |  ORDER BY round(0.7 * rel - 0.3 * red, 6) DESC, vec_id LIMIT 1),
+         |s$j AS MATERIALIZED (
+         |  SELECT * FROM s${j - 1} UNION ALL SELECT * FROM p$j)""".stripMargin
+    }
+    s"""WITH ${(head +: steps).mkString(",\n")}
+       |SELECT vec_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, rel AS score
+       |FROM s$k ORDER BY mmr_rank""".stripMargin
+  }
 }

@@ -87,6 +87,32 @@ class FusionSpec extends AnyFunSuite {
     assert(rel == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("MMR objectiveGrid: snapped argmax equals the raw greedy on the real fixture pool; grid ties break to smaller id") {
+    // q111 ships with objectiveGrid = Some(6); on the real pool the
+    // grid must be semantics-preserving (objective gaps >> half-grid)
+    // — a divergence here means a midpoint moved into range and the
+    // q111 oracle needs re-adjudication
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val pool = graft.vector.Similarity.topK(emb, "vec_id", "embedding", qv, 30)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    def run(grid: Option[Int]) =
+      Fusion.mmrRerank(pool, "vec_id", "embedding", lambda = 0.7, k = 10,
+          objectiveGrid = grid)
+        .orderBy(col("mmr_rank")).collect().map(_.getLong(0)).toSeq
+    assert(run(Some(6)) == run(None))
+    // objectives EXACTLY tied on the grid: id breaks the tie — two
+    // identical vectors with identical scores pick the smaller id
+    val tied = Seq(
+      (7L, 0.5, Seq(1.0f, 0.0f)), (3L, 0.5, Seq(1.0f, 0.0f)),
+      (9L, 0.1, Seq(0.0f, 1.0f))).toDF("id", "score", "vec")
+    val got = Fusion.mmrRerank(tied, "id", "vec", lambda = 0.7, k = 2,
+        objectiveGrid = Some(6))
+      .orderBy(col("mmr_rank")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 9L), s"grid tie must break to smaller id: $got")
+  }
+
   test("MMR prune-quality report: forced cut on a near-dup-heavy pool") {
     // The audit op behind q139: 6 planted clusters × 20 near-identical
     // members (scores descending within a cluster) — the pool MMR's
