@@ -234,6 +234,51 @@ object PqQueries {
         .select(col("n_cells"),
           round(col("__pse") / col("n_cells") * 1000000, 6).as("pq_mse_ppm"),
           round(col("__ise") / col("n_cells") * 1000000, 6).as("int8_mse_ppm"))
+    },
+
+    // ---- IVF-PQ end to end: the FAISS serving path under the hash ----
+    // Coarse cells prune the corpus (q58's vec_id<8 seed rule, 2-probe
+    // routing), ADC prices the survivors from the trained codebook
+    // (top-20 rerank page), exact float L2 re-ranks the finalists
+    // (top-10). Both the ADC page membership AND the exact re-ranking
+    // ride the hash — a wrong cell, a drifted code, a mis-built LUT,
+    // or a rerank that reads the wrong vector all break it.
+    Q("q170_ivfpq_topk",
+      s"""WITH $pqCte,
+         |cvu AS (SELECT vec_id AS cid, p, x FROM u WHERE vec_id < 8),
+         |cd AS (SELECT t.vec_id, c.cid, SUM((t.x - c.x) * (t.x - c.x)) AS d2
+         |      FROM u t JOIN cvu c ON c.p = t.p GROUP BY t.vec_id, c.cid),
+         |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |      FROM cd) WHERE rn = 1),
+         |probe AS (SELECT cid FROM (SELECT cid,
+         |      row_number() OVER (ORDER BY d2, cid) AS rn
+         |      FROM cd WHERE vec_id = 0) WHERE rn <= 2),
+         |cand AS (SELECT ce.vec_id FROM cell ce JOIN probe pr ON pr.cid = ce.cid),
+         |q AS (SELECT p // 8 AS s, p % 8 AS j, x AS qx
+         |      FROM u WHERE vec_id = 0),
+         |lut AS (SELECT c.s, c.c, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d2
+         |      FROM cb1 c JOIN q ON q.s = c.s AND q.j = c.j
+         |      GROUP BY c.s, c.c),
+         |ad AS (SELECT a1.vec_id, round(SUM(l.d2), 6) AS adc_d2
+         |      FROM a1 JOIN cand ON cand.vec_id = a1.vec_id
+         |      JOIN lut l ON l.s = a1.s AND l.c = a1.c
+         |      GROUP BY a1.vec_id),
+         |page AS (SELECT vec_id, adc_d2 FROM ad
+         |      ORDER BY adc_d2, vec_id LIMIT 20),
+         |qx AS (SELECT p, x AS qx FROM u WHERE vec_id = 0),
+         |ex AS (SELECT pg.vec_id, pg.adc_d2,
+         |      round(SUM((t.x - qx.qx) * (t.x - qx.qx)), 6) AS exact_d2
+         |      FROM page pg JOIN u t ON t.vec_id = pg.vec_id
+         |      JOIN qx ON qx.p = t.p
+         |      GROUP BY pg.vec_id, pg.adc_d2)
+         |SELECT vec_id, adc_d2, exact_d2 FROM ex
+         |ORDER BY exact_d2, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      Pq.ivfPqTopK(e, "vec_id", "embedding",
+        VectorQueries.queryVec(s, d, 0), 10, model(e),
+        graft.vector.Ivf.seedCentroids(e, "vec_id", "embedding", 8),
+        nProbe = 2, rerank = 20)
     }
   )
 }

@@ -443,11 +443,20 @@ object Streams {
           s"$storePath/_committed_batch_$batchId")
         val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!mfs.exists(marker)) {
-          // batch-level null check (not histogram emptiness): one cheap
-          // probe instead of computing the aggregation twice
+          // mirror Bpe.updateHistogramStore's contract exactly (r18
+          // ADVICE): cheap batch-level null probe first, then the
+          // empty-HISTOGRAM no-op against a checkpointed aggregation —
+          // a non-null but all-whitespace tick must write NOTHING, not
+          // a 0-row batch=N partition
           if (!batch.where(col(textCol).isNotNull).isEmpty) {
-            graft.ops.Bpe.wordHistogramStats(batch, textCol)
-              .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+            val hist = graft.ops.Bpe.wordHistogramStats(batch, textCol)
+              .localCheckpoint(true)
+            try {
+              if (!hist.isEmpty) {
+                hist.write.mode("overwrite")
+                  .parquet(s"$storePath/batch=$batchId")
+              }
+            } finally hist.unpersist()
           }
           mfs.create(marker, true).close()
         }

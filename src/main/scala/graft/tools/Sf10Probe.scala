@@ -88,7 +88,7 @@ object Sf10Probe {
       }
       pairs.unpersist()
     }
-    // GRAFT_PROBE_ONLY=cc|pagerank|store|labels|nb|pca|bpe skips the other
+    // GRAFT_PROBE_ONLY=cc|pagerank|store|labels|nb|pca|bpe|pq skips the other
     // families — a dev shortcut while iterating on one family's
     // instrumentation. Committed probe records come from FULL runs
     // (the families share a JVM and their numbers are compared

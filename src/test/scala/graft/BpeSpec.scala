@@ -180,9 +180,13 @@ class BpeSpec extends AnyFunSuite {
     (0 until 3).foreach { k =>
       docs.filter(parity === k).coalesce(1).write.parquet(s"$dir/in/f=$k")
     }
-    // one all-null tick: must write nothing and not kill the query
+    // one all-null tick AND one all-whitespace tick: each must write
+    // nothing (no 0-row batch=N partition — the store's documented
+    // empty-histogram no-op, r18 ADVICE) and not kill the query
     Seq((999999L, null: String)).toDF("doc_id", "text")
       .coalesce(1).write.parquet(s"$dir/in/f=3")
+    Seq((999998L, "  \t  ")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/in/f=4")
     val schema = spark.read.parquet(s"$dir/in/f=0").schema
     val q = Streams.bpeHistogramSink(
       Streams.fileStream(spark, s"$dir/in/*/", schema, maxFilesPerTrigger = 1),
@@ -193,7 +197,7 @@ class BpeSpec extends AnyFunSuite {
       Bpe.mergeHistograms(spark.read.parquet(s"$dir/store")
         .select("word", "cnt")), 16)
     assert(fromStore() == oneShot)
-    // the null tick wrote no batch partition
+    // neither the null tick nor the whitespace tick wrote a partition
     assert(spark.read.parquet(s"$dir/store").select("batch").distinct()
       .count() == 3)
     // same checkpoint re-run: nothing redelivered, store unchanged

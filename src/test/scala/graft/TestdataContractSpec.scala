@@ -67,4 +67,34 @@ class TestdataContractSpec extends AnyFunSuite {
           "the DuckDB oracle must be re-verified (see Q.normalizeEmbedding)")
     }
   }
+
+  test("documents.text carries no U+000B/U+0001; doc_ids stay below the planted-copy offsets (r18 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    // Three latent cross-engine hazards, asserted ONCE against every
+    // SF instead of defended at each of the ~40 sites that assume
+    // them:
+    //  - U+000B (vertical tab): Java-regex \s+ (the engine's split)
+    //    treats it as whitespace, RE2's \s+ (DuckDB string_split_regex)
+    //    does not — a fixture VT would silently diverge every token
+    //    histogram (Bpe, NearDup.tokens, the NB/DSIR tokenizers).
+    //  - U+0001: BpeSpec's naive reference encodes token state
+    //    SEP-joined with SEP = U+0001; a fixture 0x01 would corrupt
+    //    the cross-check silently instead of failing it.
+    //  - doc_id >= 1e6: q163/q165 plant duplicate pages at doc_id +
+    //    1e6/2e6 — a real id in that range would collide with planted
+    //    ids and silently break the 'exactly N planted dupes'
+    //    accounting (both engines identically, so hash-green).
+    Seq("0.001", "0.01", "0.1").foreach { s =>
+      val dir = s"/root/testdata/sf$s"
+      assume(new java.io.File(dir).isDirectory, s"$dir not present")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val bad = docs.filter(col("text").contains("\u000B") ||
+        col("text").contains("\u0001")).count()
+      assert(bad == 0, s"sf$s: $bad docs contain U+000B/U+0001 — " +
+        "re-adjudicate every \\s+ tokenizer site and NaiveBpe's SEP")
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      assert(maxId < 1000000L, s"sf$s: max doc_id $maxId collides with " +
+        "q163/q165's planted-copy offsets (+1e6/+2e6)")
+    }
+  }
 }

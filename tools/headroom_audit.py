@@ -73,6 +73,14 @@ NAMED_PROBES = {
         "quantile_cont(avg_logprob, 0.7) AS hi FROM agg",
         [("lo", 6), ("hi", 6)],
     ),
+    # q166-q169's trained codebook: the Lloyd means are rounded to the
+    # 6dp grid INSIDE cb1 (then float32-cast) and every downstream
+    # assignment/LUT/decode consumes them — a mean near a midpoint
+    # could snap differently across engines and re-code every vector.
+    "q166_pq_codes": (
+        "SELECT mu FROM mu",
+        [("mu", 6)],
+    ),
 }
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -202,6 +210,8 @@ def main():
                                          {"neg": False, "neg0": False})
                 z["neg"] = z["neg"] or bool((v < 0).any())
         for name, (final_sel, probe_cols) in sorted(NAMED_PROBES.items()):
+            if name not in sqls:  # subset runs (filtered Verify output)
+                continue
             sql = sqls[name]
             probe_sql = sql[:final_select_pos(sql)] + final_sel
             pdf = con.execute(probe_sql).df()
