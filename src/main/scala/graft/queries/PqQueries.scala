@@ -74,6 +74,48 @@ object PqQueries {
     """dec AS (SELECT a1.vec_id, c.s, c.j, c.cx
       |      FROM a1 JOIN cb1 c ON c.s = a1.s AND c.c = a1.c)""".stripMargin
 
+  /** Residual-space training chain (q171/q172), given `u` in scope:
+    * coarse cells (vec_id<8 seeds), float32 residuals, seed codebooks
+    * from the vec_id 8..8+K residuals (past the zero-residual centroid
+    * rows — see q171's comment), one grid-snapped Lloyd round, final
+    * assignment ra1 against rcb1. */
+  private lazy val residualTrainCte: String =
+    s"""cvu AS (SELECT vec_id AS cid, p, x FROM u WHERE vec_id < 8),
+       |cd AS (SELECT t.vec_id, c.cid, SUM((t.x - c.x) * (t.x - c.x)) AS d2
+       |      FROM u t JOIN cvu c ON c.p = t.p GROUP BY t.vec_id, c.cid),
+       |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |      FROM cd) WHERE rn = 1),
+       |rv AS (SELECT t.vec_id, t.p,
+       |      CAST(CAST(t.x - cv.x AS REAL) AS DOUBLE) AS x
+       |      FROM u t JOIN cell ce ON ce.vec_id = t.vec_id
+       |      JOIN cvu cv ON cv.cid = ce.cid AND cv.p = t.p),
+       |rsv AS (SELECT vec_id, p // 8 AS s, p % 8 AS j, x FROM rv),
+       |rcb0 AS (SELECT vec_id - 8 AS c, p // 8 AS s, p % 8 AS j, x AS cx
+       |      FROM rv WHERE vec_id >= 8 AND vec_id < ${8 + K}),
+       |rd0 AS (SELECT t.vec_id, t.s, c.c,
+       |      SUM((t.x - c.cx) * (t.x - c.cx)) AS d2
+       |      FROM rsv t JOIN rcb0 c ON c.s = t.s AND c.j = t.j
+       |      GROUP BY t.vec_id, t.s, c.c),
+       |ra0 AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |      FROM rd0) WHERE rn = 1),
+       |rmu AS (SELECT ra0.s, ra0.c, t.j, AVG(t.x) AS mu
+       |      FROM ra0 JOIN rsv t ON t.vec_id = ra0.vec_id AND t.s = ra0.s
+       |      GROUP BY ra0.s, ra0.c, t.j),
+       |rcb1 AS (SELECT rcb0.s, rcb0.c, rcb0.j,
+       |      CAST(COALESCE(CAST(round(rmu.mu, 6) AS REAL),
+       |                    CAST(rcb0.cx AS REAL)) AS DOUBLE) AS cx
+       |      FROM rcb0 LEFT JOIN rmu
+       |        ON rmu.s = rcb0.s AND rmu.c = rcb0.c AND rmu.j = rcb0.j),
+       |rd1 AS (SELECT t.vec_id, t.s, c.c,
+       |      SUM((t.x - c.cx) * (t.x - c.cx)) AS d2
+       |      FROM rsv t JOIN rcb1 c ON c.s = t.s AND c.j = t.j
+       |      GROUP BY t.vec_id, t.s, c.c),
+       |ra1 AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |      FROM rd1) WHERE rn = 1)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ---- trained PQ codes, cell by cell ----
@@ -279,6 +321,121 @@ object PqQueries {
         VectorQueries.queryVec(s, d, 0), 10, model(e),
         graft.vector.Ivf.seedCentroids(e, "vec_id", "embedding", 8),
         nProbe = 2, rerank = 20)
+    },
+
+    // ---- residual IVF-PQ: the true FAISS IVFPQ layout ----
+    // PQ on the residual x − centroid(cell) instead of the raw vector:
+    // the same m·log2(k) bits quantize a much smaller-variance signal.
+    // The oracle replays EVERYTHING in residual space — float32
+    // residuals (double-subtract, one rounding), seed codebooks from
+    // the vec_id 8..23 residuals (PAST the centroid rows: their own
+    // residuals are exactly zero, and duplicate zero codes make every
+    // argmin an exact tie that a hash-aggregating engine's per-group
+    // sum order does not resolve deterministically — found live at
+    // sf0.001), one grid-snapped Lloyd round, empty-code fallback,
+    // reassignment — then serves: 2-probe cells, one ADC LUT PER
+    // PROBED CELL (a residual code only means something relative to
+    // its own centroid), top-20 page, exact float-L2 re-rank.
+    Q("q171_ivfpq_residual_topk",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |     WHERE embedding IS NOT NULL),
+         |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |      generate_subscripts(embedding, 1) - 1 AS p FROM e),
+         |$residualTrainCte,
+         |probe AS (SELECT cid FROM (SELECT cid,
+         |      row_number() OVER (ORDER BY d2, cid) AS rn
+         |      FROM cd WHERE vec_id = 0) WHERE rn <= 2),
+         |qrv AS (SELECT pr.cid, t.p,
+         |      CAST(CAST(t.x - cv.x AS REAL) AS DOUBLE) AS qx
+         |      FROM u t CROSS JOIN probe pr
+         |      JOIN cvu cv ON cv.cid = pr.cid AND cv.p = t.p
+         |      WHERE t.vec_id = 0),
+         |rlut AS (SELECT q.cid, c.s, c.c,
+         |      SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d2
+         |      FROM rcb1 c JOIN (SELECT cid, p // 8 AS s, p % 8 AS j, qx
+         |        FROM qrv) q ON q.s = c.s AND q.j = c.j
+         |      GROUP BY q.cid, c.s, c.c),
+         |cand AS (SELECT ce.vec_id, ce.cid FROM cell ce
+         |      JOIN probe pr ON pr.cid = ce.cid),
+         |rad AS (SELECT a.vec_id, round(SUM(l.d2), 6) AS adc_d2
+         |      FROM ra1 a JOIN cand ON cand.vec_id = a.vec_id
+         |      JOIN rlut l ON l.cid = cand.cid AND l.s = a.s AND l.c = a.c
+         |      GROUP BY a.vec_id),
+         |page AS (SELECT vec_id, adc_d2 FROM rad
+         |      ORDER BY adc_d2, vec_id LIMIT 20),
+         |qx AS (SELECT p, x AS qx FROM u WHERE vec_id = 0),
+         |ex AS (SELECT pg.vec_id, pg.adc_d2,
+         |      round(SUM((t.x - qx.qx) * (t.x - qx.qx)), 6) AS exact_d2
+         |      FROM page pg JOIN u t ON t.vec_id = pg.vec_id
+         |      JOIN qx ON qx.p = t.p
+         |      GROUP BY pg.vec_id, pg.adc_d2)
+         |SELECT vec_id, adc_d2, exact_d2 FROM ex
+         |ORDER BY exact_d2, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val cents = graft.vector.Ivf.seedCentroids(e, "vec_id", "embedding", 8)
+      val rmodel = Pq.trainResidualCodebooks(e, "vec_id", "embedding",
+        cents, M, K, iters = Iters)
+      Pq.ivfPqResidualTopK(e, "vec_id", "embedding",
+        VectorQueries.queryVec(s, d, 0), 10, rmodel, cents,
+        nProbe = 2, rerank = 20)
+    },
+
+    // ---- residual vs plain PQ: the layout-decision report ----
+    // Same bit budget (m=8 × k=16), two layouts: plain PQ quantizes x,
+    // residual IVF-PQ quantizes x − centroid(cell) and reconstructs as
+    // centroid + decode(code). Residual encoding wins when the coarse
+    // quantizer explains real variance (the FAISS-default regime at
+    // production cell counts); with the fixture's 8 seed-quality cells
+    // it measurably LOSES (sf0.001: 12651 vs 9359 ppm) — which is
+    // precisely why a pipeline runs this report before picking the
+    // layout instead of assuming the textbook answer. Both training
+    // loops replay in SQL (the q166/q171 chains side by side).
+    Q("q172_pq_residual_vs_plain_error",
+      s"""WITH $pqCte, $decCte,
+         |$residualTrainCte,
+         |rdec AS (SELECT ra1.vec_id, c.s, c.j, c.cx
+         |      FROM ra1 JOIN rcb1 c ON c.s = ra1.s AND c.c = ra1.c),
+         |pe AS (SELECT SUM((t.x - d.cx) * (t.x - d.cx)) AS se,
+         |      CAST(count(*) AS BIGINT) AS n
+         |      FROM sv t JOIN dec d ON d.vec_id = t.vec_id
+         |        AND d.s = t.s AND d.j = t.j),
+         |re AS (SELECT SUM((t.x - (cv.x + rd.cx)) * (t.x - (cv.x + rd.cx))) AS se,
+         |      CAST(count(*) AS BIGINT) AS n
+         |      FROM u t JOIN cell ce ON ce.vec_id = t.vec_id
+         |      JOIN cvu cv ON cv.cid = ce.cid AND cv.p = t.p
+         |      JOIN rdec rd ON rd.vec_id = t.vec_id
+         |        AND rd.s = t.p // 8 AND rd.j = t.p % 8)
+         |SELECT pe.n AS n_cells,
+         |  round(pe.se / pe.n * 1000000, 6) AS pq_mse_ppm,
+         |  round(re.se / re.n * 1000000, 6) AS residual_pq_mse_ppm
+         |FROM pe, re""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val mod = model(e)
+      val cents = graft.vector.Ivf.seedCentroids(e, "vec_id", "embedding", 8)
+      val rmodel = Pq.trainResidualCodebooks(e, "vec_id", "embedding",
+        cents, M, K, iters = Iters)
+      val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+      val assigned = graft.vector.Ivf.assignCells(e, col("embedding"), cents)
+        .withColumn("__res",
+          Pq.residualCol(col("embedding"), cents, col("ivf_cell")))
+      val rep = Pq.encode(
+          Pq.encode(assigned, col("embedding"), mod, "__pq"),
+          col("__res"), rmodel, "__rq")
+        .withColumn("__pdec", Pq.decode(col("__pq"), mod))
+        // residual reconstruction: centroid + decoded residual, added
+        // in doubles (the oracle's cv.x + rd.cx arithmetic)
+        .withColumn("__rdec", zip_with(
+          element_at(centsLit, col("ivf_cell") + lit(1)),
+          Pq.decode(col("__rq"), rmodel),
+          (c, r) => c.cast("double") + r.cast("double")))
+      rep.agg(
+          sum(Pq.l2Sq(col("embedding"), col("__pdec"))).as("__pse"),
+          sum(Pq.l2Sq(col("embedding"), col("__rdec"))).as("__rse"),
+          sum(size(col("embedding")).cast("long")).as("n_cells"))
+        .select(col("n_cells"),
+          round(col("__pse") / col("n_cells") * 1000000, 6).as("pq_mse_ppm"),
+          round(col("__rse") / col("n_cells") * 1000000, 6)
+            .as("residual_pq_mse_ppm"))
     }
   )
 }

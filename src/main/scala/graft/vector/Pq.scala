@@ -49,16 +49,26 @@ object Pq {
       codebooks.map(_.map(_.toSeq).toSeq).toSeq
   }
 
-  /** Deterministic id-prefix seed codebooks: subspace s's codebook is
-    * the s-th dsub-slice of the `id < k` rows (ascending id) — the
-    * `Ivf.seedCentroids` rule sliced per subspace, reproducible by
-    * any engine. Rows with null vectors are skipped. */
+  /** Deterministic id-window seed codebooks: subspace s's codebook is
+    * the s-th dsub-slice of the `seedIdOffset <= id < seedIdOffset+k`
+    * rows (ascending id) — the `Ivf.seedCentroids` rule sliced per
+    * subspace, reproducible by any engine. Rows with null vectors are
+    * skipped. `seedIdOffset` exists for RESIDUAL training: the rows
+    * that seeded the coarse centroids have exactly-zero residuals, and
+    * k duplicate zero codes make every argmin an exact tie — which an
+    * engine whose per-group summation order varies (DuckDB hash agg)
+    * does not resolve deterministically. Seeding past them keeps all
+    * codes distinct, restoring the q87 no-exact-ties regime. */
   def seedCodebooks(df: DataFrame, id: String, vec: String, m: Int,
-      k: Int): PqModel = {
+      k: Int, seedIdOffset: Long = 0L): PqModel = {
     require(m >= 1, "seedCodebooks: m must be >= 1")
-    val seeds = Ivf.seedCentroids(df.filter(col(vec).isNotNull), id, vec, k)
+    val seeds = df
+      .filter(col(vec).isNotNull && col(id) >= seedIdOffset &&
+        col(id) < seedIdOffset + k)
+      .orderBy(col(id)).select(col(vec))
+      .collect().map(_.getSeq[Float](0).toArray)
     require(seeds.length == k,
-      s"seedCodebooks: only ${seeds.length} of $k id-prefix seeds present")
+      s"seedCodebooks: only ${seeds.length} of $k id-window seeds present")
     val dim = seeds.head.length
     require(dim % m == 0, s"seedCodebooks: dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -108,8 +118,9 @@ object Pq {
     * with `Ivf.trainCentroids` on sliced vectors instead; this path
     * is the cross-engine-reproducible one the oracles replay. */
   def trainCodebooks(df: DataFrame, id: String, vec: String, m: Int,
-      k: Int, iters: Int = 1, grid: Int = 6): PqModel = {
-    var mod = seedCodebooks(df, id, vec, m, k)
+      k: Int, iters: Int = 1, grid: Int = 6,
+      seedIdOffset: Long = 0L): PqModel = {
+    var mod = seedCodebooks(df, id, vec, m, k, seedIdOffset)
     var i = 0
     while (i < iters) { mod = lloydOnce(df, vec, mod, grid); i += 1 }
     mod
@@ -214,6 +225,84 @@ object Pq {
             (x.cast("double") - y.cast("double")) *
               (x.cast("double") - y.cast("double"))),
           lit(0.0d), (acc, e) => acc + e), 6))
+        .select(col(id), col("adc_d2"), col("exact_d2"))
+        .orderBy(col("exact_d2"), col(id))
+        .limit(kTop)
+    }
+  }
+
+  /** Per-element float32 residual x − centroid(cell) — the encoding
+    * input of residual IVF-PQ (Jégou et al. §III-C, the FAISS IVFPQ
+    * layout: quantizing the residual instead of the raw vector spends
+    * the same m·log2(k) bits on a much smaller-variance signal, so
+    * reconstruction error and ADC recall improve at identical size).
+    * Arithmetic both engines reproduce bit-for-bit: the two float
+    * operands subtract exactly in double, then round ONCE to float32
+    * (DuckDB: `CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS REAL)`). */
+  def residualCol(vec: Column, cents: Array[Array[Float]],
+      cell: Column): Column = {
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    zip_with(vec, element_at(centsLit, cell + lit(1)),
+      (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+  }
+
+  /** Train ONE shared codebook set over all cells' residuals (the
+    * FAISS default) — same seed/Lloyd/grid discipline as
+    * `trainCodebooks`, run on the residual column. Seeds start PAST
+    * the coarse-centroid rows (`id >= |cents|`): the centroid rows'
+    * residuals are exactly zero, and duplicate zero codes degenerate
+    * every argmin into an exact tie (see `seedCodebooks`). */
+  def trainResidualCodebooks(df: DataFrame, id: String, vec: String,
+      cents: Array[Array[Float]], m: Int, k: Int, iters: Int = 1,
+      grid: Int = 6): PqModel = {
+    val withRes = Ivf.assignCells(df.filter(col(vec).isNotNull),
+        col(vec), cents)
+      .withColumn("__res", residualCol(col(vec), cents, col("ivf_cell")))
+    trainCodebooks(withRes, id, "__res", m, k, iters, grid,
+      seedIdOffset = cents.length.toLong)
+  }
+
+  /** Residual IVF-PQ top-k: candidates from the query's nProbe cells,
+    * each scored by ADC against the LUT of the query's residual IN
+    * THAT CELL (one LUT per probed cell — residual codes only mean
+    * something relative to their own centroid), optional exact float
+    * rerank of the top `rerank` page. Same storage story as
+    * `ivfPqTopK`: index files hold (id, ivf_cell, codes); the scan
+    * never reads the float column. */
+  def ivfPqResidualTopK(df: DataFrame, id: String, vec: String,
+      query: Array[Float], kTop: Int, model: PqModel,
+      cents: Array[Array[Float]], nProbe: Int = 2,
+      rerank: Int = 0): DataFrame = {
+    require(kTop >= 1, "ivfPqResidualTopK: kTop must be >= 1")
+    val probes = Ivf.nearestCells(query, cents, nProbe)
+    val cand = Ivf.assignCells(df.filter(col(vec).isNotNull), col(vec), cents)
+      .filter(col("ivf_cell").isin(probes: _*))
+      .withColumn("__res", residualCol(col(vec), cents, col("ivf_cell")))
+    val enc = encode(cand, col("__res"), model, "__codes")
+    // per-probed-cell query residual → per-cell LUT (float32 residual,
+    // the exact value the row side encodes against)
+    def qResidual(cellId: Int): Array[Float] = {
+      val c = cents(cellId)
+      Array.tabulate(query.length) { i =>
+        (query(i).toDouble -
+          (if (i < c.length) c(i).toDouble else 0.0)).toFloat
+      }
+    }
+    val adc = probes.foldLeft(lit(null).cast("double")) { (acc, cellId) =>
+      when(col("ivf_cell") === cellId,
+        adcDist(col("__codes"),
+          adcLutFlat(qResidual(cellId), model).toSeq, model.k))
+        .otherwise(acc)
+    }
+    val scored = enc.withColumn("adc_d2", round(adc, 6))
+    if (rerank <= 0) {
+      scored.select(col(id), col("adc_d2"))
+        .orderBy(col("adc_d2"), col(id)).limit(kTop)
+    } else {
+      val qLit = typedlit(query.toSeq)
+      scored
+        .orderBy(col("adc_d2"), col(id)).limit(math.max(rerank, kTop))
+        .withColumn("exact_d2", round(l2Sq(col(vec), qLit), 6))
         .select(col(id), col("adc_d2"), col("exact_d2"))
         .orderBy(col("exact_d2"), col(id))
         .limit(kTop)

@@ -194,6 +194,40 @@ class PqSpec extends AnyFunSuite {
     assert(withShared.forall(_.getDouble(3) == 1.0))
   }
 
+  test("residual IVF-PQ: zero residual at centroid rows, seeds skip them, exact rerank degeneracy") {
+    val cents = Ivf.seedCentroids(df, "vec_id", "embedding", 4)
+    val withRes = Ivf.assignCells(df, col("embedding"), cents)
+      .withColumn("__res", Pq.residualCol(col("embedding"), cents, col("ivf_cell")))
+    // a centroid row's residual is exactly the zero vector
+    val centRes = withRes.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("__res")).collect()
+    centRes.foreach { r =>
+      assert(r.getSeq[Float](1).forall(_ == 0.0f),
+        s"centroid row ${r.getLong(0)} has nonzero residual")
+    }
+    // seeds start PAST the centroid rows: no codebook entry is the
+    // zero vector (duplicate zero codes make argmin ties exact — the
+    // cross-engine hazard q171 documents)
+    val rmodel = Pq.trainResidualCodebooks(df, "vec_id", "embedding",
+      cents, m, k, iters = 0)
+    for (s <- 0 until m; c <- 0 until k)
+      assert(rmodel.codebooks(s)(c).exists(_ != 0.0f),
+        s"residual seed codebook[$s][$c] is the zero vector")
+    // nProbe = all cells + rerank >= corpus degenerates to exact L2
+    val query = rows(11)._2.toArray
+    val exact = rows.map { case (id, v) =>
+      var d = 0.0
+      for (i <- 0 until dim) { val t = query(i).toDouble - v(i).toDouble; d += t * t }
+      (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, d) => (d, id) }.take(5)
+    val got = Pq.ivfPqResidualTopK(df, "vec_id", "embedding", query, 5,
+        Pq.trainResidualCodebooks(df, "vec_id", "embedding", cents, m, k),
+        cents, nProbe = 4, rerank = n)
+      .select(col("vec_id"), col("exact_d2")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact)
+  }
+
   test("null vector encodes to null; short vector encodes without throwing") {
     val withNull = (rows :+ ((99L, null: Seq[Float]))).toDF("vec_id", "embedding")
     val nz = Pq.encode(withNull, col("embedding"), model)
