@@ -116,6 +116,41 @@ object PqQueries {
        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
        |      FROM rd1) WHERE rn = 1)""".stripMargin
 
+  /** q170's oracle — also q173's verbatim (ADC serving FROM the
+    * partition-pruned on-disk index must reproduce the in-memory
+    * path exactly, including the rerank). */
+  private lazy val ivfPqOracle: String =
+    s"""WITH $pqCte,
+         |cvu AS (SELECT vec_id AS cid, p, x FROM u WHERE vec_id < 8),
+         |cd AS (SELECT t.vec_id, c.cid, SUM((t.x - c.x) * (t.x - c.x)) AS d2
+         |      FROM u t JOIN cvu c ON c.p = t.p GROUP BY t.vec_id, c.cid),
+         |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |      FROM cd) WHERE rn = 1),
+         |probe AS (SELECT cid FROM (SELECT cid,
+         |      row_number() OVER (ORDER BY d2, cid) AS rn
+         |      FROM cd WHERE vec_id = 0) WHERE rn <= 2),
+         |cand AS (SELECT ce.vec_id FROM cell ce JOIN probe pr ON pr.cid = ce.cid),
+         |q AS (SELECT p // 8 AS s, p % 8 AS j, x AS qx
+         |      FROM u WHERE vec_id = 0),
+         |lut AS (SELECT c.s, c.c, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d2
+         |      FROM cb1 c JOIN q ON q.s = c.s AND q.j = c.j
+         |      GROUP BY c.s, c.c),
+         |ad AS (SELECT a1.vec_id, round(SUM(l.d2), 6) AS adc_d2
+         |      FROM a1 JOIN cand ON cand.vec_id = a1.vec_id
+         |      JOIN lut l ON l.s = a1.s AND l.c = a1.c
+         |      GROUP BY a1.vec_id),
+         |page AS (SELECT vec_id, adc_d2 FROM ad
+         |      ORDER BY adc_d2, vec_id LIMIT 20),
+         |qx AS (SELECT p, x AS qx FROM u WHERE vec_id = 0),
+         |ex AS (SELECT pg.vec_id, pg.adc_d2,
+         |      round(SUM((t.x - qx.qx) * (t.x - qx.qx)), 6) AS exact_d2
+         |      FROM page pg JOIN u t ON t.vec_id = pg.vec_id
+         |      JOIN qx ON qx.p = t.p
+         |      GROUP BY pg.vec_id, pg.adc_d2)
+         |SELECT vec_id, adc_d2, exact_d2 FROM ex
+         |ORDER BY exact_d2, vec_id LIMIT 10""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ---- trained PQ codes, cell by cell ----
@@ -286,41 +321,39 @@ object PqQueries {
     // ride the hash — a wrong cell, a drifted code, a mis-built LUT,
     // or a rerank that reads the wrong vector all break it.
     Q("q170_ivfpq_topk",
-      s"""WITH $pqCte,
-         |cvu AS (SELECT vec_id AS cid, p, x FROM u WHERE vec_id < 8),
-         |cd AS (SELECT t.vec_id, c.cid, SUM((t.x - c.x) * (t.x - c.x)) AS d2
-         |      FROM u t JOIN cvu c ON c.p = t.p GROUP BY t.vec_id, c.cid),
-         |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |      FROM cd) WHERE rn = 1),
-         |probe AS (SELECT cid FROM (SELECT cid,
-         |      row_number() OVER (ORDER BY d2, cid) AS rn
-         |      FROM cd WHERE vec_id = 0) WHERE rn <= 2),
-         |cand AS (SELECT ce.vec_id FROM cell ce JOIN probe pr ON pr.cid = ce.cid),
-         |q AS (SELECT p // 8 AS s, p % 8 AS j, x AS qx
-         |      FROM u WHERE vec_id = 0),
-         |lut AS (SELECT c.s, c.c, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d2
-         |      FROM cb1 c JOIN q ON q.s = c.s AND q.j = c.j
-         |      GROUP BY c.s, c.c),
-         |ad AS (SELECT a1.vec_id, round(SUM(l.d2), 6) AS adc_d2
-         |      FROM a1 JOIN cand ON cand.vec_id = a1.vec_id
-         |      JOIN lut l ON l.s = a1.s AND l.c = a1.c
-         |      GROUP BY a1.vec_id),
-         |page AS (SELECT vec_id, adc_d2 FROM ad
-         |      ORDER BY adc_d2, vec_id LIMIT 20),
-         |qx AS (SELECT p, x AS qx FROM u WHERE vec_id = 0),
-         |ex AS (SELECT pg.vec_id, pg.adc_d2,
-         |      round(SUM((t.x - qx.qx) * (t.x - qx.qx)), 6) AS exact_d2
-         |      FROM page pg JOIN u t ON t.vec_id = pg.vec_id
-         |      JOIN qx ON qx.p = t.p
-         |      GROUP BY pg.vec_id, pg.adc_d2)
-         |SELECT vec_id, adc_d2, exact_d2 FROM ex
-         |ORDER BY exact_d2, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      ivfPqOracle) { (s, d) =>
       val e = emb(s, d)
       Pq.ivfPqTopK(e, "vec_id", "embedding",
         VectorQueries.queryVec(s, d, 0), 10, model(e),
         graft.vector.Ivf.seedCentroids(e, "vec_id", "embedding", 8),
         nProbe = 2, rerank = 20)
+    },
+
+    // ---- the on-disk IVF-PQ index: serve from parquet, pruned ----
+    // q170's verbatim oracle, but the engine path goes THROUGH the
+    // store: the index is written cell-partitioned in two appended
+    // halves (the incremental-ingest shape), then the query reads only
+    // its 2 probed cells' partitions, ADC-ranks the code rows, and
+    // joins the top-20 page back to the corpus BY ID for the exact
+    // rerank. A hash match proves the store round-trips codes + cells
+    // bit-for-bit AND that serving from the pruned file subset equals
+    // the in-memory path.
+    Q("q173_ivfpq_store_topk", ivfPqOracle) { (s, d) =>
+      val e = emb(s, d)
+      val cents = graft.vector.Ivf.seedCentroids(e, "vec_id", "embedding", 8)
+      val mod = model(e)
+      val dir = "target/tmp/q173_state"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val store = s"$dir/pq_index"
+      Pq.writeIndexStore(e.where(col("vec_id") % 2 === 0), "vec_id",
+        "embedding", mod, cents, store)
+      Pq.writeIndexStore(e.where(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", mod, cents, store)
+      Pq.probeIndexStore(s, store, "vec_id",
+        VectorQueries.queryVec(s, d, 0), 10, mod, cents,
+        nProbe = 2, rerank = 20, corpus = Some(e), vec = "embedding")
     },
 
     // ---- residual IVF-PQ: the true FAISS IVFPQ layout ----

@@ -309,6 +309,62 @@ object Pq {
     }
   }
 
+  /** Write (append) the on-disk IVF-PQ index: (id, pq_codes)
+    * PARTITIONED BY ivf_cell — the 100 TB serving layout. A query's
+    * nProbe cells select a strict partition subset of the store's
+    * files (spec-pinned via inputFiles), the scanned rows are m small
+    * ints each, and the float column never ships: at dim 64 / m 8 the
+    * index is 32× smaller than the vectors it serves. Append-able per
+    * ingest batch (`mode=append` + one writer task per cell — the
+    * signature-store sliver discipline); `Sinks.recoverSwap` guards
+    * the crash window like every other store. */
+  def writeIndexStore(df: DataFrame, id: String, vec: String,
+      model: PqModel, cents: Array[Array[Float]], path: String): Unit = {
+    graft.io.Sinks.recoverSwap(df.sparkSession, path)
+    val enc = encode(
+      Ivf.assignCells(df.filter(col(vec).isNotNull), col(vec), cents),
+      col(vec), model, "pq_codes")
+    enc.select(col(id), col("ivf_cell"), col("pq_codes"))
+      .repartition(cents.length, col("ivf_cell"))
+      .write.mode("append").partitionBy("ivf_cell").parquet(path)
+  }
+
+  /** ADC top-k served FROM the store: read only the query's nProbe
+    * cell partitions (partition-pruned file subset), score the code
+    * rows against the broadcast LUT, TakeOrdered. With `rerank > 0`
+    * the top-`rerank` ADC page joins back to `corpus` BY ID for exact
+    * float re-ranking — the only point where any vector is read, and
+    * it reads ≤ rerank of them. Same output contract as `ivfPqTopK`. */
+  def probeIndexStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, id: String, query: Array[Float], kTop: Int,
+      model: PqModel, cents: Array[Array[Float]], nProbe: Int = 2,
+      rerank: Int = 0, corpus: Option[DataFrame] = None,
+      vec: String = "embedding"): DataFrame = {
+    require(kTop >= 1, "probeIndexStore: kTop must be >= 1")
+    require(rerank <= 0 || corpus.nonEmpty,
+      "probeIndexStore: rerank needs the float corpus to re-score against")
+    graft.io.Sinks.recoverSwap(spark, path)
+    val probes = Ivf.nearestCells(query, cents, nProbe)
+    val lut = adcLutFlat(query, model)
+    val scored = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probes: _*))
+      .withColumn("adc_d2",
+        round(adcDist(col("pq_codes"), lut.toSeq, model.k), 6))
+    if (rerank <= 0) {
+      scored.select(col(id), col("adc_d2"))
+        .orderBy(col("adc_d2"), col(id)).limit(kTop)
+    } else {
+      val qLit = typedlit(query.toSeq)
+      scored
+        .orderBy(col("adc_d2"), col(id)).limit(math.max(rerank, kTop))
+        .join(corpus.get.select(col(id), col(vec)), Seq(id))
+        .withColumn("exact_d2", round(l2Sq(col(vec), qLit), 6))
+        .select(col(id), col("adc_d2"), col("exact_d2"))
+        .orderBy(col("exact_d2"), col(id))
+        .limit(kTop)
+    }
+  }
+
   /** Squared L2 between two float-array columns in double precision —
     * the shared scoring expression of the recall/error reports. */
   def l2Sq(a: Column, b: Column): Column =

@@ -228,6 +228,43 @@ class PqSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("index store: probe ≡ in-memory path, two appends tile one-shot, scan is partition-pruned") {
+    val cents = Ivf.seedCentroids(df, "vec_id", "embedding", 4)
+    val store = TestSpark.tempDir("pq-index") + "/idx"
+    // two appended halves — the incremental-ingest shape
+    Pq.writeIndexStore(df.where(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", model, cents, store)
+    Pq.writeIndexStore(df.where(col("vec_id") % 2 =!= 0), "vec_id",
+      "embedding", model, cents, store)
+    val query = rows(9)._2.toArray
+    val fromStore = Pq.probeIndexStore(spark, store, "vec_id", query, 5,
+        model, cents, nProbe = 2, rerank = n, corpus = Some(df))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val inMem = Pq.ivfPqTopK(df, "vec_id", "embedding", query, 5, model,
+        cents, nProbe = 2, rerank = n)
+      .select(col("vec_id"), col("exact_d2"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromStore == inMem, s"store=$fromStore inMem=$inMem")
+    // the probe scan reads a strict file subset (2 of 4 cell
+    // partitions; inputFiles ignores pruning, so read the executed
+    // scan's own numFiles metric — the GraphSpec treatment)
+    val probes = Ivf.nearestCells(query, cents, 2)
+    val pruned = spark.read.parquet(store)
+      .filter(col("ivf_cell").isin(probes: _*))
+    val all = spark.read.parquet(store)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+    assert(scanned > 0 && scanned < all.inputFiles.length,
+      s"scanned $scanned of ${all.inputFiles.length}")
+    // the store's rows are code rows only — no float vector column
+    assert(!all.schema.fieldNames.contains("embedding"))
+  }
+
   test("null vector encodes to null; short vector encodes without throwing") {
     val withNull = (rows :+ ((99L, null: Seq[Float]))).toDF("vec_id", "embedding")
     val nz = Pq.encode(withNull, col("embedding"), model)
