@@ -463,6 +463,44 @@ object Streams {
         ()
       }
 
+  /** Streaming IVF-PQ index ingest: each micro-batch of vectors is
+    * cell-assigned, PQ-encoded, and written under
+    * `storePath/batch=<id>/ivf_cell=<c>/` — the on-disk ANN index
+    * (`Pq.writeIndexStore` layout) grows one batch directory per tick
+    * while probes keep partition-pruning on ivf_cell across ALL
+    * batches (`Pq.probeIndexStore` reads the root; `batch` is just
+    * another discovered partition column). Idempotence: per-batch
+    * directory overwrite + marker, so at-least-once replay rewrites
+    * identical rows (the pcaMomentsSink/bpeHistogramSink contract);
+    * a null-only or empty tick writes nothing. */
+  def pqIndexSink(vectors: DataFrame, id: String, vec: String,
+      model: graft.vector.Pq.PqModel, cents: Array[Array[Float]],
+      storePath: String, checkpoint: String): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$storePath/_committed_batch_$batchId")
+        val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!mfs.exists(marker)) {
+          val live = batch.where(col(vec).isNotNull)
+          if (!live.isEmpty) {
+            graft.vector.Pq.encode(
+                graft.vector.Ivf.assignCells(live, col(vec), cents),
+                col(vec), model, "pq_codes")
+              .select(col(id), col("ivf_cell"), col("pq_codes"))
+              .repartition(cents.length, col("ivf_cell"))
+              .write.mode("overwrite").partitionBy("ivf_cell")
+              .parquet(s"$storePath/batch=$batchId")
+          }
+          mfs.create(marker, true).close()
+        }
+        ()
+      }
+
   /** Drain a streaming query synchronously (test/cron-tick helper). */
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()

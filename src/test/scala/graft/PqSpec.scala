@@ -265,6 +265,47 @@ class PqSpec extends AnyFunSuite {
     assert(!all.schema.fieldNames.contains("embedding"))
   }
 
+  test("pqIndexSink: streamed ingest ≡ batch store, null tick writes nothing, replay redelivers nothing") {
+    import graft.streaming.Streams
+    val cents = Ivf.seedCentroids(df, "vec_id", "embedding", 4)
+    val dir = TestSpark.tempDir("pq-stream")
+    // three ticks of vectors + one all-null tick
+    val parity = pmod(col("vec_id"), lit(3))
+    (0 until 3).foreach { t =>
+      df.filter(parity === t).coalesce(1).write.parquet(s"$dir/in/f=$t")
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(999L, null)), 1),
+        df.schema).coalesce(1).write.parquet(s"$dir/in/f=3")
+    val schema = spark.read.parquet(s"$dir/in/f=0").schema
+    val q = Streams.pqIndexSink(
+      Streams.fileStream(spark, s"$dir/in/*/", schema, maxFilesPerTrigger = 1),
+      "vec_id", "embedding", model, cents, s"$dir/store", s"$dir/ckpt").start()
+    q.awaitTermination()
+    // streamed store serves the same rows as the in-memory path
+    val query = rows(13)._2.toArray
+    val fromStream = Pq.probeIndexStore(spark, s"$dir/store", "vec_id",
+        query, 5, model, cents, nProbe = 2, rerank = n, corpus = Some(df))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val inMem = Pq.ivfPqTopK(df, "vec_id", "embedding", query, 5, model,
+        cents, nProbe = 2, rerank = n)
+      .select(col("vec_id"), col("exact_d2"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromStream == inMem)
+    // the null tick wrote no batch directory; replay adds nothing
+    def batches() = spark.read.parquet(s"$dir/store")
+      .select(col("batch")).distinct().count()
+    val rowsBefore = spark.read.parquet(s"$dir/store").count()
+    assert(batches() == 3)
+    val q2 = Streams.pqIndexSink(
+      Streams.fileStream(spark, s"$dir/in/*/", schema, maxFilesPerTrigger = 1),
+      "vec_id", "embedding", model, cents, s"$dir/store", s"$dir/ckpt").start()
+    q2.awaitTermination()
+    assert(batches() == 3 &&
+      spark.read.parquet(s"$dir/store").count() == rowsBefore)
+  }
+
   test("null vector encodes to null; short vector encodes without throwing") {
     val withNull = (rows :+ ((99L, null: Seq[Float]))).toDF("vec_id", "embedding")
     val nz = Pq.encode(withNull, col("embedding"), model)

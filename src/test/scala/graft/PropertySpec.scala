@@ -1539,4 +1539,48 @@ class PropertySpec extends AnyFunSuite {
         }
     }, n = 40)
   }
+
+  test("property: PQ encode/ADC == naive model on random vectors and codebooks") {
+    import graft.vector.Pq
+    // random geometry + random float data through the DATAFRAME path:
+    // codes must equal the naive per-subspace argmin (first-wins ties),
+    // and ADC-LUT distance must equal exact L2 to the decoded
+    // reconstruction (the PQ identity) — for ANY codebook, not just
+    // trained ones.
+    val gen = for {
+      m <- Gen.choose(1, 4)
+      dsub <- Gen.choose(1, 4)
+      k <- Gen.choose(1, 5)
+      nv <- Gen.choose(1, 12)
+      mkF = Gen.choose(-64, 64).map(i => i / 16.0f)
+      cbs <- Gen.listOfN(m, Gen.listOfN(k, Gen.listOfN(dsub, mkF)))
+      vecs <- Gen.listOfN(nv, Gen.listOfN(m * dsub, mkF))
+      q <- Gen.listOfN(m * dsub, mkF)
+    } yield (cbs.map(_.map(_.toArray).toArray).toArray, vecs, q.toArray)
+    check(Prop.forAll(gen) { case (cbs, vecs, query) =>
+      val model = Pq.PqModel(cbs(0)(0).length, cbs)
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val lut = Pq.adcLutFlat(query, model)
+      val out = Pq.encode(df, col("embedding"), model)
+        .withColumn("__adc", Pq.adcDist(col("pq_codes"), lut.toSeq, model.k))
+        .withColumn("__dec", Pq.l2Sq(Pq.decode(col("pq_codes"), model),
+          typedlit(query.toSeq)))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+      out.forall { case (id, codes, adc, dec) =>
+        val v = vecs(id.toInt)
+        val naive = cbs.indices.map { s =>
+          val off = s * model.dsub
+          cbs(s).indices.minBy { c =>
+            (cbs(s)(c).indices.map { j =>
+              val t = v(off + j).toDouble - cbs(s)(c)(j).toDouble; t * t
+            }.sum, c)
+          }
+        }
+        codes == naive && math.abs(adc - dec) < 1e-9
+      }
+    }, n = 30)
+  }
 }
