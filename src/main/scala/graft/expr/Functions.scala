@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Functions {
 
+  /** Signed-zero-normalized rounding — THE form for any hashed rounded
+    * statistic whose distribution straddles zero (the r19 suite-wide
+    * convention): DuckDB `round()` of a tiny negative returns IEEE
+    * -0.0, Spark's HALF_UP returns +0.0, and the driver hashes bytes;
+    * `+ 0.0` maps -0.0 → +0.0 on both engines and changes nothing
+    * else (null passes through). The DuckDB side writes
+    * `round(expr, k) + 0.0` literally; `tools/headroom_audit.py`
+    * bit-scans every oracle output for violations. */
+  def roundZ(c: Column, k: Int): Column = round(c, k) + lit(0.0)
+
   /** F1 — meeting date/time extraction (ref transcribe_council.py:22-26). */
   private val meetingPat =
     "(\\w+,\\s\\w+\\s\\d{1,2},\\s\\d{4})\\s*-\\s*(\\d{1,2}:\\d{2}\\s*[APMapm]{2})"

@@ -82,11 +82,11 @@ object CorpusReports {
     // (topRanks>=2 validates the PARAMETER; this guards the DATA)
     ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("n_ranks"),
-        // + 0.0: signed-zero normalization (r19 audit) — a flat-slope
+        // roundZ: signed-zero normalization (r19 audit) — a flat-slope
         // fit can round to -0.0 in DuckDB; null + 0.0 stays null
-        (round(when(var_pop(col("__x")) > 0,
+        graft.expr.Functions.roundZ(when(var_pop(col("__x")) > 0,
           covar_pop(col("__y"), col("__x")) / var_pop(col("__x"))),
-          roundTo) + lit(0.0)).as("zipf_slope"),
+          roundTo).as("zipf_slope"),
         round(when(var_pop(col("__x")) > 0,
           avg(col("__y")) -
             covar_pop(col("__y"), col("__x")) / var_pop(col("__x"))

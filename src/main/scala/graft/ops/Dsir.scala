@@ -125,10 +125,9 @@ object Dsir {
     rfeat.join(scored, Seq("__feat"))
       .groupBy(col(id))
       .agg(count(lit(1)).as(nName),
-        // + 0.0 normalizes IEEE -0.0 (DuckDB round of a tiny negative
-        // mean) to +0.0 — the byte-hash convention for every rounded
-        // statistic that can straddle zero (r19 signed-zero audit)
-        (round(avg(col("__llr")), 6) + lit(0.0)).as("avg_llr"))
+        // roundZ: the signed-zero convention for every rounded
+        // statistic that can straddle zero (r19 audit)
+        graft.expr.Functions.roundZ(avg(col("__llr")), 6).as("avg_llr"))
   }
 
   /** DSIR's sampling step, deterministically: Gumbel-top-k. Sampling

@@ -324,9 +324,9 @@ object TextAnalysis {
       .crossJoin(broadcast(tot))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_pairs"),
-        // + 0.0: signed-zero normalization (r19 audit) — a mean log
+        // roundZ: signed-zero normalization (r19 audit) — a mean log
         // prob can round to -0.0 in DuckDB, +0.0 here; bytes differ
-        (round(avg(lp), 6) + lit(0.0)).as("avg_logprob"))
+        graft.expr.Functions.roundZ(avg(lp), 6).as("avg_logprob"))
   }
 
   /** CCNet-style perplexity banding (Wenzek et al. 2020): score every

@@ -358,7 +358,7 @@ object CorpusQueries {
       TextClassifier.trainNaiveBayes(
           docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
         .select(col("label"), col("term"), col("n"),
-          (round(col("log_cond"), 6) + lit(0.0)).as("log_cond"))
+          graft.expr.Functions.roundZ(col("log_cond"), 6).as("log_cond"))
         .orderBy(col("label"), col("term"))
     },
 
@@ -502,7 +502,7 @@ object CorpusQueries {
         train.filter(col("doc_id") % 2 =!= 0), col("source"), col("text"))
       TextClassifier.trainFromStats(TextClassifier.mergeNbStats(s1, s2))
         .select(col("label"), col("term"), col("n"),
-          (round(col("log_cond"), 6) + lit(0.0)).as("log_cond"))
+          graft.expr.Functions.roundZ(col("log_cond"), 6).as("log_cond"))
         .orderBy(col("label"), col("term"))
     },
 
@@ -620,9 +620,9 @@ object CorpusQueries {
       TextClassifier.trainNaiveBayesSparse(
           docs.filter(col("doc_id") % 7 =!= 0), col("source"), col("text"))
         .select(col("label"), col("term"), col("n"),
-          (round(col("log_cond"), 6) + lit(0.0)).as("log_cond"),
-          (round(col("oov_ll"), 6) + lit(0.0)).as("oov_ll"),
-          (round(col("log_prior"), 6) + lit(0.0)).as("log_prior"))
+          graft.expr.Functions.roundZ(col("log_cond"), 6).as("log_cond"),
+          graft.expr.Functions.roundZ(col("oov_ll"), 6).as("oov_ll"),
+          graft.expr.Functions.roundZ(col("log_prior"), 6).as("log_prior"))
         .orderBy(col("label"), col("term"))
     },
   )

@@ -187,8 +187,10 @@ object OlapQueries {
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
           round(var_samp(col("l_quantity")), 6).as("var_qty"),
-          (round(corr(col("l_quantity"), col("l_discount")), 6) + lit(0.0)).as("corr_qd"),
-          (round(covar_samp(col("l_quantity"), col("l_discount")), 6) + lit(0.0)).as("cov_qd"))
+          graft.expr.Functions.roundZ(
+            corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+          graft.expr.Functions.roundZ(
+            covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
         .orderBy(col("l_returnflag"))
     },
 

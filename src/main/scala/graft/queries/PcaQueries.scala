@@ -89,7 +89,7 @@ object PcaQueries {
       // byte-unequal, and the driver hashes bytes (r18 verdict item 1).
       // -0.0 + 0.0 = +0.0 in both engines; every other value unchanged.
       Pca.covariance(t(s, d, "embeddings"), "embedding")
-        .withColumn("cov", round(col("cov"), 6) + lit(0.0))
+        .withColumn("cov", graft.expr.Functions.roundZ(col("cov"), 6))
     },
 
     // ---- trace identity: sum of eigenvalues == total variance ----

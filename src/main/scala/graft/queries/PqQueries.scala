@@ -220,7 +220,8 @@ object PqQueries {
          |      list_max(list_transform(embedding,
          |        v -> abs(CAST(v AS DOUBLE)))) AS sc FROM e),
          |i8 AS (SELECT u.vec_id, u.p, CAST(CAST(
-         |        round(u.x / scl.sc * 127) AS BIGINT)
+         |        CASE WHEN scl.sc > 0 THEN round(u.x / scl.sc * 127)
+         |             ELSE 0 END AS BIGINT)
          |          * scl.sc / 127 AS REAL) AS dq
          |      FROM u JOIN scl ON scl.vec_id = u.vec_id),
          |i8d AS (SELECT q.qid, t.vec_id AS nid,
@@ -251,8 +252,12 @@ object PqQueries {
       val rep = Pq.encode(e, col("embedding"), mod, "pq_codes")
         .withColumn("pq_dec", Pq.decode(col("pq_codes"), mod))
         .withColumn("__scale", Quantize.scaleOf(col("embedding")))
+        // zero-safe: a zero vector (scale 0) reconstructs as itself
+        // instead of 0/0 = NaN (the q52 contract pre-filters; a
+        // whole-corpus report cannot)
         .withColumn("int8_dec", Quantize.dequantize(
-          Quantize.quantize(col("embedding"), col("__scale")), col("__scale")))
+          Quantize.quantizeZeroSafe(col("embedding"), col("__scale")),
+          col("__scale")))
       val queries = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       // exact ground truth feeds both reports — compute once,
@@ -286,10 +291,12 @@ object PqQueries {
          |      list_max(list_transform(embedding,
          |        v -> abs(CAST(v AS DOUBLE)))) AS sc FROM e),
          |ie AS (SELECT SUM((u.x - CAST(CAST(CAST(
-         |        round(u.x / scl.sc * 127) AS BIGINT)
+         |        CASE WHEN scl.sc > 0 THEN round(u.x / scl.sc * 127)
+         |             ELSE 0 END AS BIGINT)
          |          * scl.sc / 127 AS REAL) AS DOUBLE))
          |        * (u.x - CAST(CAST(CAST(
-         |        round(u.x / scl.sc * 127) AS BIGINT)
+         |        CASE WHEN scl.sc > 0 THEN round(u.x / scl.sc * 127)
+         |             ELSE 0 END AS BIGINT)
          |          * scl.sc / 127 AS REAL) AS DOUBLE))) AS se,
          |      CAST(count(*) AS BIGINT) AS n
          |      FROM u JOIN scl ON scl.vec_id = u.vec_id)
@@ -302,8 +309,12 @@ object PqQueries {
       val rep = Pq.encode(e, col("embedding"), mod, "pq_codes")
         .withColumn("pq_dec", Pq.decode(col("pq_codes"), mod))
         .withColumn("__scale", Quantize.scaleOf(col("embedding")))
+        // zero-safe: a zero vector (scale 0) reconstructs as itself
+        // instead of 0/0 = NaN (the q52 contract pre-filters; a
+        // whole-corpus report cannot)
         .withColumn("int8_dec", Quantize.dequantize(
-          Quantize.quantize(col("embedding"), col("__scale")), col("__scale")))
+          Quantize.quantizeZeroSafe(col("embedding"), col("__scale")),
+          col("__scale")))
       rep.agg(
           sum(Pq.l2Sq(col("embedding"), col("pq_dec"))).as("__pse"),
           sum(Pq.l2Sq(col("embedding"), col("int8_dec"))).as("__ise"),

@@ -200,7 +200,10 @@ object RetrievalQueries {
     * pool, unrolled into one materialized CTE per pick. `cm` is the
     * pool's cosine matrix (unrounded doubles — the engine greedy's
     * exact arithmetic); each step's argmax orders by the ROUND-6
-    * objective then id, mirroring `objectiveGrid = Some(6)`. */
+    * objective (+ 0.0: the engine's BigDecimal snap never yields -0.0,
+    * and DuckDB's sort keys -0.0 below +0.0 — the suite-wide
+    * signed-zero convention applied to an ORDERING key) then id,
+    * mirroring `objectiveGrid = Some(6)`. */
   private def mmrOracle(poolN: Int, k: Int): String = {
     val head =
       s"""u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -223,7 +226,7 @@ object RetrievalQueries {
          |  JOIN nrm nb ON nb.vec_id = b.vec_id
          |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
          |s1 AS MATERIALIZED (SELECT vec_id, 1 AS mmr_rank, rel FROM pool
-         |  ORDER BY round(0.7 * rel, 6) DESC, vec_id LIMIT 1)""".stripMargin
+         |  ORDER BY round(0.7 * rel, 6) + 0.0 DESC, vec_id LIMIT 1)""".stripMargin
     val steps = (2 to k).map { j =>
       s"""p$j AS MATERIALIZED (
          |  SELECT vec_id, $j AS mmr_rank, rel FROM (
@@ -232,7 +235,7 @@ object RetrievalQueries {
          |    JOIN s${j - 1} p ON p.vec_id = m.ib
          |    WHERE c.vec_id NOT IN (SELECT vec_id FROM s${j - 1})
          |    GROUP BY c.vec_id, c.rel)
-         |  ORDER BY round(0.7 * rel - 0.3 * red, 6) DESC, vec_id LIMIT 1),
+         |  ORDER BY round(0.7 * rel - 0.3 * red, 6) + 0.0 DESC, vec_id LIMIT 1),
          |s$j AS MATERIALIZED (
          |  SELECT * FROM s${j - 1} UNION ALL SELECT * FROM p$j)""".stripMargin
     }

@@ -488,11 +488,9 @@ object Streams {
         if (!mfs.exists(marker)) {
           val live = batch.where(col(vec).isNotNull)
           if (!live.isEmpty) {
-            graft.vector.Pq.encode(
-                graft.vector.Ivf.assignCells(live, col(vec), cents),
-                col(vec), model, "pq_codes")
-              .select(col(id), col("ivf_cell"), col("pq_codes"))
-              .repartition(cents.length, col("ivf_cell"))
+            // same row builder as Pq.writeIndexStore: the streamed and
+            // batch stores share one schema by construction
+            graft.vector.Pq.encodedCellRows(live, id, vec, model, cents)
               .write.mode("overwrite").partitionBy("ivf_cell")
               .parquet(s"$storePath/batch=$batchId")
           }

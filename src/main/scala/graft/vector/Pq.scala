@@ -91,6 +91,11 @@ object Pq {
     val enc = encode(df.filter(col(vec).isNotNull), col(vec), model, "__codes")
     val means = enc
       .select(col("__codes"), posexplode(col(vec)).as(Seq("__pos", "__x")))
+      // positions past the model's dim have no subspace: drop them
+      // (the PqEncode truncation contract — a longer vector from an
+      // embedder change degrades instead of NPE-ing the mean collect
+      // through element_at(codes, m+1) = null)
+      .filter(col("__pos") < lit(model.dim))
       .select(
         floor(col("__pos") / lit(dsub)).cast("int").as("__s"),
         (col("__pos") % lit(dsub)).cast("int").as("__j"),
@@ -217,14 +222,10 @@ object Pq {
       scored.select(col(id), col("adc_d2"))
         .orderBy(col("adc_d2"), col(id)).limit(kTop)
     } else {
-      val qLit = typedlit(query.toSeq)
       scored
         .orderBy(col("adc_d2"), col(id)).limit(math.max(rerank, kTop))
-        .withColumn("exact_d2", round(aggregate(
-          zip_with(col(vec), qLit, (x, y) =>
-            (x.cast("double") - y.cast("double")) *
-              (x.cast("double") - y.cast("double"))),
-          lit(0.0d), (acc, e) => acc + e), 6))
+        .withColumn("exact_d2",
+          round(l2Sq(col(vec), typedlit(query.toSeq)), 6))
         .select(col(id), col("adc_d2"), col("exact_d2"))
         .orderBy(col("exact_d2"), col(id))
         .limit(kTop)
@@ -318,14 +319,22 @@ object Pq {
     * ingest batch (`mode=append` + one writer task per cell — the
     * signature-store sliver discipline); `Sinks.recoverSwap` guards
     * the crash window like every other store. */
+  /** The index's row form: (id, ivf_cell, pq_codes), one writer task
+    * per cell — shared by the batch writer and the streaming sink so
+    * the two stores can never drift schema. */
+  private[graft] def encodedCellRows(df: DataFrame, id: String,
+      vec: String, model: PqModel,
+      cents: Array[Array[Float]]): DataFrame =
+    encode(
+        Ivf.assignCells(df.filter(col(vec).isNotNull), col(vec), cents),
+        col(vec), model, "pq_codes")
+      .select(col(id), col("ivf_cell"), col("pq_codes"))
+      .repartition(cents.length, col("ivf_cell"))
+
   def writeIndexStore(df: DataFrame, id: String, vec: String,
       model: PqModel, cents: Array[Array[Float]], path: String): Unit = {
     graft.io.Sinks.recoverSwap(df.sparkSession, path)
-    val enc = encode(
-      Ivf.assignCells(df.filter(col(vec).isNotNull), col(vec), cents),
-      col(vec), model, "pq_codes")
-    enc.select(col(id), col("ivf_cell"), col("pq_codes"))
-      .repartition(cents.length, col("ivf_cell"))
+    encodedCellRows(df, id, vec, model, cents)
       .write.mode("append").partitionBy("ivf_cell").parquet(path)
   }
 

@@ -27,6 +27,15 @@ object Quantize {
     * per-element lambda, so this one is O(d²) per row. */
   def quantize(vec: Column): Column = quantize(vec, scaleOf(vec))
 
+  /** `quantize` that maps a zero vector (scale 0) to zero codes
+    * instead of 0/0 = NaN — for pipelines that score a whole corpus
+    * and cannot pre-filter (q168/q169's recall/error reports; the
+    * zero vector's correct reconstruction IS the zero vector).
+    * Dequantize needs no twin guard: code·0/127 = 0. */
+  def quantizeZeroSafe(vec: Column, scale: Column): Column =
+    transform(vec, x => when(scale > 0,
+      round(x.cast("double") / scale * 127)).otherwise(lit(0)).cast("long"))
+
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q => (q.cast("double") * scale / 127).cast("float"))
 }

@@ -317,6 +317,18 @@ class PqSpec extends AnyFunSuite {
     assert(sc.length == m) // trailing subspaces compare zero dims
   }
 
+  test("training over a mixed-dim corpus degrades like encode (no NPE on over-length vectors)") {
+    // the embedder-change case: one row grew extra dims. encode
+    // truncates; training must IGNORE the positions past the model's
+    // dim instead of NPE-ing the mean collect (element_at(codes, m+1)
+    // is null for them)
+    val mixed = (rows :+ ((98L, rows.head._2 ++ Seq(9.9f, -9.9f))))
+      .toDF("vec_id", "embedding")
+    val trained = Pq.trainCodebooks(mixed, "vec_id", "embedding", m, k,
+      iters = 1)
+    assert(trained.dim == dim) // geometry comes from the seeds
+  }
+
   test("encode plan is map-only: no exchange, no join, codegen'd") {
     // repartition first: a pure LocalRelation input would be folded
     // into a LocalTableScan (projection evaluated at plan time) and
