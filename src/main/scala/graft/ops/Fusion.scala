@@ -180,10 +180,12 @@ object Fusion {
           else picked.map(p => cos(c.vec, p.vec)).max
         val mmr = lambda * c.rel - (1 - lambda) * red
         val key = objectiveGrid match {
-          // NaN passes through ungridded (BigDecimal rejects it);
-          // rankable() already dropped NaN rel, so this is only a
-          // NaN-vector-element edge, ordered the same as before
-          case Some(g) if !mmr.isNaN =>
+          // NaN AND ±Infinity pass through ungridded (BigDecimal
+          // rejects both with NumberFormatException); rankable()
+          // already dropped NaN rel, so these are only the
+          // NaN-vector-element / infinite-relevance edges, ordered
+          // the same as the ungridded path always ordered them
+          case Some(g) if !mmr.isNaN && !mmr.isInfinite =>
             BigDecimal(mmr).setScale(g, BigDecimal.RoundingMode.HALF_UP)
               .toDouble
           case _ => mmr

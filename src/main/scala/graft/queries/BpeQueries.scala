@@ -248,7 +248,7 @@ object BpeQueries {
     Q("q164_bpe_store_tokens", wordTokensOracle) { (s, d) =>
       val docs = t(s, d, "documents")
       val (hist, ms) = Bpe.fitAndHistogram(docs, "text", NMerges)
-      val dir = "target/tmp/q164_state"
+      val dir = Q.stateDir(d, "q164_state")
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)

@@ -480,7 +480,7 @@ object DedupQueries {
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
         .unionByName(ids.filter(col("doc_id") % 37 === 0)
           .select(col("doc_id").as("doc_a"), (col("doc_id") + 100).as("doc_b")))
-      val dir = "target/tmp/q94_state"
+      val dir = Q.stateDir(d, "q94_state")
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)

@@ -353,7 +353,7 @@ object PqQueries {
       val e = emb(s, d)
       val cents = graft.vector.Ivf.seedCentroids(e, "vec_id", "embedding", 8)
       val mod = model(e)
-      val dir = "target/tmp/q173_state"
+      val dir = Q.stateDir(d, "q173_state")
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)

@@ -18,6 +18,16 @@ object Q {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
 
+  /** Scratch-state directory for queries that exercise on-disk stores
+    * (q94/q164/q173/...): derived from the DATASET dir, so two Verify
+    * runs over different SF dirs in the same working directory build
+    * disjoint stores instead of clobbering each other mid-query
+    * (r19 ADVICE). Still under target/tmp — the git-ignored scratch
+    * root every harness already cleans. */
+  def stateDir(datasetDir: String, name: String): String =
+    s"target/tmp/${datasetDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      .stripPrefix("_")}/$name"
+
   /** Testdata table loader (TESTDATA.md). The nanosAsLong conf lets
     * Spark 4 read parquet TIMESTAMP(NANOS) (as long nanos); it is a
     * no-op for every other physical type, so setting it is always safe. */

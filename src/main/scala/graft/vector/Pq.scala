@@ -239,11 +239,20 @@ object Pq {
     * reconstruction error and ADC recall improve at identical size).
     * Arithmetic both engines reproduce bit-for-bit: the two float
     * operands subtract exactly in double, then round ONCE to float32
-    * (DuckDB: `CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS REAL)`). */
+    * (DuckDB: `CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS REAL)`).
+    *
+    * Dim-mismatch rule (shared with the query side, see
+    * `ivfPqResidualTopK.qResidual`): the residual is TRUNCATED to the
+    * shorter of (vector, centroid). Without the truncation zip_with
+    * pads the shorter operand with null elements, which then feed
+    * PqEncode's unsafe getFloat — the row side would degrade
+    * differently from the query side's zero-pad (r19 ADVICE). */
   def residualCol(vec: Column, cents: Array[Array[Float]],
       cell: Column): Column = {
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-    zip_with(vec, element_at(centsLit, cell + lit(1)),
+    val cent = element_at(centsLit, cell + lit(1))
+    val n = least(size(vec), size(cent))
+    zip_with(slice(vec, lit(1), n), slice(cent, lit(1), n),
       (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
   }
 
@@ -282,11 +291,12 @@ object Pq {
     val enc = encode(cand, col("__res"), model, "__codes")
     // per-probed-cell query residual → per-cell LUT (float32 residual,
     // the exact value the row side encodes against)
+    // dim-mismatch rule shared with residualCol: truncate to the
+    // shorter of (query, centroid) — both sides degrade identically
     def qResidual(cellId: Int): Array[Float] = {
       val c = cents(cellId)
-      Array.tabulate(query.length) { i =>
-        (query(i).toDouble -
-          (if (i < c.length) c(i).toDouble else 0.0)).toFloat
+      Array.tabulate(math.min(query.length, c.length)) { i =>
+        (query(i).toDouble - c(i).toDouble).toFloat
       }
     }
     val adc = probes.foldLeft(lit(null).cast("double")) { (acc, cellId) =>
@@ -364,8 +374,12 @@ object Pq {
         .orderBy(col("adc_d2"), col(id)).limit(kTop)
     } else {
       val qLit = typedlit(query.toSeq)
-      scored
-        .orderBy(col("adc_d2"), col(id)).limit(math.max(rerank, kTop))
+      // the ≤rerank-row ADC page is broadcast EXPLICITLY: at 100 TB
+      // the corpus side is the big relation, and the right plan (a
+      // BroadcastHashJoin building on the bounded page) must not
+      // depend on AQE runtime stats to materialize (PlanSpec pins it)
+      broadcast(scored
+        .orderBy(col("adc_d2"), col(id)).limit(math.max(rerank, kTop)))
         .join(corpus.get.select(col(id), col(vec)), Seq(id))
         .withColumn("exact_d2", round(l2Sq(col(vec), qLit), 6))
         .select(col(id), col("adc_d2"), col("exact_d2"))

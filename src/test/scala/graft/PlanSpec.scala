@@ -422,6 +422,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p168.contains("BroadcastNestedLoopJoin"), p168.take(800))
   }
 
+  test("q173 store-probe rerank: page join is an EXPLICIT BroadcastHashJoin (no AQE reliance)") {
+    // the ≤rerank ADC page joins back to the corpus by id; at 100 TB
+    // the right plan (broadcast the bounded page, hash-probe the
+    // corpus) must come from the plan itself, not AQE runtime stats.
+    // AQE off + auto-broadcast threshold -1 means the ONLY way a
+    // BroadcastHashJoin can appear is Pq.probeIndexStore's explicit
+    // broadcast() hint — exactly what this pins.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q173_ivfpq_store_topk")
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(!p.contains("SortMergeJoin"), p.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   test("q129 line dedup: count side shuffles hashes, not line text") {
     // the kill-set aggregation groups by xxhash64(line) — its exchange
     // carries (hash, count) pairs only. Lines legitimately cross once

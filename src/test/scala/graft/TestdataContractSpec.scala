@@ -97,4 +97,27 @@ class TestdataContractSpec extends AnyFunSuite {
         "q163/q165's planted-copy offsets (+1e6/+2e6)")
     }
   }
+
+  test("embeddings are uniform-dim at every SF (PQ ragged-dim contract, r19 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    // PqEncode emits code 0 for subspaces entirely past a short
+    // vector's end (every centroid distance is 0.0), while the q166
+    // DuckDB oracle simply has no (vec_id, subspace) rows there — a
+    // ragged-dim fixture would hash-DIVERGE rather than degrade
+    // identically. The engine deliberately keeps the degrade-don't-
+    // throw kernel (an embedder change in production must not kill
+    // the job); the ORACLE contract is pinned here once instead:
+    // every PQ/IVF/PCA oracle may assume one corpus-wide dim.
+    Seq("0.001", "0.01", "0.1").foreach { s =>
+      val dir = s"/root/testdata/sf$s"
+      assume(new java.io.File(dir).isDirectory, s"$dir not present")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("embedding").isNotNull)
+      val dims = emb.select(size(col("embedding")).as("d"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      assert(dims.length == 1, s"sf$s: embeddings carry mixed dims " +
+        s"$dims — the PQ-family oracles assume uniform dim (q166 " +
+        "omits past-end subspace rows where PqEncode emits code 0)")
+    }
+  }
 }
