@@ -17,11 +17,22 @@ object Sinks {
     * intact (the reference's crash-safety property). */
   def overwriteInPlace(df: DataFrame, path: String,
       format: String = "parquet", partitionBy: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
     val staging = path + ".staging"
-    val backup = path + ".old"
     val w = df.write.mode(SaveMode.Overwrite).format(format)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(staging)
+    promoteStaging(df.sparkSession, path)
+  }
+
+  /** The K1 rename sequence on its own: promote `path + ".staging"`
+    * over `path` behind the `.old` backup. Callers that need extra
+    * files inside the staged tree BEFORE it goes live (e.g. the PQ
+    * index compactor carrying the streaming sink's `_committed_batch_*`
+    * markers, so no crash window can lose them) write the staging dir
+    * themselves and then promote through here — one swap
+    * implementation, not N hand-rolled rename sequences. */
+  def promoteStaging(spark: SparkSession, path: String): Unit = {
+    val staging = path + ".staging"
+    val backup = path + ".old"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(path)
     val b = new Path(backup)

@@ -348,6 +348,61 @@ object Pq {
       .write.mode("append").partitionBy("ivf_cell").parquet(path)
   }
 
+  /** Compact the IVF-PQ index store: fold the accumulated per-tick
+    * `batch=N` partitions (the `Streams.pqIndexSink` growth pattern —
+    * one directory per micro-batch, unbounded under a daily cron) into
+    * ONE `batch=-1` epoch with one file per cell, behind the K1
+    * staging swap. The signature/label-store compaction runbook
+    * (`LabelStore.compact` / `NearDup.compactSignatureStore`) applied
+    * to the PQ index:
+    *
+    *  - probes return identical rows before and after (spec-pinned):
+    *    `batch` is just a discovered partition column the probe never
+    *    reads, and `-1` keeps the directory shape uniform so later
+    *    ticks append `batch=N` (N ≥ 0, monotonic from the checkpoint)
+    *    next to the compacted epoch without a partition-schema clash;
+    *  - the sink's `_committed_batch_*` replay markers are carried
+    *    INTO the staged tree before the promote — a crashed stream
+    *    that replays its last batch after a compaction still skips it
+    *    (its rows are already inside `batch=-1`; losing the marker
+    *    would double-ingest that batch). No crash window can lose
+    *    them: either the old root (markers intact) or the fully
+    *    staged new root (markers copied) is live;
+    *  - a batch-writer store with no `batch` level compacts to plain
+    *    `ivf_cell=*` dirs (its append slivers merge per cell).
+    *
+    * Cadence: run on the prune/compact schedule of the other stores,
+    * in the single-writer era (never concurrent with a live sink —
+    * the store-wide discipline `LabelStore.read` documents). Cost is
+    * one full-store rewrite, ~k writer tasks; the store holds m bytes
+    * per vector, 32× smaller than the corpus it indexes. */
+  def compactIndexStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.io.Sinks.recoverSwap(spark, path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(path)),
+      s"compactIndexStore: no index store at $path")
+    val markers = fs.listStatus(new Path(path))
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith("_committed_batch_"))
+      .map(_.getPath.getName)
+    val df = spark.read.parquet(path)
+    val hasBatch = df.columns.contains("batch")
+    val out = if (hasBatch)
+      df.drop("batch").withColumn("batch", lit(-1L)) else df
+    // partition-values-only scan: bounded by the cell count k
+    val nCells = math.max(1,
+      df.select(col("ivf_cell")).distinct().count().toInt)
+    val parts = if (hasBatch) Seq("batch", "ivf_cell") else Seq("ivf_cell")
+    val staging = path + ".staging"
+    out.repartition(nCells, col("ivf_cell"))
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(staging)
+    markers.foreach(m => fs.create(new Path(staging, m), true).close())
+    graft.io.Sinks.promoteStaging(spark, path)
+  }
+
   /** ADC top-k served FROM the store: read only the query's nProbe
     * cell partitions (partition-pruned file subset), score the code
     * rows against the broadcast LUT, TakeOrdered. With `rerank > 0`

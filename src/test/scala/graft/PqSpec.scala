@@ -306,6 +306,70 @@ class PqSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/store").count() == rowsBefore)
   }
 
+  test("compactIndexStore: probe rows identical, files drop, markers survive, post-compact replay redelivers nothing") {
+    import graft.streaming.Streams
+    import org.apache.hadoop.fs.Path
+    val cents = Ivf.seedCentroids(df, "vec_id", "embedding", 4)
+    val dir = TestSpark.tempDir("pq-compact")
+    val parity = pmod(col("vec_id"), lit(3))
+    (0 until 3).foreach { t =>
+      df.filter(parity === t).coalesce(1).write.parquet(s"$dir/in/f=$t")
+    }
+    val schema = spark.read.parquet(s"$dir/in/f=0").schema
+    def runSink(): Unit = {
+      val q = Streams.pqIndexSink(
+        Streams.fileStream(spark, s"$dir/in/*/", schema, maxFilesPerTrigger = 1),
+        "vec_id", "embedding", model, cents, s"$dir/store", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    runSink()
+    val query = rows(17)._2.toArray
+    def probe(path: String) = Pq.probeIndexStore(spark, path, "vec_id",
+        query, 5, model, cents, nProbe = 2, rerank = n, corpus = Some(df))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(path: String): Int = {
+      val it = fs.listFiles(new Path(path), true)
+      var nf = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.startsWith("part-")) nf += 1
+      }
+      nf
+    }
+    val before = probe(s"$dir/store")
+    val filesBefore = dataFiles(s"$dir/store")
+    Pq.compactIndexStore(spark, s"$dir/store")
+    assert(probe(s"$dir/store") == before, "probe changed across compaction")
+    assert(dataFiles(s"$dir/store") < filesBefore,
+      s"files did not drop: $filesBefore -> ${dataFiles(s"$dir/store")}")
+    // every tick's partitions folded into the single batch=-1 epoch
+    val batches = spark.read.parquet(s"$dir/store")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(batches == Seq(-1L), s"batches after compact: $batches")
+    // the sink's replay markers rode the swap into the new root
+    val markers = fs.listStatus(new Path(s"$dir/store")).count(
+      _.getPath.getName.startsWith("_committed_batch_"))
+    assert(markers == 3, s"markers lost across compaction: $markers")
+    // a restarted stream after compaction redelivers nothing
+    val rowsBefore = spark.read.parquet(s"$dir/store").count()
+    runSink()
+    assert(spark.read.parquet(s"$dir/store").count() == rowsBefore)
+    // the batch-writer store (no batch level) compacts the same way:
+    // two append slivers per cell merge to one file, probes unmoved
+    val bstore = s"$dir/bidx"
+    Pq.writeIndexStore(df.where(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", model, cents, bstore)
+    Pq.writeIndexStore(df.where(col("vec_id") % 2 =!= 0), "vec_id",
+      "embedding", model, cents, bstore)
+    val bBefore = probe(bstore)
+    val bFiles = dataFiles(bstore)
+    Pq.compactIndexStore(spark, bstore)
+    assert(probe(bstore) == bBefore)
+    assert(dataFiles(bstore) < bFiles)
+    assert(!spark.read.parquet(bstore).columns.contains("batch"))
+  }
+
   test("null vector encodes to null; short vector encodes without throwing") {
     val withNull = (rows :+ ((99L, null: Seq[Float]))).toDF("vec_id", "embedding")
     val nz = Pq.encode(withNull, col("embedding"), model)
