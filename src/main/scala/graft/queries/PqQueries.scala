@@ -116,6 +116,57 @@ object PqQueries {
        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
        |      FROM rd1) WHERE rn = 1)""".stripMargin
 
+  /** Corpus-adaptive training chain (q174): strided seeds — seed c is
+    * the row at id ⌊c·(maxId+1)/K⌋, spread across the whole corpus —
+    * then TWO grid-snapped Lloyd rounds (the q166 chain run twice,
+    * empty codes falling back to the PREVIOUS round's centroid).
+    * Mirrors `Pq.trainCodebooksAdaptive` exactly; ends in the final
+    * assignment `aa2` against `acb2` and the decode view `adec`. */
+  private lazy val adaptiveCte: String =
+    s"""amx AS (SELECT max(vec_id) + 1 AS n FROM e),
+       |atg AS (SELECT c, (c * amx.n) // $K AS sid FROM range($K) t(c), amx),
+       |acb0 AS (SELECT atg.c AS c, u.p // 8 AS s, u.p % 8 AS j, u.x AS cx
+       |      FROM u JOIN atg ON atg.sid = u.vec_id),
+       |ad0 AS (SELECT t.vec_id, t.s, c.c,
+       |      SUM((t.x - c.cx) * (t.x - c.cx)) AS d2
+       |      FROM sv t JOIN acb0 c ON c.s = t.s AND c.j = t.j
+       |      GROUP BY t.vec_id, t.s, c.c),
+       |aa0 AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |      FROM ad0) WHERE rn = 1),
+       |amu1 AS (SELECT aa0.s, aa0.c, t.j, AVG(t.x) AS mu
+       |      FROM aa0 JOIN sv t ON t.vec_id = aa0.vec_id AND t.s = aa0.s
+       |      GROUP BY aa0.s, aa0.c, t.j),
+       |acb1 AS (SELECT acb0.s, acb0.c, acb0.j,
+       |      CAST(COALESCE(CAST(round(amu1.mu, 6) AS REAL),
+       |                    CAST(acb0.cx AS REAL)) AS DOUBLE) AS cx
+       |      FROM acb0 LEFT JOIN amu1
+       |        ON amu1.s = acb0.s AND amu1.c = acb0.c AND amu1.j = acb0.j),
+       |ad1 AS (SELECT t.vec_id, t.s, c.c,
+       |      SUM((t.x - c.cx) * (t.x - c.cx)) AS d2
+       |      FROM sv t JOIN acb1 c ON c.s = t.s AND c.j = t.j
+       |      GROUP BY t.vec_id, t.s, c.c),
+       |aa1 AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |      FROM ad1) WHERE rn = 1),
+       |amu2 AS (SELECT aa1.s, aa1.c, t.j, AVG(t.x) AS mu
+       |      FROM aa1 JOIN sv t ON t.vec_id = aa1.vec_id AND t.s = aa1.s
+       |      GROUP BY aa1.s, aa1.c, t.j),
+       |acb2 AS (SELECT acb1.s, acb1.c, acb1.j,
+       |      CAST(COALESCE(CAST(round(amu2.mu, 6) AS REAL),
+       |                    CAST(acb1.cx AS REAL)) AS DOUBLE) AS cx
+       |      FROM acb1 LEFT JOIN amu2
+       |        ON amu2.s = acb1.s AND amu2.c = acb1.c AND amu2.j = acb1.j),
+       |ad2 AS (SELECT t.vec_id, t.s, c.c,
+       |      SUM((t.x - c.cx) * (t.x - c.cx)) AS d2
+       |      FROM sv t JOIN acb2 c ON c.s = t.s AND c.j = t.j
+       |      GROUP BY t.vec_id, t.s, c.c),
+       |aa2 AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |      FROM ad2) WHERE rn = 1),
+       |adec AS (SELECT aa2.vec_id, c.s, c.j, c.cx
+       |      FROM aa2 JOIN acb2 c ON c.s = aa2.s AND c.c = aa2.c)""".stripMargin
+
   /** q170's oracle — also q173's verbatim (ADC serving FROM the
     * partition-pruned on-disk index must reproduce the in-memory
     * path exactly, including the rerank). */
@@ -480,6 +531,199 @@ object PqQueries {
           round(col("__pse") / col("n_cells") * 1000000, 6).as("pq_mse_ppm"),
           round(col("__rse") / col("n_cells") * 1000000, 6)
             .as("residual_pq_mse_ppm"))
+    },
+
+    // ---- corpus-adaptive codebooks: the recall-delta report ----
+    // r19's layout report (q172) showed codebook QUALITY, not layout,
+    // is the measured recall bottleneck: prefix-window seeds need not
+    // represent the corpus at all. The adaptive path spreads the K
+    // seeds across the id range and runs TWO grid-snapped Lloyd rounds
+    // — everything DuckDB replays (the full double-Lloyd chain rides
+    // the hash) — and this report prices it against the q166 prefix
+    // model per query, the q168 discipline. (The true k-means‖ trainer
+    // `Pq.trainCodebooksKmeansPar` is the production path; its
+    // d²-sampling hashes with Spark's xxhash64, which no oracle can
+    // re-derive, so it is PqSpec-covered instead — the q58/IvfSpec
+    // split.)
+    Q("q174_pq_adaptive_recall",
+      s"""WITH $pqCte, $decCte,
+         |$adaptiveCte,
+         |qu AS (SELECT vec_id AS qid, p, x FROM u WHERE vec_id < 20),
+         |qs AS (SELECT vec_id AS qid, s, j, x FROM sv WHERE vec_id < 20),
+         |exd AS (SELECT q.qid, t.vec_id AS nid,
+         |      round(SUM((q.x - t.x) * (q.x - t.x)), 6) AS d2
+         |      FROM qu q JOIN u t ON t.p = q.p GROUP BY q.qid, t.vec_id),
+         |ext AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+         |      FROM exd) WHERE rn <= 10),
+         |pqd AS (SELECT q.qid, d.vec_id AS nid,
+         |      round(SUM((q.x - d.cx) * (q.x - d.cx)), 6) AS d2
+         |      FROM qs q JOIN dec d ON d.s = q.s AND d.j = q.j
+         |      GROUP BY q.qid, d.vec_id),
+         |pqt AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+         |      FROM pqd) WHERE rn <= 10),
+         |aqd AS (SELECT q.qid, d.vec_id AS nid,
+         |      round(SUM((q.x - d.cx) * (q.x - d.cx)), 6) AS d2
+         |      FROM qs q JOIN adec d ON d.s = q.s AND d.j = q.j
+         |      GROUP BY q.qid, d.vec_id),
+         |aqt AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+         |      FROM aqd) WHERE rn <= 10),
+         |tot AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+         |      FROM ext GROUP BY qid),
+         |ph AS (SELECT e.qid, CAST(count(*) AS BIGINT) AS hits
+         |      FROM ext e JOIN pqt p ON p.qid = e.qid AND p.nid = e.nid
+         |      GROUP BY e.qid),
+         |ah AS (SELECT e.qid, CAST(count(*) AS BIGINT) AS hits
+         |      FROM ext e JOIN aqt a ON a.qid = e.qid AND a.nid = e.nid
+         |      GROUP BY e.qid)
+         |SELECT tot.qid AS vec_id, n_exact,
+         |  coalesce(ph.hits, 0) AS pq_hits,
+         |  round(coalesce(ph.hits, 0) / CAST(n_exact AS DOUBLE), 4) AS pq_recall,
+         |  coalesce(ah.hits, 0) AS adapt_hits,
+         |  round(coalesce(ah.hits, 0) / CAST(n_exact AS DOUBLE), 4) AS adapt_recall
+         |FROM tot LEFT JOIN ph ON ph.qid = tot.qid
+         |         LEFT JOIN ah ON ah.qid = tot.qid
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val mod = model(e)
+      val amod = Pq.trainCodebooksAdaptive(e, "vec_id", "embedding",
+        M, K, iters = 2)
+      val rep = Pq.encode(
+          Pq.encode(e, col("embedding"), mod, "__pq"),
+          col("embedding"), amod, "__aq")
+        .withColumn("pq_dec", Pq.decode(col("__pq"), mod))
+        .withColumn("adapt_dec", Pq.decode(col("__aq"), amod))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = graft.ops.Pinned.track(
+        Pq.l2TopK(rep, "vec_id", col("embedding"), queries, "qid", "qv", 10)
+          .localCheckpoint(true))
+      Pq.l2RecallAtK(rep, "vec_id", col("embedding"), col("pq_dec"),
+          queries, "qid", "qv", 10, exact = Some(truth))
+        .select(col("qid"), col("n_exact"),
+          col("n_hits").as("pq_hits"), col("recall").as("pq_recall"))
+        .join(Pq.l2RecallAtK(rep, "vec_id", col("embedding"),
+            col("adapt_dec"), queries, "qid", "qv", 10, exact = Some(truth))
+          .select(col("qid"), col("n_hits").as("adapt_hits"),
+            col("recall").as("adapt_recall")), Seq("qid"))
+        .withColumnRenamed("qid", "vec_id")
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- recall vs nProbe: the IVF-PQ serving-knob sweep ----
+    // q168 prices PQ at fixed probes; the knob a 100 TB operator tunes
+    // is nProbe. One shared encode+ADC pass at the widest probe count,
+    // per-query routing and LUTs fully distributed (the query batch
+    // never visits the driver), then each nProbe re-ranks its
+    // probe-rank subset of the same scored frontier — recall@10 plus
+    // the scanned-row price per grid point, under the full hash.
+    Q("q175_ivfpq_nprobe_sweep",
+      s"""WITH $pqCte,
+         |cvu AS (SELECT vec_id AS cid, p, x FROM u WHERE vec_id < 8),
+         |cd AS (SELECT t.vec_id, c.cid, SUM((t.x - c.x) * (t.x - c.x)) AS d2
+         |      FROM u t JOIN cvu c ON c.p = t.p GROUP BY t.vec_id, c.cid),
+         |cell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |      FROM cd) WHERE rn = 1),
+         |qcd AS (SELECT t.vec_id AS qid, c.cid,
+         |      round(SUM((t.x - c.x) * (t.x - c.x)), 6) AS d2
+         |      FROM u t JOIN cvu c ON c.p = t.p
+         |      WHERE t.vec_id < 20 GROUP BY t.vec_id, c.cid),
+         |prank AS (SELECT qid, cid, row_number() OVER
+         |      (PARTITION BY qid ORDER BY d2, cid) AS rk FROM qcd),
+         |qlut AS (SELECT q.qid, c.s, c.c,
+         |      SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d2
+         |      FROM cb1 c JOIN (SELECT vec_id AS qid, p // 8 AS s,
+         |        p % 8 AS j, x AS qx FROM u WHERE vec_id < 20) q
+         |        ON q.s = c.s AND q.j = c.j
+         |      GROUP BY q.qid, c.s, c.c),
+         |cand AS (SELECT pr.qid, pr.rk, ce.vec_id FROM prank pr
+         |      JOIN cell ce ON ce.cid = pr.cid WHERE pr.rk <= 8),
+         |adc AS (SELECT cand.qid, cand.rk, a1.vec_id,
+         |      round(SUM(l.d2), 6) AS adc_d2
+         |      FROM a1 JOIN cand ON cand.vec_id = a1.vec_id
+         |      JOIN qlut l ON l.qid = cand.qid AND l.s = a1.s AND l.c = a1.c
+         |      GROUP BY cand.qid, cand.rk, a1.vec_id),
+         |nv AS (SELECT * FROM (VALUES (1), (2), (4), (8)) v(n_probe)),
+         |cnp AS (SELECT nv.n_probe, adc.qid, adc.vec_id, adc.adc_d2
+         |      FROM adc JOIN nv ON adc.rk <= nv.n_probe),
+         |apx AS (SELECT n_probe, qid, vec_id FROM (SELECT n_probe, qid,
+         |      vec_id, row_number() OVER (PARTITION BY n_probe, qid
+         |        ORDER BY adc_d2, vec_id) AS rn
+         |      FROM cnp) WHERE rn <= 10),
+         |exd AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+         |      round(SUM((q.x - t.x) * (q.x - t.x)), 6) AS d2
+         |      FROM u q JOIN u t ON t.p = q.p
+         |      WHERE q.vec_id < 20 GROUP BY q.vec_id, t.vec_id),
+         |ext AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+         |      FROM exd) WHERE rn <= 10),
+         |sc AS (SELECT n_probe, CAST(count(*) AS BIGINT) AS scanned_rows
+         |      FROM cnp GROUP BY 1),
+         |ht AS (SELECT a.n_probe, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM ext e JOIN apx a ON a.qid = e.qid AND a.vec_id = e.nid
+         |      GROUP BY 1),
+         |tx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ext)
+         |SELECT sc.n_probe, sc.scanned_rows, tx.n_exact,
+         |  coalesce(ht.n_hits, 0) AS n_hits,
+         |  round(coalesce(ht.n_hits, 0) / CAST(tx.n_exact AS DOUBLE), 4)
+         |    AS recall
+         |FROM sc LEFT JOIN ht ON ht.n_probe = sc.n_probe, tx
+         |ORDER BY sc.n_probe""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Pq.ivfPqRecallSweep(e, "vec_id", "embedding", queries, "qid", "qv",
+        10, model(e),
+        graft.vector.Ivf.seedCentroids(e, "vec_id", "embedding", 8),
+        Seq(1, 2, 4, 8))
+    },
+
+    // ---- adaptive vs prefix codebooks: the error report ----
+    // The q172 layout-decision shape applied to TRAINING: same bit
+    // budget, two codebook origins. On the hash-derived fixture the
+    // adaptive path cuts reconstruction MSE (the Lloyd objective —
+    // sf0.001: 9359 → 9006 ppm) while recall@10 (q174) stays flat:
+    // the corpus has no cluster structure for seeds to exploit, so
+    // better codebooks buy fidelity, not neighbor ordering. That
+    // split — objective improves, serving metric doesn't — is exactly
+    // what the pair of reports exists to expose before an operator
+    // pays for adaptive training at 100 TB.
+    Q("q176_pq_adaptive_vs_prefix_error",
+      s"""WITH $pqCte, $decCte,
+         |$adaptiveCte,
+         |pe AS (SELECT SUM((t.x - d.cx) * (t.x - d.cx)) AS se,
+         |      CAST(count(*) AS BIGINT) AS n
+         |      FROM sv t JOIN dec d ON d.vec_id = t.vec_id
+         |        AND d.s = t.s AND d.j = t.j),
+         |ae AS (SELECT SUM((t.x - d.cx) * (t.x - d.cx)) AS se,
+         |      CAST(count(*) AS BIGINT) AS n
+         |      FROM sv t JOIN adec d ON d.vec_id = t.vec_id
+         |        AND d.s = t.s AND d.j = t.j)
+         |SELECT pe.n AS n_cells,
+         |  round(pe.se / pe.n * 1000000, 6) AS prefix_mse_ppm,
+         |  round(ae.se / ae.n * 1000000, 6) AS adapt_mse_ppm
+         |FROM pe, ae""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val mod = model(e)
+      val amod = Pq.trainCodebooksAdaptive(e, "vec_id", "embedding",
+        M, K, iters = 2)
+      val rep = Pq.encode(
+          Pq.encode(e, col("embedding"), mod, "__pq"),
+          col("embedding"), amod, "__aq")
+        .withColumn("pq_dec", Pq.decode(col("__pq"), mod))
+        .withColumn("adapt_dec", Pq.decode(col("__aq"), amod))
+      rep.agg(
+          sum(Pq.l2Sq(col("embedding"), col("pq_dec"))).as("__pse"),
+          sum(Pq.l2Sq(col("embedding"), col("adapt_dec"))).as("__ase"),
+          sum(size(col("embedding")).cast("long")).as("n_cells"))
+        .select(col("n_cells"),
+          round(col("__pse") / col("n_cells") * 1000000, 6)
+            .as("prefix_mse_ppm"),
+          round(col("__ase") / col("n_cells") * 1000000, 6)
+            .as("adapt_mse_ppm"))
     }
   )
 }

@@ -98,6 +98,80 @@ class PqSpec extends AnyFunSuite {
         s"codebook[$s][$c] differs")
   }
 
+  test("trainCodebooksAdaptive == naive strided seed + two Lloyd rounds, bit for bit") {
+    // naive strided seeds: seed c = the row at id floor(c*(maxId+1)/k)
+    val nIds = rows.map(_._1).max + 1
+    val strided = Array.tabulate(m, k) { (s, c) =>
+      val sid = (c.toLong * nIds) / k
+      rows(sid.toInt)._2.slice(s * dsub, (s + 1) * dsub).toArray
+    }
+    val naive2 = naiveLloydOnce(naiveLloydOnce(strided))
+    val adaptive = Pq.trainCodebooksAdaptive(df, "vec_id", "embedding",
+      m, k, iters = 2)
+    for (s <- 0 until m; c <- 0 until k)
+      assert(adaptive.codebooks(s)(c).toSeq == naive2(s)(c).toSeq,
+        s"adaptive codebook[$s][$c] differs from naive strided+2-Lloyd")
+  }
+
+  test("trainCodebooksKmeansPar: wiring == per-slice trainCentroids, partition-invariant, beats raw seeds on MSE") {
+    val kp = Pq.trainCodebooksKmeansPar(df, "vec_id", "embedding", m, k,
+      iters = 3)
+    assert(kp.m == m && kp.k == k && kp.dsub == dsub)
+    // wiring: subspace s's codebook IS Ivf.trainCentroids on the
+    // s-th dsub-slice (catches off-by-one slicing)
+    for (s <- 0 until m) {
+      val direct = Ivf.trainCentroids(
+        df.select(col("vec_id"),
+          slice(col("embedding"), s * dsub + 1, dsub).as("__slice")),
+        "vec_id", "__slice", k, iters = 3)
+      for (c <- 0 until k)
+        assert(kp.codebooks(s)(c).toSeq == direct(c).toSeq,
+          s"kmeansPar codebook[$s][$c] != direct trainCentroids slice")
+    }
+    // deterministic across input partitioning (the trainCentroids
+    // contract composed per subspace)
+    val kp8 = Pq.trainCodebooksKmeansPar(df.repartition(8), "vec_id",
+      "embedding", m, k, iters = 3)
+    for (s <- 0 until m; c <- 0 until k)
+      assert(kp8.codebooks(s)(c).toSeq == kp.codebooks(s)(c).toSeq)
+    // quality: k-means-trained codebooks reconstruct strictly better
+    // than raw prefix seeds on the anisotropic cloud
+    def mse(mod: Pq.PqModel): Double =
+      Pq.encode(df, col("embedding"), mod, "__codes")
+        .select(Pq.l2Sq(col("embedding"),
+          Pq.decode(col("__codes"), mod)).as("se"))
+        .agg(sum(col("se"))).head().getDouble(0)
+    val seedOnly = Pq.seedCodebooks(df, "vec_id", "embedding", m, k)
+    assert(mse(kp) < mse(seedOnly),
+      s"kmeansPar MSE ${mse(kp)} not below raw-seed MSE ${mse(seedOnly)}")
+  }
+
+  test("ivfPqRecallSweep: scanned rows strictly grow, full-probe hits == full-scan PQ recall") {
+    val cents = Ivf.seedCentroids(df, "vec_id", "embedding", 4)
+    val queries = df.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val sweep = Pq.ivfPqRecallSweep(df, "vec_id", "embedding", queries,
+        "qid", "qv", 5, model, cents, Seq(1, 2, 4))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(sweep.forall(_._3 == 25)) // 5 queries × top-5 ground truth
+    val scanned = sweep.map(_._2)
+    assert(scanned.zip(scanned.tail).forall { case (a, b) => a < b },
+      s"scanned rows not strictly increasing: ${scanned.toSeq}")
+    assert(sweep.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    // nProbe = all cells degenerates to the full-scan ADC ranking: the
+    // sweep's hit count must equal the l2RecallAtK hits of the PQ
+    // reconstruction (ADC ≡ decoded-L2, the PQ identity)
+    val rep = Pq.encode(df, col("embedding"), model, "__codes")
+      .withColumn("__dec", Pq.decode(col("__codes"), model))
+    val fullScan = Pq.l2RecallAtK(rep, "vec_id", col("embedding"),
+        col("__dec"), queries, "qid", "qv", 5)
+      .agg(sum(col("n_hits"))).head().getLong(0)
+    assert(sweep.last._4 == fullScan,
+      s"full-probe sweep hits ${sweep.last._4} != full-scan PQ hits $fullScan")
+  }
+
   test("trained model is identical at 1/4/32 input partitions") {
     Seq(1, 4, 32).foreach { p =>
       val mp = Pq.trainCodebooks(df.repartition(p), "vec_id", "embedding",
