@@ -537,5 +537,141 @@ object PipelineQueries {
         .crossJoin(broadcast(one(s5, "after_neardup")))
         .crossJoin(broadcast(toks))
     },
+
+    // ---- the council vector collection SERVED FROM the PQ store ----
+    // The reference's end state is a queryable vector collection
+    // (vectorize.py:93-94, chroma query :119-123); q41 proves the
+    // summarize stage and K6 the collection sink — this row closes the
+    // loop THROUGH the scaled index: stage-2 summaries → vectorize
+    // (id build, '|||' metadata flatten, hash-embed at dim 64) → a
+    // numeric surrogate rank (the collection is meeting-dimension-
+    // scale, so the one single-partition rank window is bounded by
+    // construction) → IVF-PQ index store on disk → partition-pruned
+    // probeIndexStore self-find with exact rerank. The oracle replays
+    // ALL of it: q41's digest chain, q19's sha-decoded embedder,
+    // dense-ified vectors, seed codebooks (iters=0 — hash embeddings
+    // are sparse, so duplicate all-zero subspace SLICES among seeds
+    // are likely, and Lloyd means under exact argmin ties are the
+    // q171-documented cross-engine hazard; codebook TRAINING quality
+    // is q174's subject, this row is about serving the pipeline's
+    // collection), 2-of-4-cell probes, ADC page, exact rerank.
+    Q("q177_council_pq_store",
+      """WITH seg AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS file,
+        |   event_id AS id, event_type AS text, value / 1000.0 AS nsp
+        | FROM events),
+        |chunked AS (SELECT *, CAST(floor((row_number() OVER
+        |   (PARTITION BY file ORDER BY id) - 1) / 100) AS BIGINT) AS chunk_id
+        | FROM seg),
+        |chunks AS (SELECT file, chunk_id,
+        |   string_agg(CASE WHEN nsp < 0.12 THEN text END, ' ' ORDER BY id) AS chunk_text,
+        |   min(id) AS start_id, max(id) AS end_id
+        | FROM chunked GROUP BY file, chunk_id),
+        |kept AS (SELECT * FROM chunks
+        | WHERE length(trim(coalesce(chunk_text, ''))) >= 2),
+        |digested AS (SELECT file, chunk_id,
+        |   array_to_string(list_append(
+        |     list_slice(regexp_split_to_array(trim('summarize: ' || chunk_text), '\s+'), 1, 8),
+        |     '#' || substr(sha256('summarize: ' || chunk_text), 1, 8)), ' ') AS summary,
+        |   start_id, end_id FROM kept),
+        |cid AS (SELECT file || ':' || CAST(start_id AS VARCHAR)
+        |     || ':' || CAST(end_id AS VARCHAR) AS id, summary
+        | FROM digested WHERE chunk_id >= 0 AND length(trim(summary)) > 0),
+        |rids AS (SELECT id, summary,
+        |   row_number() OVER (ORDER BY id) - 1 AS rid FROM cid),
+        |tok AS (SELECT rid,
+        |   unnest(string_split_regex(lower(trim(summary)), '\s+')) AS tk
+        | FROM rids),
+        |hh AS (SELECT rid, sha256('42:' || tk) AS hh FROM tok WHERE tk <> ''),
+        |hc AS (SELECT rid,
+        |   ((strpos('0123456789abcdef', substr(hh,1,1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(hh,2,1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(hh,3,1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(hh,4,1)) - 1)) % 64 AS idx,
+        |   CASE WHEN (strpos('0123456789abcdef', substr(hh,5,1)) - 1) % 2 = 0
+        |        THEN 1 ELSE -1 END AS sgn
+        | FROM hh),
+        |hv AS (SELECT rid, idx, CAST(SUM(sgn) AS DOUBLE) AS vv
+        | FROM hc GROUP BY rid, idx),
+        |hn AS (SELECT rid, sqrt(SUM(vv*vv)) AS nrm FROM hv GROUP BY rid),
+        |hx AS (SELECT hv.rid, idx,
+        |   CAST(CAST(vv AS FLOAT) * CAST(1.0 / nrm AS FLOAT) AS FLOAT) AS xv
+        | FROM hv JOIN hn USING (rid) WHERE nrm > 0),
+        |uc AS (SELECT r.rid AS vec_id, dm.p,
+        |   CAST(COALESCE(hx.xv, 0.0) AS DOUBLE) AS x
+        | FROM rids r CROSS JOIN range(64) dm(p)
+        | LEFT JOIN hx ON hx.rid = r.rid AND hx.idx = dm.p),
+        |svc AS (SELECT vec_id, p // 8 AS s, p % 8 AS j, x FROM uc),
+        |ccb AS (SELECT vec_id AS c, p // 8 AS s, p % 8 AS j, x AS cx
+        | FROM uc WHERE vec_id < 8),
+        |cd0 AS (SELECT t.vec_id, t.s, c.c,
+        |   SUM((t.x - c.cx) * (t.x - c.cx)) AS d2
+        | FROM svc t JOIN ccb c ON c.s = t.s AND c.j = t.j
+        | GROUP BY t.vec_id, t.s, c.c),
+        |ca AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+        |   FROM cd0) WHERE rn = 1),
+        |ccv AS (SELECT vec_id AS cid, p, x FROM uc WHERE vec_id < 4),
+        |ccd AS (SELECT t.vec_id, c.cid, SUM((t.x - c.x) * (t.x - c.x)) AS d2
+        | FROM uc t JOIN ccv c ON c.p = t.p GROUP BY t.vec_id, c.cid),
+        |ccell AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |   FROM ccd) WHERE rn = 1),
+        |cprobe AS (SELECT cid FROM (SELECT cid,
+        |   row_number() OVER (ORDER BY d2, cid) AS rn
+        |   FROM ccd WHERE vec_id = 0) WHERE rn <= 2),
+        |ccand AS (SELECT ce.vec_id FROM ccell ce
+        | JOIN cprobe pr ON pr.cid = ce.cid),
+        |cq AS (SELECT p // 8 AS s, p % 8 AS j, x AS qx FROM uc WHERE vec_id = 0),
+        |clut AS (SELECT c.s, c.c, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d2
+        | FROM ccb c JOIN cq q ON q.s = c.s AND q.j = c.j GROUP BY c.s, c.c),
+        |cadc AS (SELECT ca.vec_id, round(SUM(l.d2), 6) AS adc_d2
+        | FROM ca JOIN ccand ON ccand.vec_id = ca.vec_id
+        | JOIN clut l ON l.s = ca.s AND l.c = ca.c GROUP BY ca.vec_id),
+        |cpage AS (SELECT vec_id, adc_d2 FROM cadc
+        | ORDER BY adc_d2, vec_id LIMIT 20),
+        |cqx AS (SELECT p, x AS qx FROM uc WHERE vec_id = 0),
+        |cex AS (SELECT pg.vec_id, pg.adc_d2,
+        |   round(SUM((t.x - q.qx) * (t.x - q.qx)), 6) AS exact_d2
+        | FROM cpage pg JOIN uc t ON t.vec_id = pg.vec_id
+        | JOIN cqx q ON q.p = t.p GROUP BY pg.vec_id, pg.adc_d2)
+        |SELECT vec_id AS rid, adc_d2, exact_d2 FROM cex
+        |ORDER BY exact_d2, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.vector.{HashEmbedder, Ivf, Pq}
+      val segments = events(s, d).select(
+        concat(lit("u"), col("user_id").cast("string")).as("file"),
+        col("event_id").as("id"),
+        col("event_type").as("text"),
+        (col("value") / 1000.0).as("no_speech_prob"),
+        (col("ts_ms") / 1000.0).as("start"),
+        (col("ts_ms") / 1000.0 + 9.5).as("end"))
+      val summaries = CouncilPipeline.summarize(segments,
+        () => new Enricher.StubSummarizer, chunkSize = 100,
+        noSpeechThresh = 0.12)
+      // the meetings dim the reference's vectorize joins for dates —
+      // synthesized deterministically from the same event stream
+      val meetings = segments.select(col("file")).distinct()
+        .select(concat(lit("meetings/"), col("file")).as("video"),
+          lit("2024-01-01").cast("date").as("date"))
+      val coll = CouncilPipeline.vectorize(summaries, meetings,
+        new HashEmbedder(dim = 64))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      val withRid = coll.select(col("id"), col("embedding"))
+        .withColumn("rid", (row_number().over(w) - 1).cast("long"))
+      val cents = Ivf.seedCentroids(withRid, "rid", "embedding", 4)
+      val mod = Pq.trainCodebooks(withRid, "rid", "embedding", 8, 8,
+        iters = 0)
+      val dir = Q.stateDir(d, "q177_state")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val store = s"$dir/pq_index"
+      Pq.writeIndexStore(withRid, "rid", "embedding", mod, cents, store)
+      val qv = withRid.where(col("rid") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Pq.probeIndexStore(s, store, "rid", qv, 10, mod, cents,
+        nProbe = 2, rerank = 20,
+        corpus = Some(withRid.select(col("rid"), col("embedding"))),
+        vec = "embedding")
+    },
   )
 }

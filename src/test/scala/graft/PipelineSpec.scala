@@ -212,6 +212,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(hit.getString(0) == "m1.mp4:1:100" && hit.getDouble(1) == 1.0)
   }
 
+  test("stage4 → PQ store: the collection serves from the partition-pruned index (q177 shape)") {
+    import graft.vector.{Ivf, Pq}
+    // a meeting-dimension collection big enough for 8-code books +
+    // 4 coarse cells: 16 one-chunk meetings
+    val summaries = (0 until 16).map { i =>
+      (s"m$i.mp4", 0L, s"topic $i budget zoning alpha beta item$i word${i % 5}",
+        Seq.empty[String], Seq.empty[String], 0.0, 50.0, 1L, 90L)
+    }.toDF("file", "chunk_id", "summary", "quotes", "names",
+      "start_time", "end_time", "start_id", "end_id")
+    val manyMeetings = (0 until 16).map { i =>
+      (s"t$i", "2026-03-11 00:00:00", s"https://c.example/v/m$i.mp4")
+    }.toDF("title", "date_s", "video")
+      .withColumn("date", col("date_s").cast("timestamp")).drop("date_s")
+    val embedder = new HashEmbedder(dim = 64)
+    val coll = CouncilPipeline.vectorize(summaries, manyMeetings, embedder)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val withRid = coll.select(col("id"), col("embedding"))
+      .withColumn("rid", (row_number().over(w) - 1).cast("long"))
+    val cents = Ivf.seedCentroids(withRid, "rid", "embedding", 4)
+    val mod = Pq.trainCodebooks(withRid, "rid", "embedding", 8, 8, iters = 0)
+    val store = TestSpark.tempDir("council-pq") + "/idx"
+    Pq.writeIndexStore(withRid, "rid", "embedding", mod, cents, store)
+    val qv = withRid.where(col("rid") === 3)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val served = Pq.probeIndexStore(spark, store, "rid", qv, 5, mod, cents,
+        nProbe = 2, rerank = 16,
+        corpus = Some(withRid.select(col("rid"), col("embedding"))))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // self-find: the queried meeting comes back first at distance 0
+    assert(served.head == ((3L, 0.0)), s"self-find failed: $served")
+    // store-served == in-memory IVF-PQ (the q173 discipline on the
+    // pipeline's own collection)
+    val inMem = Pq.ivfPqTopK(withRid, "rid", "embedding", qv, 5, mod,
+        cents, nProbe = 2, rerank = 16)
+      .select(col("rid"), col("exact_d2"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == inMem)
+  }
+
   test("CDC refresh: diff drives selective re-embed + merge + delete") {
     import graft.pipeline.IncrementalEmbed
     val state = s"${TestSpark.tempDir("cdcembed")}/vectors"
