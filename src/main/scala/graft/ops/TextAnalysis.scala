@@ -43,6 +43,15 @@ object TextAnalysis {
       .otherwise(lit("unknown"))
   }
 
+  /** Language-ID gate — the CCNet front door (fastText langid before
+    * perplexity in the published pipeline; here the deterministic
+    * stopword-profile argmax): keep rows whose predicted language is
+    * in `keep`. Pure map-only expression — slots between C4 and the
+    * Gopher gate in the pretrain funnel (q178) without a shuffle. */
+  def langIdGate(df: org.apache.spark.sql.DataFrame, text: Column,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.filter(langId(text).isin(keep: _*))
+
   /** Punctuation/symbol count. */
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")

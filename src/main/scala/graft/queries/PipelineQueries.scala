@@ -538,6 +538,120 @@ object PipelineQueries {
         .crossJoin(broadcast(toks))
     },
 
+    // ---- the funnel with a LANGUAGE-ID gate (the CCNet front door) ----
+    // q163's funnel widened with the gate the published CCNet pipeline
+    // runs before perplexity: C4 clean → langid (keep 'en', the
+    // stopword-profile argmax q21 verifies standalone) → Gopher →
+    // exact dedup → tokens. Planting (both engines identically): the
+    // q163 line rewrite + 25 duplicate pages (+1e6) so dedup provably
+    // fires, PLUS 30 Spanish-profile pages (+3e6) built to SURVIVE C4
+    // (three 10-word '.'-terminated lines) and FAIL the 'en' gate —
+    // after_c4 − after_langid ≥ 30 by construction, so the gate's
+    // firing is itself part of the hashed evidence.
+    Q("q178_langid_funnel",
+      """WITH raw AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    'el la de y que la de el que y.' || chr(10) ||
+        |    'el la de y que la de el que y.' || chr(10) ||
+        |    'el la de y que la de el que y.' AS text
+        |  FROM documents WHERE doc_id < 30),
+        |base AS (SELECT doc_id,
+        |    regexp_replace(COALESCE(text, ''), ' (line|row) ',
+        |      '.' || chr(10), 'g') AS text
+        |  FROM raw),
+        |cl AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, chr(10)), l ->
+        |    regexp_matches(rtrim(l), '[.!?"]$')
+        |    AND len(regexp_extract_all(l, '\S+')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        | FROM base),
+        |c2 AS (SELECT doc_id, text,
+        |   COALESCE(array_to_string(kept, chr(10)), '') AS ctext FROM cl),
+        |s1 AS (SELECT doc_id, ctext AS text FROM c2
+        |  WHERE NOT (len(regexp_extract_all(ctext, '[.!?]')) < 3
+        |    OR contains(text, '{') OR contains(lower(text), 'lorem ipsum'))),
+        |hg AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> w IN ('the','a','of','and','to'))) AS en_hits,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> w IN ('el','la','de','y','que'))) AS es_hits,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> w IN ('der','die','das','und','zu'))) AS de_hits
+        | FROM s1),
+        |lg AS (SELECT doc_id FROM hg
+        |  WHERE en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0),
+        |s1b AS (SELECT s1.doc_id, s1.text FROM s1 JOIN lg USING (doc_id)),
+        |w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        | FROM s1b),
+        |u AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+        |wc AS (SELECT doc_id, wd, count(*) AS c FROM u GROUP BY doc_id, wd),
+        |agg AS (SELECT doc_id,
+        |  sum(length(wd) * c) / CAST(sum(c) AS DOUBLE) AS mwl,
+        |  sum(CASE WHEN regexp_matches(wd, '\p{L}') THEN c ELSE 0 END)
+        |    / CAST(sum(c) AS DOUBLE) AS fa,
+        |  max(c) / CAST(sum(c) AS DOUBLE) AS twf
+        | FROM wc GROUP BY doc_id),
+        |p AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM
+        |  (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |   FROM w WHERE len(ws) >= 2)),
+        |pc AS (SELECT doc_id, bg, count(*) AS c FROM p GROUP BY doc_id, bg),
+        |bagg AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS tbf
+        | FROM pc GROUP BY doc_id),
+        |kp AS (SELECT a.doc_id FROM agg a LEFT JOIN bagg b USING (doc_id)
+        |  WHERE mwl BETWEEN 3 AND 10 AND fa >= 0.8 AND twf <= 0.2
+        |    AND coalesce(tbf, 0) <= 0.18),
+        |s2 AS (SELECT s1b.doc_id, s1b.text FROM s1b JOIN kp USING (doc_id)),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY sha256(text)),
+        |s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN dd USING (doc_id))
+        |SELECT
+        |  (SELECT count(*) FROM base) AS pages,
+        |  (SELECT count(*) FROM s1) AS after_c4,
+        |  (SELECT count(*) FROM s1b) AS after_langid,
+        |  (SELECT count(*) FROM s2) AS after_gopher,
+        |  (SELECT count(*) FROM s3) AS after_dedup,
+        |  (SELECT CAST(COALESCE(SUM(len(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))), 0)
+        |    AS BIGINT) FROM s3) AS tokens_final""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val foreign = Seq.fill(3)("el la de y que la de el que y.")
+        .mkString("\n")
+      val raw = docs
+        .unionByName(docs.where(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            lit(foreign).as("text")))
+      val planted = raw.withColumn("text",
+        regexp_replace(col("text"), " (line|row) ", ".\n"))
+      val s1 = graft.ops.C4Clean.clean(planted, "text")
+        .select(col("doc_id"), col("text"))
+      val s1b = graft.ops.TextAnalysis.langIdGate(s1, col("text"), Seq("en"))
+      val kp = graft.ops.TextAnalysis.gopherReport(s1b, "doc_id", col("text"))
+        .where(col("keep")).select(col("doc_id"))
+      val s2 = s1b.join(kp, "doc_id")
+      val dd = s2.groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s3 = s2.join(dd, "doc_id")
+      def one(df: DataFrame, as: String): DataFrame =
+        df.agg(count(lit(1)).as(as))
+      val toks = s3.agg(coalesce(sum(size(filter(
+          graft.ops.NearDup.tokens(col("text")), w => w =!= ""))), lit(0))
+        .cast("long").as("tokens_final"))
+      one(planted, "pages")
+        .crossJoin(broadcast(one(s1, "after_c4")))
+        .crossJoin(broadcast(one(s1b, "after_langid")))
+        .crossJoin(broadcast(one(s2, "after_gopher")))
+        .crossJoin(broadcast(one(s3, "after_dedup")))
+        .crossJoin(broadcast(toks))
+    },
+
     // ---- the council vector collection SERVED FROM the PQ store ----
     // The reference's end state is a queryable vector collection
     // (vectorize.py:93-94, chroma query :119-123); q41 proves the
@@ -654,8 +768,19 @@ object PipelineQueries {
           lit("2024-01-01").cast("date").as("date"))
       val coll = CouncilPipeline.vectorize(summaries, meetings,
         new HashEmbedder(dim = 64))
+      // surrogate numeric rank: the collection is meeting-dimension
+      // scale, so the single-partition window is bounded — ENFORCED,
+      // not assumed (the mmrRerank maxPool discipline): a loud require
+      // plus a no-op Limit the plan carries, so the suite-wide
+      // unbounded-window pin sees the bound structurally
+      val collIds = coll.select(col("id"), col("embedding"))
+      val maxColl = 100000
+      val nColl = collIds.count()
+      require(nColl <= maxColl, s"q177: collection has $nColl rows — " +
+        s"the surrogate-rank page is capped at $maxColl (meeting-" +
+        "dimension scale); shard the collection before indexing")
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-      val withRid = coll.select(col("id"), col("embedding"))
+      val withRid = collIds.limit(maxColl)
         .withColumn("rid", (row_number().over(w) - 1).cast("long"))
       val cents = Ivf.seedCentroids(withRid, "rid", "embedding", 4)
       val mod = Pq.trainCodebooks(withRid, "rid", "embedding", 8, 8,

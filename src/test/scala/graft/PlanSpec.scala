@@ -408,6 +408,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q178 langid funnel: gate is a pure filter, stage counts compose as broadcast loops, no cartesian") {
+    val p = plan("q178_langid_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("PQ plans: codes/ADC stay map-side, the recall ground truth is the one intended broadcast loop") {
     // q166: train + encode + posexplode — no join at all in the final
     // projection (codebooks ride the plan as reference objects)
