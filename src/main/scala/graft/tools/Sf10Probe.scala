@@ -369,6 +369,34 @@ object Sf10Probe {
         }
       }
     }
+    // ---- q174/q175: adaptive training + the nProbe sweep at 1×/100× ----
+    // Claims under test: adaptive training is exactly N Lloyd passes
+    // (row-linear, 2× the one-round trainer); the sweep prices its
+    // whole nProbe grid off ONE shared encode+ADC pass at max(nProbe)
+    // (row-linear in the probed frontier, never grid × scans).
+    family("pqsweep") {
+      import graft.vector.{Ivf, Pq}
+      val n1 = emb1.count()
+      // re-densify the per-copy id offsets: the strided seeder's
+      // dense-id contract (every ⌊c·N/k⌋ target must exist)
+      def dense(df: DataFrame) = df.withColumn("vec_id",
+        (col("vec_id") / off).cast("long") * n1 + pmod(col("vec_id"), lit(off)))
+      for ((corpus0, tag) <- Seq((emb1, "x1"), (emb100, s"x$copies"))) {
+        val corpus = dense(corpus0)
+        T(s"pq_train_adaptive(2 rounds) $tag") {
+          Pq.trainCodebooksAdaptive(corpus, "vec_id", "embedding", 8, 16)
+            .k.toLong
+        }
+        val mod = Pq.trainCodebooks(corpus, "vec_id", "embedding", 8, 16)
+        val cents = Ivf.seedCentroids(corpus, "vec_id", "embedding", 8)
+        val queries = corpus.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        T(s"pq_nprobe_sweep(1/2/4/8, 20q) $tag") {
+          Pq.ivfPqRecallSweep(corpus, "vec_id", "embedding", queries,
+            "qid", "qv", 10, mod, cents, Seq(1, 2, 4, 8)).count()
+        }
+      }
+    }
     spark.stop()
   }
 }
