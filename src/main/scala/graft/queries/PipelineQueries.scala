@@ -630,8 +630,12 @@ object PipelineQueries {
             lit(foreign).as("text")))
       val planted = raw.withColumn("text",
         regexp_replace(col("text"), " (line|row) ", ".\n"))
-      val s1 = graft.ops.C4Clean.clean(planted, "text")
-        .select(col("doc_id"), col("text"))
+      // pin the C4 frontier (the q165 discipline): the langid gate,
+      // the Gopher report, the dedup build and four stage counts all
+      // branch off it — unpinned, each branch re-runs the line filter
+      val s1 = graft.ops.Pinned.track(
+        graft.ops.C4Clean.clean(planted, "text")
+          .select(col("doc_id"), col("text")).localCheckpoint(true))
       val s1b = graft.ops.TextAnalysis.langIdGate(s1, col("text"), Seq("en"))
       val kp = graft.ops.TextAnalysis.gopherReport(s1b, "doc_id", col("text"))
         .where(col("keep")).select(col("doc_id"))
@@ -775,13 +779,23 @@ object PipelineQueries {
       // unbounded-window pin sees the bound structurally
       val collIds = coll.select(col("id"), col("embedding"))
       val maxColl = 100000
-      val nColl = collIds.count()
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      // checkpoint-pin the ranked collection (the q165 frontier
+      // discipline): six downstream actions — the cap check, centroid
+      // seeds, codebook seeds, the store write, the query-vector
+      // fetch, the rerank corpus — would otherwise each re-run the
+      // whole summarize+vectorize chain (measured 10.1 s → see floor
+      // note; the pin collapses the recomputes to one pass)
+      // limit(maxColl + 1): the +1 keeps the cap check able to SEE an
+      // overflow (a plain limit(maxColl) would truncate silently and
+      // the count below would read exactly maxColl)
+      val withRid = graft.ops.Pinned.track(collIds.limit(maxColl + 1)
+        .withColumn("rid", (row_number().over(w) - 1).cast("long"))
+        .localCheckpoint(true))
+      val nColl = withRid.count()
       require(nColl <= maxColl, s"q177: collection has $nColl rows — " +
         s"the surrogate-rank page is capped at $maxColl (meeting-" +
         "dimension scale); shard the collection before indexing")
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-      val withRid = collIds.limit(maxColl)
-        .withColumn("rid", (row_number().over(w) - 1).cast("long"))
       val cents = Ivf.seedCentroids(withRid, "rid", "embedding", 4)
       val mod = Pq.trainCodebooks(withRid, "rid", "embedding", 8, 8,
         iters = 0)
