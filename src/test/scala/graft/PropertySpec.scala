@@ -1583,4 +1583,76 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 30)
   }
+
+  test("property: trainCodebooksAdaptive == naive strided seeds + N Lloyd rounds on random corpora") {
+    import graft.vector.Pq
+    // the distributed adaptive trainer (strided corpus-spread seeds,
+    // grid-snapped Lloyd means, empty-code fallback to the PREVIOUS
+    // round) against a sequential driver model — for random geometry,
+    // random data, and random iteration counts, not just the q174
+    // fixture's shape. Bit-for-bit on the float codebooks.
+    def naiveEncode(v: IndexedSeq[Float],
+        cbs: Array[Array[Array[Float]]]): Array[Int] =
+      Array.tabulate(cbs.length) { s =>
+        val off = s * cbs(s)(0).length
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- cbs(s).indices) {
+          var d = 0.0
+          for (j <- cbs(s)(c).indices if off + j < v.length) {
+            val t = v(off + j).toDouble - cbs(s)(c)(j).toDouble; d += t * t
+          }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        best
+      }
+    def naiveLloyd(rows: IndexedSeq[IndexedSeq[Float]],
+        cbs: Array[Array[Array[Float]]]): Array[Array[Array[Float]]] = {
+      val m = cbs.length; val k = cbs(0).length; val dsub = cbs(0)(0).length
+      val sums = Array.fill(m, k, dsub)(0.0)
+      val cnts = Array.fill(m, k)(0L)
+      rows.foreach { v =>
+        val codes = naiveEncode(v, cbs)
+        for (s <- 0 until m) {
+          cnts(s)(codes(s)) += 1
+          for (j <- 0 until dsub)
+            sums(s)(codes(s))(j) += v(s * dsub + j).toDouble
+        }
+      }
+      Array.tabulate(m, k) { (s, c) =>
+        if (cnts(s)(c) == 0) cbs(s)(c).clone()
+        else Array.tabulate(dsub) { j =>
+          BigDecimal(sums(s)(c)(j) / cnts(s)(c))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble.toFloat
+        }
+      }
+    }
+    val gen = for {
+      m <- Gen.choose(1, 3)
+      dsub <- Gen.choose(1, 3)
+      k <- Gen.choose(2, 4)
+      nv <- Gen.choose(k, k + 10) // dense ids 0..nv-1, nv >= k seeds
+      iters <- Gen.choose(0, 2)
+      mkF = Gen.choose(-64, 64).map(i => i / 16.0f)
+      vecs <- Gen.listOfN(nv, Gen.listOfN(m * dsub, mkF))
+    } yield (m, k, iters, vecs.map(_.toIndexedSeq).toIndexedSeq)
+    check(Prop.forAll(gen) { case (m, k, iters, vecs) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val trained = Pq.trainCodebooksAdaptive(df, "vec_id", "embedding",
+        m, k, iters = iters)
+      val nv = vecs.length
+      val dsub = trained.dsub
+      var naive: Array[Array[Array[Float]]] = Array.tabulate(m, k) { (s, c) =>
+        val sid = (c.toLong * nv / k).toInt
+        vecs(sid).slice(s * dsub, (s + 1) * dsub).toArray
+      }
+      (0 until iters).foreach(_ => naive = naiveLloyd(vecs, naive))
+      (0 until m).forall { s =>
+        (0 until k).forall { c =>
+          trained.codebooks(s)(c).toSeq == naive(s)(c).toSeq
+        }
+      }
+    }, n = 10)
+  }
 }
