@@ -28,11 +28,37 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Post-shuffle partition sizing for AQE coalescing (bytes).
+    * Spark's default `parallelismFirst=true` keeps post-shuffle
+    * partition COUNT at the cluster's parallelism even when each
+    * partition holds a few KB — every small exchange then pays
+    * (cores × task-scheduling) of fixed cost, which dominates
+    * sub-second stages and is pure waste at any scale (the Spark docs
+    * themselves recommend turning it off). With `parallelismFirst=
+    * false` AQE coalesces to `advisoryPartitionSizeInBytes`: one task
+    * for KB-scale exchanges, healthy 64 MB-class partitions for
+    * TB-scale ones — the optimization-guide §2.2 posture ("fewer,
+    * larger reduce partitions"). Parameterised (env/conf) so a cluster
+    * can raise it (256 MB is a sane batch-ETL figure); the 64 MB local
+    * default is Spark's own advisory default, NOT a local[32]-only
+    * tune — the value never sees the local core count. */
+  def advisoryPartitionBytes: Long =
+    sys.env.get("GRAFT_ADVISORY_SHUFFLE_MB")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .map(_ * 1024L * 1024L)
+      .getOrElse(64L * 1024 * 1024)
+
   /** Apply the engine's tuning to any builder (cluster entry point). */
   def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "true")
+      // GRAFT_AQE: dev-loop A/B knob (StageAudit experiments); the
+      // production posture is AQE on — runtime coalescing, dynamic
+      // broadcast and skew splitting are the mechanisms this engine
+      // leans on instead of hand-tuned hints.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisoryPartitionBytes)
       .config("spark.sql.files.maxPartitionBytes", 256L * 1024 * 1024)
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")

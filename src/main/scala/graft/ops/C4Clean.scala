@@ -90,7 +90,9 @@ object C4Clean {
   def clean(df: DataFrame, text: String, minLineWords: Int = 5,
       minSentences: Int = 3, badWords: Seq[String] = Nil): DataFrame = {
     val orig = coalesce(col(text), lit(""))
-    df.withColumn("__c4_kept", keptLines(orig, minLineWords))
+    // line-filter regexes dominate; widen past a single-row-group scan
+    // (Par scaladoc — guide §2.5). Map-only per-row, order-insensitive.
+    graft.ops.Par.widen(df).withColumn("__c4_kept", keptLines(orig, minLineWords))
       .withColumn("__c4_clean", array_join(col("__c4_kept"), "\n"))
       .withColumn("c4_lines_kept", size(col("__c4_kept")))
       .withColumn("c4_lines_dropped",

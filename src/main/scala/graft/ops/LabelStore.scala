@@ -131,7 +131,11 @@ object LabelStore {
         // lazy and folds into the CC edge-list materialization — the
         // join is one broadcast probe of a scan that job runs anyway,
         // cheaper than a dedicated checkpoint action + pin.
-        val touched = stored.join(batchNodes, Seq("node"))
+        // broadcast EXPLICIT (not stats-inferred): the scaladoc's
+        // "batch side small enough for a broadcast hash join" is a
+        // contract, and with AQE paused a mis-estimated batch side
+        // would silently fall back to a store-sized sort-merge shuffle
+        val touched = stored.join(broadcast(batchNodes), Seq("node"))
           .select(col("component")).distinct()
         // 2. the touched components' bucket ids — ≤ `buckets` longs,
         // driver-bounded by construction (probeSignatureStore shape)
@@ -141,7 +145,7 @@ object LabelStore {
         dbg("buckets")
         val star = stored
           .filter(col("comp_bucket").isin(touchedBuckets: _*))
-          .join(touched, Seq("component"), "left_semi")
+          .join(broadcast(touched), Seq("component"), "left_semi")
           .select(col("node").as(colA), col("component").as(colB))
         // 3. re-converge the touched subgraph only — with the batch's
         // pairs PRE-CONTRACTED through the stored labels: an endpoint
@@ -192,10 +196,17 @@ object LabelStore {
         // affected buckets; buckets outside `affected` are never read,
         // never written. One writer task per affected bucket, the same
         // sliver-file discipline as the bootstrap write.
+        // the anti build side MUST be hinted: `sub` is checkpoint-backed
+        // (LogicalRDD), whose size estimate is the unknown-stats default
+        // — without the hint the planner picks a sort-merge anti join
+        // that shuffles the store-sized pass-through by node, exactly
+        // the corpus-proportional exchange this store exists to avoid.
+        // sub is batch-bounded by the object invariant (its bucket ids
+        // were just collected to the driver).
         val passThrough = stored
           .filter(col("comp_bucket").isin(affected: _*))
           .select(col("node"), col("component"))
-          .join(sub.select(col("node")), Seq("node"), "left_anti")
+          .join(broadcast(sub.select(col("node"))), Seq("node"), "left_anti")
         val content = passThrough
           .unionByName(sub.select(col("node"), col("component")))
           .withColumn("comp_bucket",

@@ -57,8 +57,17 @@ object NearDup {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val sig = ColumnBridge.column(graft.expr.MinHashSig(
       ColumnBridge.expression(text), numHashes, shingleSize))
-    df.select(col(id), sig.as("__mh"))
-      .filter(col("__mh").isNotNull) // < shingleSize tokens
+    // Par.widen: the sha kernel is the dominant map cost; over a
+    // single-row-group input it would otherwise run on one task.
+    // The short-row gate uses the CHEAP equivalent predicate
+    // (size(tokens) >= shingleSize ⟺ kernel non-null — the kernel's
+    // documented null contract) applied BELOW the widen exchange: a
+    // filter phrased as `__mh.isNotNull` gets pushed through the
+    // exchange by Catalyst and re-evaluates the whole sha kernel at
+    // the scan, single-threaded — the guide §4.4 duplicate-evaluation
+    // trap, for a JVM expression.
+    Par.widen(df.filter(size(tokens(text)) >= shingleSize))
+      .select(col(id), sig.as("__mh"))
       .select(col(id) +: (0 until numHashes)
         .map(j => col(s"__mh.mh$j").as(s"mh$j")): _*)
   }
@@ -115,9 +124,28 @@ object NearDup {
     }.reduce(_.unionByName(_))
   }
 
+  /** Materialize a signature table once (eager localCheckpoint) so the
+    * band arms and both self-join sides read blocks instead of
+    * re-running the signature subtree. The fused sha kernel is a
+    * map-only projection with no exchange for ReuseExchange to dedup,
+    * so unmaterialized it re-runs once per band arm per join side —
+    * StageAudit measured 4 kernel passes at nBands=2 when AQE
+    * broadcasts the band build side (optimization guide §2.3: decide
+    * over materialized small rows, don't recompute the heavy pass).
+    * Cost: one (id + numHashes longs) row per doc at any scale, a
+    * Pinned-tracked block set the harness releases once the query's
+    * result is consumed. A frame that is already checkpoint-backed
+    * (LogicalRDD — e.g. the streaming sink's pinned batch sigs)
+    * passes through untouched rather than paying a second copy. */
+  private[ops] def pinSigs(sigs: DataFrame): DataFrame =
+    sigs.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => sigs
+      case _ => Pinned.track(sigs.localCheckpoint(true))
+    }
+
   def lshCandidatePairs(sigs: DataFrame, id: String,
       numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val bands = bandedSignatures(sigs, id, numHashes, rowsPerBand,
+    val bands = bandedSignatures(pinSigs(sigs), id, numHashes, rowsPerBand,
       "lshCandidatePairs")
     val a = bands.as("a")
     val b = bands.as("b")
@@ -231,6 +259,10 @@ object NearDup {
         s"rowsPerBand=$rowsPerBand — trailing hashes would be silently " +
         "dropped from banding (reduced recall)")
     val mhCols = (0 until numHashes).map(j => s"mh$j")
+    // materialize-once (the lshCandidatePairs treatment): both join
+    // sides — and on the wide path both join-backs — read blocks
+    // instead of re-running the signature kernel
+    val sigsMat = pinSigs(sigs)
     if (numHashes <= 8) {
       // NARROW signatures (the oracle-checkable 4-hash width): the
       // signature columns RIDE the band explode, so the agreement
@@ -249,7 +281,7 @@ object NearDup {
         concat_ws("|", lit(b.toString) +:
           (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}")): _*)
       }: _*)
-      val banded = sigs.select(col(id).as("__id") +: mhCols.map(col) :+
+      val banded = sigsMat.select(col(id).as("__id") +: mhCols.map(col) :+
         explode(bandKeys).as("__band"): _*)
       val a = banded.as("a")
       val b = banded.as("b")
@@ -268,10 +300,10 @@ object NearDup {
       // than the narrow (id, band) candidate join plus two
       // one-row-per-id signature join-backs. Keep the join-back shape
       // at width.
-      val pairs = lshCandidatePairs(sigs, id, numHashes, rowsPerBand)
-      val a = sigs.select(col(id).as("doc_a") +:
+      val pairs = lshCandidatePairs(sigsMat, id, numHashes, rowsPerBand)
+      val a = sigsMat.select(col(id).as("doc_a") +:
         mhCols.map(c => col(c).as(s"__a_$c")): _*)
-      val b = sigs.select(col(id).as("doc_b") +:
+      val b = sigsMat.select(col(id).as("doc_b") +:
         mhCols.map(c => col(c).as(s"__b_$c")): _*)
       val agree = mhCols.map(c =>
         when(col(s"__a_$c") === col(s"__b_$c"), 1).otherwise(0))
@@ -294,9 +326,12 @@ object NearDup {
     * were already emitted by the run that ingested them. */
   def lshCandidatePairsIncremental(corpusSigs: DataFrame, newSigs: DataFrame,
       id: String, numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val fresh = bandedSignatures(newSigs, id, numHashes, rowsPerBand,
+    // same materialize-once treatment as lshCandidatePairs: the batch
+    // sigs feed both join sides (and the corpus side once per arm) —
+    // pin each table so the signature kernels run exactly once
+    val fresh = bandedSignatures(pinSigs(newSigs), id, numHashes, rowsPerBand,
       "lshCandidatePairsIncremental")
-    val all = bandedSignatures(corpusSigs, id, numHashes, rowsPerBand,
+    val all = bandedSignatures(pinSigs(corpusSigs), id, numHashes, rowsPerBand,
       "lshCandidatePairsIncremental").unionByName(fresh)
     fresh.as("a").join(all.as("b"),
         col("a.__band") === col("b.__band") && col("a.__id") =!= col("b.__id"))
@@ -1002,7 +1037,9 @@ object NearDup {
   def repeatedWindows(df: DataFrame, id: String, text: Column,
       w: Int = 8): DataFrame = {
     require(w >= 2, "repeatedWindows: w must be >= 2")
-    val toks = df.select(col(id), tokens(text).as("__w"))
+    // widen once: the window kernel feeds both the doc-frequency agg
+    // and the membership join side (guide §2.5 — see Par)
+    val toks = Par.widen(df).select(col(id), tokens(text).as("__w"))
       .filter(size(col("__w")) >= w)
     val wins = toks.select(col(id),
       posexplode(shinglesFromTokens(col("__w"), w)).as(Seq("__pos", "__win")))
@@ -1040,7 +1077,11 @@ object NearDup {
   def removeRepeatedWindows(df: DataFrame, id: String, text: Column,
       w: Int = 8): DataFrame = {
     require(w >= 2, "removeRepeatedWindows: w must be >= 2")
-    val toks = df.select(col(id), tokens(text).as("__w"))
+    // the tokenize + window-build kernels are evaluated on three
+    // branches (token explode, window explode, final length probe) —
+    // widen once so all three run at session parallelism (guide §2.5)
+    val src = Par.widen(df)
+    val toks = src.select(col(id), tokens(text).as("__w"))
     val tok = toks.select(col(id),
       posexplode(col("__w")).as(Seq("__p", "__t")))
     val wins = toks.filter(size(col("__w")) >= w)
@@ -1061,7 +1102,7 @@ object NearDup {
           array_sort(collect_list(struct(col("__p"), col("__t")))),
           s => s.getField("__t"))).as("clean_text"),
         count(lit(1)).as("__kept"))
-    df.select(col(id), size(tokens(text)).cast("long").as("__n"))
+    src.select(col(id), size(tokens(text)).cast("long").as("__n"))
       .join(kept, Seq(id), "left")
       .select(col(id), coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("__n") - coalesce(col("__kept"), lit(0L))).as("n_removed"))

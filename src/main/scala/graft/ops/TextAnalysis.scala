@@ -431,7 +431,9 @@ object TextAnalysis {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val g = ColumnBridge.column(
       graft.expr.GopherStats(ColumnBridge.expression(text)))
-    df.select(col(id), g.as("__g"))
+    // the fused per-doc kernel is the map cost; widen past a
+    // single-row-group scan (Par scaladoc — guide §2.5)
+    graft.ops.Par.widen(df).select(col(id), g.as("__g"))
       .filter(col("__g").isNotNull)
       .select(col(id), col("__g.n_tokens").as("n_tokens"),
         col("__g.mwl").as("__mwl"), col("__g.fa").as("__fa"),

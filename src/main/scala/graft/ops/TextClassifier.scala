@@ -56,7 +56,8 @@ object TextClassifier {
     * of both trainers. */
   private def tokenCounts(docs: DataFrame, labelCol: Column,
       text: Column): DataFrame =
-    docs.select(labelCol.as("label"), explode(tokens(text)).as("term"))
+    Par.widen(docs)
+      .select(labelCol.as("label"), explode(tokens(text)).as("term"))
       .filter(col("term") =!= "")
       .groupBy("label", "term").agg(count(lit(1)).as("n"))
 
@@ -83,7 +84,10 @@ object TextClassifier {
     val classes = classTok.join(classDocs, "label")
     val vocab = counts.select("term").distinct()
     val vTot = vocab.agg(count(lit(1)).as("vocab"))     // single row
-    val dTot = docs.agg(count(lit(1)).as("n_docs"))     // single row
+    // n_docs = Σ n_docs_c (exact integer identity, null labels
+    // included as their own group): rides classDocs' label exchange
+    // instead of paying a second full scan+count of the corpus
+    val dTot = classDocs.agg(sum("n_docs_c").as("n_docs")) // single row
     smoothedModel(
       vocab.crossJoin(broadcast(classes))
         .join(counts, Seq("label", "term"), "left")
@@ -124,7 +128,8 @@ object TextClassifier {
     val classes = classTok.join(classDocs, "label")
     val vTot = counts.select("term").distinct()
       .agg(count(lit(1)).as("vocab"))                 // single row
-    val dTot = docs.agg(count(lit(1)).as("n_docs"))   // single row
+    // n_docs from the per-class counts (the trainNaiveBayes identity)
+    val dTot = classDocs.agg(sum("n_docs_c").as("n_docs")) // single row
     smoothedModel(
       counts.join(broadcast(classes), "label")
         .crossJoin(broadcast(vTot))
@@ -149,7 +154,8 @@ object TextClassifier {
     * [[trainNaiveBayes]] on the concatenated corpus.
     */
   def nbSufficientStats(docs: DataFrame, labelCol: Column, text: Column): DataFrame = {
-    val tok = docs.select(labelCol.as("label"), explode(tokens(text)).as("term"))
+    val tok = Par.widen(docs)
+      .select(labelCol.as("label"), explode(tokens(text)).as("term"))
       .filter(col("term") =!= "")
       .groupBy("label", "term").agg(count(lit(1)).as("n"))
     val docCounts = docs.select(labelCol.as("label"), lit("").as("term"))
@@ -241,7 +247,10 @@ object TextClassifier {
     */
   def scoreNaiveBayes(held: DataFrame, idCol: Column, text: Column,
       model: DataFrame): DataFrame = {
-    val tf = held.select(idCol.as("id"), explode(tokens(text)).as("term"))
+    // tokenize + map-side TF aggregation is the heavy map pass of
+    // scoring — widen it past a single-row-group scan (Par scaladoc)
+    val tf = Par.widen(held)
+      .select(idCol.as("id"), explode(tokens(text)).as("term"))
       .filter(col("term") =!= "")
       .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
     val classes = model.select("label", "log_prior", "oov_ll").distinct()
@@ -317,7 +326,8 @@ object TextClassifier {
     * ulp of a grid midpoint; pick one shape per deployment. */
   def scoreNaiveBayesManyClasses(held: DataFrame, idCol: Column,
       text: Column, model: DataFrame): DataFrame = {
-    val tf = held.select(idCol.as("id"), explode(tokens(text)).as("term"))
+    val tf = Par.widen(held)
+      .select(idCol.as("id"), explode(tokens(text)).as("term"))
       .filter(col("term") =!= "")
       .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
     val docN = tf.groupBy("id").agg(sum("cnt").as("n_tokens"))

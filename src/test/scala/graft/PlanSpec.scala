@@ -23,6 +23,7 @@ class PlanSpec extends AnyFunSuite {
     * inspectable pre-execution). Guards the "no exchange carries
     * window text" repair on the exact-substring family. */
   private def shuffledStringAttrs(name: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -30,7 +31,15 @@ class PlanSpec extends AnyFunSuite {
     try {
       val df = Registry.byName(name).fn(spark, sf)
       df.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec =>
+        // Round-robin exchanges are Par.widen's gated §2.5 repair for
+        // unsplittable small inputs: they move each payload byte ONCE
+        // and self-disable at scale (the gate never fires on a scan
+        // that is already parallel). The property pinned by callers is
+        // about KEYED shuffles — window strings / doc text riding a
+        // hash or range exchange, which multiplies or re-keys corpus
+        // bytes — so widen exchanges are exempt here.
+        case e: ShuffleExchangeExec
+            if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] =>
           e.output.filter(_.dataType == StringType).map(_.name)
       }.flatten.toSet
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
@@ -169,19 +178,33 @@ class PlanSpec extends AnyFunSuite {
 
   test("LSH pairs: no aggregation in signature stage, no cache pinned after run") {
     spark.catalog.clearCache()
-    val p = plan("q14_lsh_neardup_pairs")
+    import org.apache.spark.sql.functions.col
     // fused MinHashSig turns signature extraction into a map-only
-    // projection — the plan must contain the expression but NO
-    // signature aggregation (the old explode→groupBy-min shape)
-    assert(p.contains("minhash_sig"), p.take(1500))
+    // projection — its OWN plan must contain the expression in a
+    // whole-stage-codegen span and NO signature aggregation / shingle
+    // explode (the old explode→groupBy-min shape)
+    val sigs = graft.ops.NearDup.minhashSignaturesFused(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", col("text"))
+    sigs.collect() // finalize AQE so codegen stages are visible
+    val sp = sigs.queryExecution.executedPlan.toString
+    assert(sp.contains("minhash_sig"), sp.take(1500))
+    assert(!sp.contains("Explode"), "fused path must not explode shingles")
+    assert(sp.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("minhash_sig")), sp.take(1500))
+    // the pairs query consumes ONE materialized signature table (r21:
+    // pinSigs localCheckpoints it so the kernel runs once, not once
+    // per band arm per join side) — the pairs plan reads the
+    // checkpoint blocks (ExistingRDD), never re-runs or explodes the
+    // kernel, and holds no cache-manager entry
+    val p = plan("q14_lsh_neardup_pairs")
+    assert(p.contains("ExistingRDD"), p.take(1500))
     assert(!p.contains("Explode"), "fused path must not explode shingles")
-    // the fused kernel participates in whole-stage codegen (doGenCode)
-    assert(p.linesIterator.exists(l =>
-      l.contains("*(") && l.contains("minhash_sig")), p.take(1500))
     assert(!p.contains("InMemoryTableScan"), "no cache in the LSH plan")
-    // and nothing stays pinned in the session after the query completes
     assert(spark.sharedState.cacheManager.isEmpty,
       "LSH left a cached relation pinned after materialization")
+    // the signature checkpoint is Pinned-tracked: the harness releases
+    // it after the sink consumes the result, so nothing leaks here
+    graft.ops.Pinned.releaseAll()
   }
 
   test("decontamination broadcasts the benchmark shingle side") {
